@@ -1,0 +1,187 @@
+"""URL / filename string algebra (pure Python, UDF-safe).
+
+From-scratch reimplementation of the *semantics* of the reference's
+``markdown_toolset/www_tools.py`` (see /root/reference/markdown_toolset/
+www_tools.py:21-126) so that vectorized pandas UDFs and the sequential
+oracle share one implementation.  These functions are deliberately
+dependency-free (stdlib ``re``/``unicodedata`` only) so they serialize
+cleanly to executors.
+
+Quirks preserved on purpose (they are observable in output bytes):
+
+* ``is_url`` is a plain case-insensitive *prefix* test against
+  ``('http', 'ftp', 'https', 'ftps')`` — so ``httpgarbage`` counts as a
+  URL and ``file://`` does not (www_tools.py:21-30).
+* ``remove_protocol_prefix`` strips one leading ``scheme:`` (with or
+  without ``//``) or bare ``//`` — ``FtpS://http://x`` → ``http://x``
+  (www_tools.py:33-38, tests/test_www_tools.py:8-15).
+* ``split_file_ext`` is ``rsplit('.', 1)``: no dot → ext ``None``,
+  trailing dot → ext ``''`` (www_tools.py:68-77).
+* ``filename_from_url``: name taken from the URL *path* (query
+  dropped); empty stem → ``None``; missing/falsy ext → extension
+  guessed from content-type, and an unknown content-type renders the
+  literal string ``None`` into the filename (www_tools.py:80-116).
+* ``url.find('/')`` truthiness: a URL whose first ``/`` is at index 0
+  falls through to the content-disposition branch (www_tools.py:91).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Optional, Tuple
+
+from ..mime_frozen import ENCODINGS_MAP, SUFFIX_MAP, TYPE_TO_EXT, TYPES_MAP
+
+URL_PREFIXES = ('http', 'ftp', 'https', 'ftps')
+
+# One regex covering both "scheme: [//]" and bare "//" prefixes.  The
+# scheme charset is RFC 3986 (ALPHA *( ALPHA / DIGIT / + / - / . )),
+# matching urllib's scheme detection used by the reference.
+_PROTOCOL_PREFIX_RE = re.compile(
+    r'^\s*(?:(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?//|[a-zA-Z][a-zA-Z0-9+.\-]*:)'
+)
+# Java-regex flavor of the same pattern, for Spark regexp_replace.
+PROTOCOL_PREFIX_JAVA_REGEX = (
+    r'^\s*(?:(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?//|[a-zA-Z][a-zA-Z0-9+.\-]*:)'
+)
+
+_NON_WORD_RE = re.compile(r'[^\w\s-]')
+_DASH_SPACE_RE = re.compile(r'[-\s]+')
+_SCHEME_RE = re.compile(r'^([a-zA-Z][a-zA-Z0-9+.\-]*):')
+
+
+def is_url(url: str, allowed_url_prefixes: Tuple[str, ...] = URL_PREFIXES) -> bool:
+    """Case-insensitive prefix test (www_tools.py:21-30)."""
+    l_url = url.lower()
+    return any(l_url.startswith(p.lower()) for p in allowed_url_prefixes)
+
+
+def remove_protocol_prefix(url: str) -> str:
+    """Strip one leading protocol prefix (www_tools.py:33-38)."""
+    return _PROTOCOL_PREFIX_RE.sub('', url)
+
+
+def slugify(value: str) -> str:
+    """NFKD → ascii-ignore → strip non-word → lower → dashes
+    (string_tools.py:9-19)."""
+    value = unicodedata.normalize('NFKD', value).encode('ascii', 'ignore').decode()
+    value = _NON_WORD_RE.sub('', value).strip().lower()
+    return _DASH_SPACE_RE.sub('-', value)
+
+
+def split_file_ext(file_name: str) -> Tuple[str, Optional[str]]:
+    """``rsplit('.', 1)``; no dot → (name, None) (www_tools.py:68-77)."""
+    parts = file_name.rsplit('.', 1)
+    if len(parts) == 1:
+        return parts[0], None
+    return parts[0], parts[1]
+
+
+_SPLITTYPE_RE = re.compile(r'([^/:]+):(.*)', re.DOTALL)
+
+
+def guess_mime_type(url: str) -> Optional[str]:
+    """Frozen-table equivalent of ``mimetypes.guess_type(url)[0]``.
+
+    Replicates the stdlib (Python 3.11) lookup the reference's MIME
+    gate relies on (image_downloader.py:124-131): only the leading
+    ``scheme:`` is stripped — netloc/query/fragment stay, so a
+    query-string URL without a trailing extension yields ``None`` and
+    is dropped by the gate (tests/data/image_mime_incorrect.md).
+    """
+    m = _SPLITTYPE_RE.match(url)
+    if m:
+        if m.group(1).lower() == 'data':
+            # data URL: mediatype before the comma (stdlib semantics) —
+            # a data: image passes the reference's MIME gate
+            rest = m.group(2)
+            comma = rest.find(',')
+            if comma < 0:
+                return None
+            semi = rest.find(';', 0, comma)
+            typ = rest[:semi] if semi >= 0 else rest[:comma]
+            if '=' in typ or '/' not in typ:
+                typ = 'text/plain'
+            return typ
+        url = m.group(2)
+    base, ext = _posix_splitext(url)
+    while ext.lower() in SUFFIX_MAP:
+        base, ext = _posix_splitext(base + SUFFIX_MAP[ext.lower()])
+    if ext in ENCODINGS_MAP:
+        base, ext = _posix_splitext(base)
+    return TYPES_MAP.get(ext.lower())
+
+
+def guess_extension_for_type(content_type: Optional[str]) -> Optional[str]:
+    """Frozen-table ``mimetypes.guess_extension`` (post ``.jpe`` removal)."""
+    if content_type is None:
+        return None
+    return TYPE_TO_EXT.get(content_type)
+
+
+def _posix_splitext(p: str) -> Tuple[str, str]:
+    """``posixpath.splitext`` semantics (leading dots are not exts)."""
+    slash = p.rfind('/')
+    dot = p.rfind('.')
+    if dot > slash:
+        # leading dots of the basename do not start an extension
+        name_start = slash + 1
+        i = name_start
+        while i < len(p) and p[i] == '.':
+            i += 1
+        if dot >= i:
+            return p[:dot], p[dot:]
+    return p, ''
+
+
+def url_path(url: str) -> str:
+    """``urlparse(url).path`` for http(s)/ftp(s)-style URLs."""
+    m = _SCHEME_RE.match(url)
+    rest = url[m.end():] if m and len(m.group(1)) > 1 else url
+    if rest.startswith('//'):
+        rest = rest[2:]
+        slash = rest.find('/')
+        rest = rest[slash:] if slash >= 0 else ''
+    for sep in ('?', '#'):
+        cut = rest.find(sep)
+        if cut >= 0:
+            rest = rest[:cut]
+    return rest
+
+
+def filename_from_url(final_url: str, content_type: Optional[str]) -> Optional[str]:
+    """Derive the stored image filename (www_tools.py:80-116).
+
+    ``final_url`` is the post-redirect response URL; ``content_type``
+    the response header value (may include ``; charset=...``).
+    """
+    if final_url.find('/') != 0:
+        result = url_path(final_url)
+    else:
+        # content-disposition branch — modeled fetch never takes it
+        return None
+
+    f_name, f_ext = split_file_ext(result)
+    if f_name == '':
+        return None
+
+    if not f_ext:
+        ct = (content_type or '').partition(';')[0].strip()
+        # reference f-string renders a None extension literally
+        return f'{slugify(f_name)}{guess_extension_for_type(ct)}'
+    return f'{slugify(f_name)}.{slugify(f_ext)}'
+
+
+def get_base_url(url: str) -> Optional[str]:
+    """``url.rsplit('/', 1)[0]`` (www_tools.py:119-126)."""
+    if url.find('/') != 0:
+        return url.rsplit('/', 1)[0]
+    return None
+
+
+def fetch_key(download_url: str) -> str:
+    """First whitespace token — ``url.split()[0]`` before the GET
+    (www_tools.py:54)."""
+    parts = download_url.split()
+    return parts[0] if parts else download_url
