@@ -167,7 +167,11 @@ def filename_from_url(final_url: str, content_type: Optional[str]) -> Optional[s
         return None
 
     if not f_ext:
-        ct = (content_type or '').partition(';')[0].strip()
+        if content_type is None:
+            # req.headers['content-type'] raises when absent
+            # (www_tools.py:108) → caught as a per-link error upstream
+            raise KeyError('content-type')
+        ct = content_type.partition(';')[0].strip()
         # reference f-string renders a None extension literally
         return f'{slugify(f_name)}{guess_extension_for_type(ct)}'
     return f'{slugify(f_name)}.{slugify(f_ext)}'

@@ -1,0 +1,204 @@
+"""Deterministic synthetic corpus + modeled fetch (FIXTURES.md §1-2).
+
+Everything is a pure function of the document index / URL (seeded by
+sha256), so the corpus can be generated distributed (``spark.range``
++ ``mapInPandas``) at any scale and the sequential oracle sees exactly
+the same bytes without materializing an assets table.
+
+Document classes mirror the reference's pytest fixtures (SURVEY.md §5,
+FIXTURES.md §1): important-links, article (fenced code + cyrillic),
+duplicates (two URLs → identical bytes), mime-incorrect, reference-
+style/HTML-block, and no-image documents.  Image hosts are skewed —
+one hot host takes ~30% of links — to exercise the salted fetch stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timezone
+from typing import Iterator, List, Optional, Tuple
+
+from .oracle import Asset
+
+N_HOSTS = 20
+HOT_HOST = 'imghot.example'
+_LANGS = ('en', 'ru', 'de')
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], 'big')
+
+
+def host_for(i: int, j: int) -> str:
+    """Skewed host pick: ~30% of image links land on the hot host."""
+    r = _h(f'host:{i}:{j}') % 100
+    if r < 30:
+        return HOT_HOST
+    return f'img{r % N_HOSTS}.example'
+
+
+def doc_url(i: int) -> str:
+    return f'https://site{_h(f"site:{i}") % 7}.example/articles/a{i:08d}/doc{i}.md'
+
+
+_IMPORTANT_TPL = """Important link to remember: ![](https://www.google.com/)
+![](https://{h0}/gallery/p{i}_a.png)
+![](https://dead.example/missing/p{i}.jpg)
+
+Scaled: ![](https://{h1}/gallery/p{i}_b.png =300x)
+![Valid URL](https://{h0}/u/{i}?s=80&v=4 =300x)
+![Resizing](https://{h1}/gallery/p{i}_c.jpg =1000x0010)
+
+# Resize
+
+![](./pic/pic{i}_50.png =100x20)
+
+# You can skip the HEIGHT
+
+![](./pic/pic{i}s.png =250x)
+
+# And Width
+
+![](./pic/pic{i}s.png =x250)
+"""
+
+_ARTICLE_TPL = """# Статья {i}
+
+Привет! Это длинный текст со [ссылкой](https://example.org/page{i}) и
+картинкой ![кот](img/lolcat{i}.jpg) внутри.
+
+```python
+print("![not-an-image](x{i}.png)")
+```
+
+Ещё абзац с `кодом ![тоже](нет.png)` и всё.
+"""
+
+_DUPLICATES_TPL = """![](https://{h0}/dup{g}/lenna1_{i}.jpg)
+![](https://{h1}/dup{g}/lenna2_{i}.jpg)
+"""
+
+_MIME_TPL = """![](https://{h0}/c/filters:no_upscale()?valid=false&imageUrl=x{i}.jpg%3Fsource%3D1)
+![](https://{h1}/c/filters:no_upscale()?valid=false&imageUrl=y{i}.jpg%3Fsource%3D2)
+![](https://{h0}/u/{i}?s=80)
+"""
+
+_REFSTYLE_TPL = """![first][ref{i}] then ![inline](https://{h0}/ref/inl{i}.png)
+
+<img src="https://{h1}/ref/blk{i}.gif" alt="block">
+
+[ref{i}]: https://{h0}/ref/def{i}.png
+"""
+
+_NOIMG_TPL = """# Plain document {i}
+
+No images here, only [links](https://example.org/{i}) and text.
+Zeile {i}. The quick brown fox jumps over the lazy dog.
+"""
+
+_CLASS_TPLS = ('important', 'article', 'duplicates', 'mime', 'refstyle', 'noimg')
+
+
+def doc_text(i: int) -> str:
+    cls = _CLASS_TPLS[i % len(_CLASS_TPLS)]
+    h0, h1 = host_for(i, 0), host_for(i, 1)
+    if cls == 'important':
+        return _IMPORTANT_TPL.format(i=i, h0=h0, h1=h1)
+    if cls == 'article':
+        return _ARTICLE_TPL.format(i=i)
+    if cls == 'duplicates':
+        # every 4th duplicate-doc shares its group with a neighbor →
+        # cross-document identical bytes
+        g = i if i % 4 else i - 6
+        return _DUPLICATES_TPL.format(i=i, g=g, h0=h0, h1=h1)
+    if cls == 'mime':
+        return _MIME_TPL.format(i=i, h0=h0, h1=h1)
+    if cls == 'refstyle':
+        return _REFSTYLE_TPL.format(i=i, h0=h0, h1=h1)
+    return _NOIMG_TPL.format(i=i)
+
+
+def doc_html(i: int) -> bytes:
+    """HTML body column: 0-5 <img> tags incl. src-less and valueless-src
+    edge cases (transformers/html/transformer.py:22-27)."""
+    n = _h(f'himg:{i}') % 6
+    imgs = '\n'.join(
+        f'<img src="https://{host_for(i, 10 + k)}/himg/h{i}_{k}.png" alt="k{k}">' for k in range(n)
+    )
+    return (
+        f'<html><body><h1>Doc {i}</h1>\n<img alt="no-src">\n<img src>\n{imgs}\n'
+        f'<p>text {i}</p></body></html>'
+    ).encode()
+
+
+def doc_row(i: int) -> Tuple[str, datetime, bytes, str, str]:
+    """One row of the input_hint table (url, warc_ts, html, text, lang)."""
+    ts = datetime.fromtimestamp(1_600_000_000 + i, tz=timezone.utc)
+    return (doc_url(i), ts, doc_html(i), doc_text(i), _LANGS[i % 3])
+
+
+# ---------------------------------------------------------------- fetch model
+
+
+def model_asset(fetch_url: str) -> Optional[Asset]:
+    """Modeled HTTP GET: deterministic bytes keyed by URL.
+
+    * URLs on ``dead.example`` or containing ``/missing/`` → None
+      (connection error);
+    * URLs with a ``/dup<g>/`` segment share content within the group
+      (the lenna1/lenna2 pattern, tests/test_string_tools.py:16-17);
+    * everything else: 512-4096 pseudo-random bytes seeded by the URL.
+    """
+    if 'dead.example' in fetch_url or '/missing/' in fetch_url:
+        return None
+    key = fetch_url
+    lo = fetch_url.find('/dup')
+    if lo >= 0:
+        hi = fetch_url.find('/', lo + 1)
+        if hi > lo:
+            key = fetch_url[lo:hi]  # content keyed by the dup group only
+    seed = hashlib.sha256(key.encode()).digest()
+    size = 512 + _h(f'size:{key}') % 3584
+    reps = size // len(seed) + 1
+    content = (seed * reps)[:size]
+    ext = fetch_url.rsplit('.', 1)[-1].lower() if '.' in fetch_url.rsplit('/', 1)[-1] else ''
+    ctype = {
+        'png': 'image/png', 'jpg': 'image/jpeg', 'jpeg': 'image/jpeg', 'gif': 'image/gif',
+    }.get(ext[:4].rstrip('?'), 'image/png')
+    return Asset(content=content, content_type=ctype, status=200)
+
+
+class ModelAssetStore:
+    """dict-like view over ``model_asset`` for the sequential oracle."""
+
+    def get(self, key: str) -> Optional[Asset]:
+        return model_asset(key)
+
+    def __contains__(self, key: str) -> bool:
+        return model_asset(key) is not None
+
+
+def docs_list(n: int, start: int = 0) -> List[Tuple[str, str]]:
+    """(url, text) pairs for the oracle."""
+    return [(doc_url(i), doc_text(i)) for i in range(start, start + n)]
+
+
+def pages_pdf_iter(indices) -> Iterator[Tuple[str, datetime, bytes, str, str]]:
+    for i in indices:
+        yield doc_row(int(i))
+
+
+PAGES_SCHEMA = 'url string, warc_ts timestamp, html binary, text string, lang string'
+
+
+def pages_df(spark, n: int, partitions: int | None = None):
+    """Distributed generation of the pages table (input_hint shape)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [doc_row(int(i)) for i in pdf['id']]
+            yield pd.DataFrame(rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
+
+    rng = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -1,0 +1,118 @@
+"""Distinct-URL fetch stage (A7/S4): fetch each unique image once
+cluster-wide, then hash-join the bytes back to the links table.
+
+The reference downloads per-link, per-article, sequentially
+(image_downloader.py:96-184, www_tools.py:41-65).  The Spark plan:
+
+    links.select(fetch_key).distinct()          -- shuffle on key
+         .repartition(P, xxhash64(fetch_key))   -- even spread; breaks
+                                                --  hot-host skew (the
+                                                --  corpus sends ~30% of
+                                                --  links to one host)
+         .mapInPandas(fetcher)                  -- Arrow-batched GETs
+    links JOIN fetched ON fetch_key             -- AQE picks the strategy
+
+Fetchers are pluggable: ``model_fetcher`` (deterministic synthetic
+bytes — the sandbox has no network, FIXTURES.md §2) or
+``live_fetcher`` (requests-based, UA header + redirect-follow +
+SSL-retry semantics of www_tools.py:41-65; grouped by host inside each
+partition for connection reuse).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FETCH_SCHEMA = (
+    'fetch_key string, final_url string, content binary, content_type string, fetch_status int'
+)
+
+Fetcher = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+
+
+def model_fetcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic modeled GET keyed by URL (corpus.model_asset)."""
+    from ..corpus import model_asset
+
+    for pdf in batches:
+        rows = []
+        for key in pdf['fetch_key']:
+            a = model_asset(key)
+            if a is None:
+                rows.append((key, None, None, None, 599))
+            else:
+                rows.append((key, a.final_url or key, a.content, a.content_type, a.status))
+        yield pd.DataFrame(
+            rows, columns=['fetch_key', 'final_url', 'content', 'content_type', 'fetch_status']
+        )
+
+
+def local_store_fetcher(local_assets: dict) -> Fetcher:
+    """Local-file reads modeled from an in-memory dict (S5)."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key in pdf['fetch_key']:
+                content = local_assets.get(key)
+                if content is None:
+                    rows.append((key, None, None, None, 404))
+                else:
+                    rows.append((key, key, content, None, 200))
+            yield pd.DataFrame(
+                rows, columns=['fetch_key', 'final_url', 'content', 'content_type', 'fetch_status']
+            )
+
+    return fetch
+
+
+def live_fetcher(timeout: float | None = None) -> Fetcher:
+    """Real HTTP fetcher for production runs (www_tools.py:41-65
+    semantics: UA header, redirects, SSL-retry-without-verify, >=400 →
+    error).  Import-guarded; not exercisable in this sandbox."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import requests
+
+        headers = {
+            'User-Agent': 'Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:96.0) '
+            'Gecko/20100101 Firefox/96.0'
+        }
+        session = requests.Session()
+        for pdf in batches:
+            # group by host for connection reuse / politeness
+            pdf = pdf.assign(_host=pdf['fetch_key'].str.extract(r'^[a-zA-Z]+://([^/]+)')[0])
+            rows = []
+            for _host, grp in pdf.groupby('_host', dropna=False, sort=True):
+                for key in grp['fetch_key']:
+                    try:
+                        try:
+                            resp = session.get(key, allow_redirects=True, timeout=timeout, headers=headers)
+                        except requests.exceptions.SSLError:
+                            resp = session.get(
+                                key, allow_redirects=True, verify=False, timeout=timeout, headers=headers
+                            )
+                        if not resp.ok:
+                            rows.append((key, None, None, None, resp.status_code))
+                        else:
+                            rows.append(
+                                (key, resp.url, resp.content, resp.headers.get('content-type'), 200)
+                            )
+                    except Exception:
+                        rows.append((key, None, None, None, 599))
+            yield pd.DataFrame(
+                rows, columns=['fetch_key', 'final_url', 'content', 'content_type', 'fetch_status']
+            )
+
+    return fetch
+
+
+def fetch_distinct(links: DataFrame, key_col: str, fetcher: Fetcher, parallelism: int | None = None) -> DataFrame:
+    """distinct keys → salted repartition → Arrow-batched fetch."""
+    keys = links.select(F.col(key_col).alias('fetch_key')).where(F.col('fetch_key').isNotNull()).distinct()
+    p = parallelism or links.sparkSession.sparkContext.defaultParallelism
+    keys = keys.repartition(p, F.xxhash64('fetch_key'))
+    return keys.mapInPandas(fetcher, schema=FETCH_SCHEMA)

@@ -1,0 +1,208 @@
+"""Vectorized pandas UDFs wrapping the pure-Python semantic core.
+
+Every row-level operation that cannot be expressed as built-in Column
+algebra lives here as an Arrow-batched pandas UDF (no per-row Python
+UDFs anywhere — input_hint mandate, BASELINE.json:16).  Each UDF is a
+thin vectorized wrapper over ``markdown_articles_tool_spark.core``, so
+the Spark pipeline and the sequential oracle share one semantic
+implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core import mdparse
+from ..core.linkflow import fixed_collision_filename
+from ..core.pathalgebra import PathConfig, get_document_img_path, get_real_path, image_local_url
+from ..core.wwwtools import filename_from_url, guess_mime_type
+
+LINK_STRUCT = StructType(
+    [
+        StructField('link', StringType()),
+        StructField('w', IntegerType()),
+        StructField('h', IntegerType()),
+    ]
+)
+
+EXTRACT_SCHEMA = ArrayType(LINK_STRUCT)
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_md_links(text: pd.Series) -> pd.Series:
+    """E1-E3: CommonMark-style image extraction + size-suffix parse
+    (SURVEY.md §2.2; transformers/md/transformer.py:47-83)."""
+    return text.map(
+        lambda t: [
+            {'link': l, 'w': w, 'h': h} for l, w, h in mdparse.extract_image_links(t or '')
+        ]
+    )
+
+
+@pandas_udf(EXTRACT_SCHEMA)
+def extract_html_links(text: pd.Series) -> pd.Series:
+    """E4: HTML <img src> extraction (transformers/html/transformer.py:14-31)."""
+    return text.map(
+        lambda t: [
+            {'link': l, 'w': w, 'h': h} for l, w, h in mdparse.extract_html_image_links(t or '')
+        ]
+    )
+
+
+@pandas_udf(StringType())
+def mime_type_of(download_url: pd.Series) -> pd.Series:
+    """P3 MIME gate input (frozen stdlib tables, image_downloader.py:124-131)."""
+    return download_url.map(lambda u: guess_mime_type(u) if u is not None else None)
+
+
+# sentinel: the reference raises KeyError on a missing content-type
+# header (www_tools.py:108) → the link becomes an 'error' row, which is
+# fatal unless skip_all_errors
+FILENAME_KEYERROR = '\x00\x00content-type-keyerror'
+
+
+@pandas_udf(StringType())
+def filename_udf(
+    is_remote: pd.Series, final_url: pd.Series, content_type: pd.Series, download_url: pd.Series
+) -> pd.Series:
+    """F7 + S5 naming: remote → filename_from_url (www_tools.py:80-116);
+    local → ``Path(download_path).name`` (image_downloader.py:277-282)."""
+    from pathlib import PurePosixPath
+
+    out = []
+    for rem, u, ct, du in zip(is_remote, final_url, content_type, download_url):
+        if rem:
+            if u is None:
+                out.append(None)
+                continue
+            try:
+                out.append(filename_from_url(u, ct))
+            except KeyError:
+                out.append(FILENAME_KEYERROR)
+        else:
+            out.append(PurePosixPath(du).name if du is not None else None)
+    return pd.Series(out, dtype=object)
+
+
+PATHS_STRUCT = StructType(
+    [
+        StructField('real_path', StringType()),
+        StructField('doc_path', StringType()),
+        StructField('doc_path_posix', StringType()),
+        StructField('doc_path_fixed', StringType()),
+        StructField('doc_path_fixed_posix', StringType()),
+    ]
+)
+
+
+def make_paths_udf(cfg: PathConfig):
+    """F11-F13 path algebra over (link, base_url, filename[, local_url_override]).
+
+    ``local_url_override`` carries the reference's `_fix_name_collision`
+    same-content quirk (image_downloader.py:327-331): when set, the
+    document path is computed with the full original URL instead of the
+    link's directory.
+    """
+
+    @pandas_udf(PATHS_STRUCT)
+    def paths_udf(
+        link: pd.Series, base_url: pd.Series, filename: pd.Series, local_url_override: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for lk, bu, fn, ov in zip(link, base_url, filename, local_url_override):
+            if fn is None or lk is None:
+                rows.append((None, None, None, None, None))
+                continue
+            local_url = ov if ov is not None else image_local_url(lk)
+            real_path = get_real_path(cfg, image_local_url(lk), fn, bu or '')
+            doc_path, doc_path_posix = get_document_img_path(cfg, local_url, fn)
+            fixed_fn = fixed_collision_filename(lk, fn)
+            fixed, fixed_posix = get_document_img_path(cfg, lk, fixed_fn)
+            rows.append((real_path, doc_path, doc_path_posix, fixed, fixed_posix))
+        return pd.DataFrame(
+            rows,
+            columns=['real_path', 'doc_path', 'doc_path_posix', 'doc_path_fixed', 'doc_path_fixed_posix'],
+        )
+
+    return paths_udf
+
+
+REC_STRUCT = StructType(
+    [
+        StructField('ord', IntegerType()),
+        StructField('src', StringType()),
+        StructField('status', StringType()),
+        StructField('dedup_path', StringType()),
+        StructField('doc_path', StringType()),
+        StructField('doc_path_posix', StringType()),
+        StructField('doc_path_fixed', StringType()),
+        StructField('doc_path_fixed_posix', StringType()),
+    ]
+)
+
+
+def make_rewrite_udf(strict_duplicate_assert: bool, skip_all_errors: bool):
+    """R1 + A1/A5: per-document fold + ordered cascading rewrite.
+
+    The fold itself is ``core.docfold``; this wrapper adapts the Spark
+    struct rows and enforces the two failure semantics: the duplicate-
+    URL assert (image_downloader.py:116) and fail-on-error when
+    ``skip_all_errors`` is unset (image_downloader.py:152-161).
+    """
+    from ..core import docfold
+
+    @pandas_udf(StringType())
+    def rewrite_udf(text: pd.Series, recs: pd.Series) -> pd.Series:
+        out = []
+        for t, rs in zip(text, recs):
+            if rs is None or len(rs) == 0:
+                out.append(t)
+                continue
+            records = []
+            seen_ok = set()
+            for r in sorted(rs, key=lambda r: r['ord']):
+                if strict_duplicate_assert and r['src'] in seen_ok:
+                    raise AssertionError(f'BUG: already downloaded image "{r["src"]}"...')
+                if not skip_all_errors and r['status'] == docfold.ERROR:
+                    raise OSError(f'image fetch failed for "{r["src"]}" (skip_all_errors unset)')
+                if r['status'] == docfold.OK:
+                    seen_ok.add(r['src'])
+                records.append(
+                    docfold.LinkRecord(
+                        ord=r['ord'],
+                        src=r['src'],
+                        status=r['status'],
+                        dedup_path=r['dedup_path'],
+                        doc_path=r['doc_path'],
+                        doc_path_posix=r['doc_path_posix'],
+                        doc_path_fixed=r['doc_path_fixed'],
+                        doc_path_fixed_posix=r['doc_path_fixed_posix'],
+                    )
+                )
+            out.append(docfold.fold_and_rewrite(t, records))
+        return pd.Series(out, dtype=object)
+
+    return rewrite_udf
+
+
+def is_url_col(c):
+    """P1: case-insensitive prefix test — http/ftp prefixes subsume
+    https/ftps (www_tools.py:21-30, quirk preserved)."""
+    lc = F.lower(c)
+    return lc.startswith('http') | lc.startswith('ftp')
+
+
+def base_url_col(url):
+    """F8: everything before the last '/' (www_tools.py:119-126)."""
+    return F.regexp_replace(url, r'/[^/]*$', '')

@@ -1,0 +1,395 @@
+"""The end-to-end document-transform plan (idiomatic Spark).
+
+Plan shape (SURVEY.md §3 "Rebuild lifecycle"):
+
+    pages ──extract UDF + posexplode──► links(url, ord, src, w, h)
+      │        │ column algebra: skip-list, resolve, MIME gate
+      │        ▼
+      │    distinct fetch_key ──salted mapInPandas fetch──► bytes
+      │        │ hash-join back (AQE picks broadcast vs shuffle)
+      │        ▼
+      │    sha2(content) ──groupBy(hash) min(first-wins)──► dedup map
+      │        │ join back; path algebra (column exprs / pandas UDF)
+      │        ▼
+      └──► groupBy(url) collect_list(struct) ──rewrite UDF──► text_out
+           images: first-write-wins per real_path ──► images_out
+
+Everything order-sensitive carries an explicit ``ord``/pass key — the
+optimizer is free to reorder execution because first-wins is expressed
+as ``min(struct(key, ...))`` over a canonical total order
+(pass, url, ord), never as ``first()`` (SURVEY.md §4 determinism).
+
+At 10^12-doc scale the only state that is not embarrassingly
+partitionable is the dedup winners map, which is a groupBy on the
+content hash (near-uniform keys) — no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import PurePosixPath
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .core.linkflow import DedupVariant, TransformConfig
+from .operators import udfs
+from .operators.fetch import Fetcher, fetch_distinct, local_store_fetcher, model_fetcher
+from .operators.udfs import base_url_col, is_url_col
+
+
+@dataclass
+class PassResult:
+    docs_out: DataFrame          # url, text_out
+    links_audit: DataFrame       # url, pass, ord, src, status, fetch_key, real_path
+    images_out: DataFrame        # real_path, content
+    dedup_registrations: Optional[DataFrame]  # sha_hex, key, filename (CONTENT_HASH only)
+
+
+@dataclass
+class PipelineResult:
+    docs_out: DataFrame          # url, text_out (after all passes)
+    links_audit: DataFrame
+    images_out: DataFrame        # real_path, content (first-write-wins overall)
+
+
+def _doc_prefix_strings(cfg: TransformConfig):
+    p = PurePosixPath(
+        cfg.paths.img_public_path if cfg.paths.img_public_path is not None else cfg.paths.img_dir_name
+    )
+    dedup_p = PurePosixPath(
+        cfg.paths.img_public_path if cfg.paths.img_public_path else cfg.paths.img_dir_name
+    )
+    return '/'.join(p.parts), str(p), str(dedup_p)
+
+
+def transform_pass(
+    docs: DataFrame,
+    cfg: TransformConfig,
+    fmt: str = 'md',
+    pass_idx: int = 0,
+    fetcher: Optional[Fetcher] = None,
+    local_assets: Optional[dict] = None,
+    dedup_state: Optional[DataFrame] = None,
+) -> PassResult:
+    """One transformer pass (E5 chaining runs these sequentially).
+
+    ``docs``: DataFrame(url string, text string).
+    """
+    fetcher = fetcher or model_fetcher
+    extract = udfs.extract_md_links if fmt == 'md' else udfs.extract_html_links
+
+    links = docs.select(
+        'url',
+        F.posexplode_outer(extract(F.col('text'))).alias('ord', 'lk'),
+    ).select(
+        'url',
+        'ord',
+        F.col('lk.link').alias('src'),
+        F.col('lk.w').alias('w'),
+        F.col('lk.h').alias('h'),
+    ).where(F.col('src').isNotNull())
+
+    if cfg.derive_base_url_from_doc_url:
+        links = links.withColumn('base_url', base_url_col(F.col('url')))
+    else:
+        links = links.withColumn('base_url', F.lit(cfg.paths.article_base_url))
+
+    # P2 skip list (broadcast-isin: exact-match set, image_downloader.py:262-269)
+    skip = F.col('src').isin(*cfg.skip_list) if cfg.skip_list else F.lit(False)
+
+    # F9 relative→absolute resolution (image_downloader.py:194-210)
+    article_dir = str(PurePosixPath(cfg.paths.article_file_path).parent)
+    links = links.withColumn(
+        'download_url',
+        F.when(is_url_col(F.col('src')), F.col('src'))
+        .when(F.col('base_url') != '', F.concat(F.col('base_url'), F.lit('/'), F.col('src')))
+        .otherwise(F.concat(F.lit(article_dir + '/'), F.col('src'))),
+    )
+
+    # P3 MIME gate
+    gate_ok = (
+        F.lit(True) if cfg.download_incorrect_mime_types else udfs.mime_type_of(F.col('download_url')).isNotNull()
+    )
+    links = links.withColumn(
+        'status0',
+        F.when(skip, F.lit('skipped')).when(~gate_ok, F.lit('mime_drop')),
+    )
+
+    # S4: fetch each distinct URL once cluster-wide
+    links = links.withColumn('is_remote', is_url_col(F.col('download_url')))
+    links = links.withColumn(
+        'fetch_key',
+        F.when(
+            F.col('status0').isNull(),
+            F.when(
+                F.col('is_remote'),
+                F.element_at(F.split(F.col('download_url'), r'\s+'), 1),
+            ).otherwise(F.col('download_url')),
+        ),
+    )
+    # the links table feeds two fetch scans plus the main join — persist
+    # the (still content-free, narrow) projection so the extraction UDF
+    # runs once per pass, not three times
+    links = links.persist()
+    remote_fetched = fetch_distinct(links.where('status0 IS NULL AND is_remote'), 'fetch_key', fetcher)
+    local_fetched = fetch_distinct(
+        links.where('status0 IS NULL AND NOT is_remote'),
+        'fetch_key',
+        local_store_fetcher(local_assets or {}),
+    )
+    fetched = remote_fetched.unionByName(local_fetched)
+    links = links.join(fetched, on='fetch_key', how='left')
+
+    # F7/S5 filename, F4 hashed rename, sha
+    links = links.withColumn(
+        'filename0',
+        udfs.filename_udf(F.col('is_remote'), F.col('final_url'), F.col('content_type'), F.col('download_url')),
+    )
+    links = links.withColumn('sha_hex', F.sha2(F.col('content'), 256))
+
+    links = links.withColumn(
+        'status',
+        F.when(F.col('status0').isNotNull(), F.col('status0'))
+        .when(F.col('content').isNull() | (F.col('fetch_status') >= 400), F.lit('error'))
+        .when(F.col('filename0') == udfs.FILENAME_KEYERROR, F.lit('error'))
+        .when(F.col('filename0').isNull(), F.lit('no_filename'))
+        .otherwise(F.lit('ok')),
+    )
+
+    filename = F.col('filename0')
+    if cfg.replace_image_names:
+        # f'{sha256}.{ext}' — missing ext renders literal None
+        # (image_downloader.py:333-341)
+        ext = F.when(
+            F.col('filename0').contains('.'), F.substring_index(F.col('filename0'), '.', -1)
+        ).otherwise(F.lit('None'))
+        filename = F.concat(F.col('sha_hex'), F.lit('.'), ext)
+    links = links.withColumn('filename1', F.when(F.col('status') == 'ok', filename))
+
+    links = links.withColumn('need_rescaling', F.col('w').isNotNull() | F.col('h').isNotNull())
+
+    # canonical total order for cluster-wide first-wins (SURVEY.md §2.5)
+    links = links.withColumn(
+        'pass_key', F.struct(F.lit(pass_idx).alias('p'), F.col('url').alias('u'), F.col('ord').alias('o'))
+    )
+
+    doc_prefix_join, doc_prefix_posix, dedup_prefix = _doc_prefix_strings(cfg)
+
+    # A2 content-hash dedup / A3 name-hash dedup
+    links = links.withColumn('dedup_path', F.lit(None).cast('string'))
+    dedup_registrations = None
+    if cfg.deduplication == DedupVariant.CONTENT_HASH:
+        elig = (F.col('status') == 'ok') & ~F.col('need_rescaling')
+        cand = links.where(elig).select(
+            'sha_hex', F.col('pass_key').alias('key'), F.col('filename1').alias('filename')
+        )
+        if dedup_state is not None:
+            cand = dedup_state.unionByName(cand)
+        winners = cand.groupBy('sha_hex').agg(
+            F.min(F.struct(F.col('key'), F.col('filename'))).alias('win')
+        ).select(
+            'sha_hex', F.col('win.key').alias('win_key'), F.col('win.filename').alias('win_filename')
+        )
+        # winners has one row per distinct image content — small enough
+        # to broadcast at test scale, but at 10^12 docs it is not: let
+        # AQE pick broadcast vs shuffled hash join by actual size
+        links = links.join(winners, on='sha_hex', how='left')
+        is_dup = elig & (F.col('pass_key') != F.col('win_key'))
+        links = links.withColumn(
+            'dedup_path',
+            F.when(is_dup, F.concat(F.lit(dedup_prefix + '/'), F.col('win_filename'))),
+        ).drop('win_key', 'win_filename')
+        dedup_registrations = winners.selectExpr(
+            'sha_hex', 'win_key as key', 'win_filename as filename'
+        )
+    elif cfg.deduplication == DedupVariant.NAMES_HASHING:
+        # A3: rename to '{sha256}{suffix}' (name_hash_dedup.py:13-17)
+        suffix = F.regexp_extract(F.col('filename1'), r'^.+(\.[^.]+)$', 1)
+        links = links.withColumn(
+            'filename1',
+            F.when(
+                (F.col('status') == 'ok') & ~F.col('need_rescaling'),
+                F.concat(F.col('sha_hex'), suffix),
+            ).otherwise(F.col('filename1')),
+        )
+
+    links = _attach_paths(links, cfg, doc_prefix_join, doc_prefix_posix)
+
+    # ------------------------------------------------------------- sinks
+    rec = F.struct(
+        F.col('ord'),
+        F.col('src'),
+        F.col('status'),
+        F.col('dedup_path'),
+        F.col('doc_path'),
+        F.col('doc_path_posix'),
+        F.col('doc_path_fixed'),
+        F.col('doc_path_fixed_posix'),
+    ).alias('rec')
+    per_doc = links.groupBy('url').agg(F.collect_list(rec).alias('recs'))
+
+    rewrite = udfs.make_rewrite_udf(cfg.strict_duplicate_assert, cfg.skip_all_errors)
+    docs_out = (
+        docs.join(per_doc, on='url', how='left')
+        .withColumn('text_out', rewrite(F.col('text'), F.col('recs')))
+        .select('url', 'text_out')
+    )
+
+    writable = links.where((F.col('status') == 'ok') & F.col('dedup_path').isNull())
+    stored = F.when(F.col('need_rescaling'), _resized_bytes()).otherwise(F.col('content'))
+    images_out = (
+        writable.withColumn('stored', stored)
+        .groupBy('real_path')
+        .agg(F.min_by(F.col('stored'), F.col('pass_key')).alias('content'))
+    )
+
+    links_audit = links.select(
+        'url',
+        F.lit(pass_idx).alias('pass'),
+        'ord',
+        'src',
+        'status',
+        'fetch_key',
+        'real_path',
+        'sha_hex',
+    )
+
+    return PassResult(docs_out, links_audit, images_out, dedup_registrations)
+
+
+def _resized_bytes():
+    """Modeled resize-on-write (F14): deterministic tagged bytes, the
+    same model as ``oracle._model_resize`` (PIL is unavailable here; the
+    real PIL re-encode slots in behind the same column contract)."""
+    return F.concat(
+        F.encode(
+            F.concat(
+                F.lit('RESIZED:'),
+                F.coalesce(F.col('w'), F.lit(-1)).cast('string'),
+                F.lit('x'),
+                F.coalesce(F.col('h'), F.lit(-1)).cast('string'),
+                F.lit(':'),
+            ),
+            'utf-8',
+        ),
+        F.col('content'),
+    )
+
+
+def _attach_paths(links: DataFrame, cfg: TransformConfig, doc_prefix_join: str, doc_prefix_posix: str) -> DataFrame:
+    """F11-F13 + A5/A6 path computation.
+
+    Fast path: without ``save_hierarchy`` every path is a pure Column
+    concat (whole-stage codegen); the pandas UDF only runs in hierarchy
+    mode.  ``_fix_name_collision`` (A6, image_downloader.py:314-331)
+    applies only under ``replace_image_names``.
+    """
+    ok = F.col('status') == 'ok'
+    fn = F.col('filename1')
+
+    if cfg.replace_image_names:
+        # pre-compute the write path to find collisions; dedup'd links
+        # return before the write in the reference
+        # (content_hash_dedup.py:38) so they never join the window
+        links = _with_real_path(links, cfg, fn)
+        elig = (ok & F.col('dedup_path').isNull() & F.col('real_path').isNotNull()).cast('int')
+        links = links.withColumn('_elig', elig)
+        w_path = Window.partitionBy('real_path', '_elig').orderBy('pass_key')
+        # the byte-compare is raw fetched content vs the bytes WRITTEN
+        # by the first link at this path — i.e. its resized form when it
+        # rescales (image_downloader.py:296-301, 317-319)
+        stored0 = F.when(F.col('need_rescaling'), _resized_bytes()).otherwise(F.col('content'))
+        links = (
+            links.withColumn('_rn', F.row_number().over(w_path))
+            .withColumn('_first_stored', F.first(stored0).over(w_path))
+        )
+        same = F.col('content') == F.col('_first_stored')
+        collide = (F.col('_elig') == 1) & (F.col('_rn') > 1)
+        # same-content collision: reference passes the full URL as
+        # image_local_url (bug kept, image_downloader.py:327-331)
+        links = links.withColumn('local_url_override', F.when(collide & same, F.col('src')))
+        # differing-content collision: numbered prefix 0,1,2,... in
+        # canonical order (image_downloader.py:320-326)
+        links = links.withColumn('_renaming', (collide & ~same).cast('int'))
+        w_diff = Window.partitionBy('real_path', '_renaming').orderBy('pass_key')
+        diff_idx = F.row_number().over(w_diff) - 1
+        links = links.withColumn(
+            'filename1',
+            F.when(F.col('_renaming') == 1, F.concat(diff_idx.cast('string'), fn)).otherwise(fn),
+        ).drop('real_path', '_rn', '_first_stored', '_elig', '_renaming')
+    else:
+        links = links.withColumn('local_url_override', F.lit(None).cast('string'))
+
+    fn = F.col('filename1')
+    if not cfg.paths.save_hierarchy:
+        images_dir = str(cfg.paths.images_dir())
+        links = links.withColumn('real_path', F.when(ok, F.concat(F.lit(images_dir + '/'), fn)))
+        links = links.withColumn('doc_path', F.when(ok, F.concat(F.lit(doc_prefix_join + '/'), fn)))
+        links = links.withColumn('doc_path_posix', F.when(ok, F.concat(F.lit(doc_prefix_posix + '/'), fn)))
+        fixed_fn = F.concat(F.sha2(F.encode(F.col('src'), 'utf-8'), 256), F.lit('_'), fn)
+        links = links.withColumn(
+            'doc_path_fixed', F.when(ok, F.concat(F.lit(doc_prefix_join + '/'), fixed_fn))
+        ).withColumn(
+            'doc_path_fixed_posix', F.when(ok, F.concat(F.lit(doc_prefix_posix + '/'), fixed_fn))
+        )
+    else:
+        paths_udf = udfs.make_paths_udf(cfg.paths)
+        links = links.withColumn(
+            '_paths',
+            F.when(ok, paths_udf(F.col('src'), F.col('base_url'), fn, F.col('local_url_override'))),
+        )
+        for c in ('real_path', 'doc_path', 'doc_path_posix', 'doc_path_fixed', 'doc_path_fixed_posix'):
+            links = links.withColumn(c, F.col(f'_paths.{c}'))
+        links = links.drop('_paths')
+    return links
+
+
+def _with_real_path(links: DataFrame, cfg: TransformConfig, fn) -> DataFrame:
+    ok = F.col('status') == 'ok'
+    if not cfg.paths.save_hierarchy:
+        images_dir = str(cfg.paths.images_dir())
+        return links.withColumn('real_path', F.when(ok, F.concat(F.lit(images_dir + '/'), fn)))
+    paths_udf = udfs.make_paths_udf(cfg.paths)
+    return links.withColumn(
+        'real_path',
+        F.when(ok, paths_udf(F.col('src'), F.col('base_url'), fn, F.lit(None).cast('string')).real_path),
+    )
+
+
+def transform_documents(
+    docs: DataFrame,
+    cfg: TransformConfig,
+    fetcher: Optional[Fetcher] = None,
+    local_assets: Optional[dict] = None,
+) -> PipelineResult:
+    """Full transform: sequential transformer chain (E5,
+    article_processor.py:129-149), shared dedup state across passes."""
+    cur = docs.select('url', 'text')
+    audits: List[DataFrame] = []
+    images: List[DataFrame] = []
+    dedup_state = None
+    for i, fmt in enumerate(cfg.input_formats):
+        res = transform_pass(
+            cur, cfg, fmt=fmt, pass_idx=i, fetcher=fetcher, local_assets=local_assets, dedup_state=dedup_state
+        )
+        audits.append(res.links_audit)
+        images.append(res.images_out.withColumn('_pass', F.lit(i)))
+        if res.dedup_registrations is not None:
+            dedup_state = res.dedup_registrations
+        cur = res.docs_out.withColumnRenamed('text_out', 'text')
+        if i < len(cfg.input_formats) - 1:
+            # materialization barrier between passes: pass N+1 extracts
+            # from pass N's rewritten text (article_processor.py:147)
+            cur = cur.localCheckpoint(eager=False)
+
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    imgs = images[0]
+    for im in images[1:]:
+        imgs = imgs.unionByName(im)
+    # first write wins across passes (skip-if-exists, image_downloader.py:287-289)
+    images_out = imgs.groupBy('real_path').agg(F.min_by('content', '_pass').alias('content'))
+
+    return PipelineResult(cur.withColumnRenamed('text', 'text_out'), audit, images_out)

@@ -1,0 +1,38 @@
+"""SparkSession factory with the configs this engine assumes.
+
+Tuned for correctness-critical determinism plus the scale posture from
+SURVEY.md §4: AQE on (skew joins, coalesced shuffle), Arrow on (every
+row-level op here is a pandas UDF), and shuffle partitions sized for
+the local harness (on a real cluster these come from spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = 'markdown-articles-tool-spark',
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    master = master or os.environ.get('SPARK_GRAFT_MASTER', f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get('SPARK_GRAFT_SHUFFLE_PARTITIONS', '32'))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+        .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '10000')
+        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
+        .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g'))
+        .config('spark.ui.enabled', 'false')
+        .config('spark.sql.session.timeZone', 'UTC')
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,113 @@
+"""Differential tests: the distributed pipeline must produce
+byte-identical ``text_out`` per url and the same images inventory as
+the sequential reference-semantics oracle, across configurations
+(SURVEY.md §5 rebuild test plan, point b)."""
+
+import pytest
+
+from markdown_articles_tool_spark import corpus
+from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+from markdown_articles_tool_spark.core.pathalgebra import PathConfig
+from markdown_articles_tool_spark.oracle import ReferenceOracle
+from markdown_articles_tool_spark.pipeline import transform_documents
+
+N_DOCS = 36  # covers all six document classes, six docs each
+
+
+def _spark_docs(spark, n=N_DOCS):
+    return spark.createDataFrame(corpus.docs_list(n), 'url string, text string')
+
+
+def _run_both(spark, cfg, n=N_DOCS):
+    res = transform_documents(_spark_docs(spark, n), cfg)
+    got_texts = {r['url']: r['text_out'] for r in res.docs_out.collect()}
+    got_images = {r['real_path']: bytes(r['content']) for r in res.images_out.collect()}
+    want = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(corpus.docs_list(n))
+    return got_texts, got_images, want
+
+
+def _assert_match(got_texts, got_images, want):
+    assert set(got_texts) == set(want.texts)
+    mismatches = [u for u in want.texts if got_texts[u] != want.texts[u]]
+    assert not mismatches, (
+        f'{len(mismatches)} text mismatches; first: {mismatches[0]}\n'
+        f'GOT:\n{got_texts[mismatches[0]]!r}\nWANT:\n{want.texts[mismatches[0]]!r}'
+    )
+    assert set(got_images) == set(want.images)
+    img_mis = [p for p in want.images if got_images[p] != want.images[p]]
+    assert not img_mis, f'image byte mismatches: {img_mis[:5]}'
+
+
+@pytest.mark.parametrize(
+    'name,cfg',
+    [
+        ('plain', TransformConfig(skip_all_errors=True)),
+        (
+            'content_dedup',
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH),
+        ),
+        (
+            'name_hash',
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.NAMES_HASHING),
+        ),
+        ('replace_names', TransformConfig(skip_all_errors=True, replace_image_names=True)),
+        (
+            'replace_names_dedup',
+            TransformConfig(
+                skip_all_errors=True,
+                replace_image_names=True,
+                deduplication=DedupVariant.CONTENT_HASH,
+            ),
+        ),
+        (
+            'download_incorrect_mime',
+            TransformConfig(skip_all_errors=True, download_incorrect_mime_types=True),
+        ),
+        (
+            'hierarchy',
+            TransformConfig(
+                skip_all_errors=True,
+                paths=PathConfig(save_hierarchy=True),
+                deduplication=DedupVariant.CONTENT_HASH,
+            ),
+        ),
+        (
+            'public_path',
+            TransformConfig(
+                skip_all_errors=True,
+                paths=PathConfig(img_public_path='/static/img'),
+                deduplication=DedupVariant.CONTENT_HASH,
+            ),
+        ),
+        (
+            'skip_list',
+            TransformConfig(
+                skip_all_errors=True,
+                skip_list=frozenset({'https://www.google.com/', './pic/pic1_50.png'}),
+            ),
+        ),
+        (
+            'md_html_chain',
+            TransformConfig(skip_all_errors=True, input_formats=('md', 'html')),
+        ),
+    ],
+)
+def test_differential(spark, name, cfg):
+    got_texts, got_images, want = _run_both(spark, cfg)
+    _assert_match(got_texts, got_images, want)
+
+
+def test_no_image_docs_untouched(spark):
+    cfg = TransformConfig(skip_all_errors=True)
+    got_texts, _, _ = _run_both(spark, cfg)
+    for i in range(N_DOCS):
+        if i % 6 == 5:  # noimg class
+            assert got_texts[corpus.doc_url(i)] == corpus.doc_text(i)
+
+
+def test_determinism_two_runs(spark):
+    cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+    a = _run_both(spark, cfg)
+    b = _run_both(spark, cfg)
+    assert a[0] == b[0]
+    assert a[1] == b[1]
