@@ -1,38 +1,429 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship corpus transform; ``queries()``
+exposes one entry per implemented operator family (SURVEY.md §2 plus
+the training-data operators); ``oracle_sql()`` gives the DuckDB twin
+for every SQL-expressible query.  Column names and types are aligned
+on both sides (aggregates go through exact DECIMAL arithmetic before a
+final DOUBLE cast so Spark's partial aggregation and DuckDB's
+sequential fold produce bit-identical values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f'{sf_dir}/{name}.parquet')
+
+
+def _corpus_n(sf_dir: str) -> int:
+    if 'sf0.1' in sf_dir:
+        return 3000
+    if 'sf0.01' in sf_dir:
+        return 600
+    return 120
+
+
+def _corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from markdown_articles_tool_spark.corpus import pages_df
+
+    return pages_df(spark, _corpus_n(sf_dir)).select('url', 'text')
+
+
+def _transform_cfg():
+    from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+
+    return TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+
+
+# --------------------------------------------------------------- queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction/dedup/rewrite pipeline on the synthetic
+    CC-style corpus (sf0.001 scale)."""
+    from markdown_articles_tool_spark.pipeline import transform_documents
+
+    docs = _corpus_docs(spark, '/root/testdata/sf0.001')
+    res = transform_documents(docs, _transform_cfg())
+    return res.docs_out.select('url', F.sha2(F.encode('text_out', 'utf-8'), 256).alias('text_sha'))
+
+
+def q_transform_corpus(spark, sf_dir):
+    from markdown_articles_tool_spark.pipeline import transform_documents
+
+    res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
+    return res.docs_out.select('url', F.sha2(F.encode('text_out', 'utf-8'), 256).alias('text_sha'))
+
+
+def q_extract_links_corpus(spark, sf_dir):
+    from markdown_articles_tool_spark.operators.udfs import extract_md_links
+
+    docs = _corpus_docs(spark, sf_dir)
+    return docs.select(
+        'url', F.posexplode(extract_md_links(F.col('text'))).alias('ord', 'lk')
+    ).select('url', 'ord', F.col('lk.link').alias('link'), F.col('lk.w').alias('w'), F.col('lk.h').alias('h'))
+
+
+def q_corpus_images(spark, sf_dir):
+    from markdown_articles_tool_spark.pipeline import transform_documents
+
+    res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
+    return res.images_out.select('real_path', F.sha2('content', 256).alias('content_sha'))
+
+
+def q_media_metadata(spark, sf_dir):
+    from markdown_articles_tool_spark.pipeline import transform_documents
+    from markdown_articles_tool_spark.training.multimodal import extract_media_metadata
+
+    res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
+    return extract_media_metadata(res.images_out)
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, 'lineitem')
+    dec = lambda c: F.col(c).cast('decimal(18,2)')  # noqa: E731
+    return (
+        li.groupBy('l_returnflag', 'l_linestatus')
+        .agg(
+            F.sum(dec('l_quantity')).cast('double').alias('sum_qty'),
+            F.sum(dec('l_extendedprice')).cast('double').alias('sum_base_price'),
+            F.sum(
+                (dec('l_extendedprice') * (F.lit(1).cast('decimal(18,2)') - dec('l_discount'))).cast(
+                    'decimal(38,6)'
+                )
+            )
+            .cast('double')
+            .alias('sum_disc_price'),
+            F.count(F.lit(1)).alias('count_order'),
+        )
+        .orderBy('l_returnflag', 'l_linestatus')
+    )
+
+
+def q_revenue_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, 'lineitem')
+    orders = _t(spark, sf_dir, 'orders')
+    cust = _t(spark, sf_dir, 'customer')
+    dec = lambda c: F.col(c).cast('decimal(18,2)')  # noqa: E731
+    rev = (
+        li.join(orders, li['l_orderkey'] == orders['o_orderkey'])
+        .join(F.broadcast(cust), orders['o_custkey'] == cust['c_custkey'])
+        .where(F.col('c_mktsegment') == 'BUILDING')
+        .groupBy('l_orderkey')
+        .agg(
+            F.sum(
+                (dec('l_extendedprice') * (F.lit(1).cast('decimal(18,2)') - dec('l_discount'))).cast(
+                    'decimal(38,6)'
+                )
+            )
+            .cast('double')
+            .alias('revenue')
+        )
+    )
+    return rev.orderBy(F.col('revenue').desc(), 'l_orderkey').limit(10)
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    gap = F.unix_timestamp('ts') - F.unix_timestamp(F.lag('ts').over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn('new_sess', new_sess)
+    return (
+        sess.groupBy('user_id')
+        .agg(F.sum('new_sess').cast('bigint').alias('n_sessions'), F.count(F.lit(1)).alias('n_events'))
+        .orderBy('user_id')
+    )
+
+
+def q_url_algebra(spark, sf_dir):
+    """Reference string algebra (F1/F8/P1) over synthesized URLs."""
+    from markdown_articles_tool_spark.core.wwwtools import PROTOCOL_PREFIX_JAVA_REGEX
+
+    docs = _t(spark, sf_dir, 'documents')
+    url = F.concat(
+        F.lit('https://img'),
+        (F.col('doc_id') % 20).cast('string'),
+        F.lit('.example/dir'),
+        (F.col('doc_id') % 7).cast('string'),
+        F.lit('/pic'),
+        F.col('doc_id').cast('string'),
+        F.lit('.png'),
+    )
+    lc = F.lower(url)
+    return docs.select(
+        'doc_id',
+        url.alias('url'),
+        (lc.startswith('http') | lc.startswith('ftp')).alias('is_url'),
+        F.regexp_replace(url, PROTOCOL_PREFIX_JAVA_REGEX, '').alias('no_proto'),
+        F.regexp_replace(url, r'/[^/]*$', '').alias('base_url'),
+        F.substring_index(url, '.', -1).alias('ext'),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    from markdown_articles_tool_spark.training.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, 'documents')).orderBy('keep_id')
+
+
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    from markdown_articles_tool_spark.training.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, 'documents')
+    pairs = docs.select(F.col('doc_id').alias('a_id'), (F.col('doc_id') + 1).alias('b_id'))
+    return jaccard_pairs(docs, pairs, n=3).orderBy('a_id')
+
+
+def q_minhash_candidates(spark, sf_dir):
+    from markdown_articles_tool_spark.training.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, 'documents')).orderBy('a_id', 'b_id')
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from markdown_articles_tool_spark.training.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_t(spark, sf_dir, 'documents')).orderBy('a_id', 'b_id')
+
+
+def q_token_stats(spark, sf_dir):
+    from markdown_articles_tool_spark.training.textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+
+
+def q_langid(spark, sf_dir):
+    from markdown_articles_tool_spark.training.textstats import langid
+
+    return langid(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+
+
+def q_fingerprint(spark, sf_dir):
+    from markdown_articles_tool_spark.training.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from markdown_articles_tool_spark.training.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, 'embeddings')
+    queries = emb.where(F.col('vec_id') % 50 == 0).select(F.col('vec_id').alias('query_id'))
+    return cosine_topk(emb, queries, k=5).orderBy('query_id', 'rank')
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from markdown_articles_tool_spark.training.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, 'embeddings')
+    queries = emb.where(F.col('vec_id') % 50 == 0).select(F.col('vec_id').alias('query_id'))
+    return lsh_cosine_topk(emb, queries, k=5).select('query_id', 'neighbor_id', 'rank').orderBy(
+        'query_id', 'rank'
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from markdown_articles_tool_spark.training.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, 'embeddings'), threshold=0.9).select(
+        'a_id', 'b_id'
+    ).orderBy('a_id', 'b_id')
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        'transform_corpus': q_transform_corpus,
+        'extract_links_corpus': q_extract_links_corpus,
+        'corpus_images': q_corpus_images,
+        'media_metadata': q_media_metadata,
+        'pricing_summary': q_pricing_summary,
+        'revenue_topk': q_revenue_topk,
+        'events_sessionize': q_events_sessionize,
+        'url_algebra': q_url_algebra,
+        'exact_dedup': q_exact_dedup,
+        'ngram_jaccard_adjacent': q_ngram_jaccard_adjacent,
+        'minhash_candidates': q_minhash_candidates,
+        'simhash_neardup': q_simhash_neardup,
+        'token_stats': q_token_stats,
+        'langid': q_langid,
+        'fingerprint': q_fingerprint,
+        'ann_cosine_topk': q_ann_cosine_topk,
+        'ann_lsh_topk': q_ann_lsh_topk,
+        'embedding_neardup': q_embedding_neardup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_BPE_RE = r'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'
+_PUNCT_RE = r'[^A-Za-z0-9_\s]'
+_EN = r'(?i)\b(the|and|of|to|is|was|that|with)\b'
+_DE = r'(?i)\b(der|die|das|und|ist|nicht|mit|ein)\b'
+_RU = r'[а-яА-ЯёЁ]'
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'pricing_summary': """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        'revenue_topk': """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        'events_sessionize': """
+            WITH s AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        'url_algebra': r"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://img' || CAST(doc_id % 20 AS VARCHAR) || '.example/dir'
+                       || CAST(doc_id % 7 AS VARCHAR) || '/pic' || CAST(doc_id AS VARCHAR)
+                       || '.png' AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   (lower(url) LIKE 'http%' OR lower(url) LIKE 'ftp%') AS is_url,
+                   regexp_replace(url,
+                     '^\s*(?:(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?//|[a-zA-Z][a-zA-Z0-9+.\-]*:)', '') AS no_proto,
+                   regexp_replace(url, '/[^/]*$', '') AS base_url,
+                   CASE WHEN url LIKE '%.%'
+                        THEN regexp_extract(url, '\.([^.]*)$', 1) ELSE url END AS ext
+            FROM u
+        """,
+        'exact_dedup': """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keep_id
+        """,
+        'ngram_jaccard_adjacent': r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words) - 1),
+                                                i -> array_to_string(words[i:i+2], ' '))
+                            ELSE CAST([] AS VARCHAR[]) END) AS grams
+              FROM w
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   ROUND(CASE WHEN len(list_distinct(a.grams || b.grams)) > 0
+                         THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                              / len(list_distinct(a.grams || b.grams))
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            ORDER BY a_id
+        """,
+        'token_stats': f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INT) AS n_bpe_tokens,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text)
+                         ELSE 0.0 END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                         THEN CAST(len(regexp_extract_all(text, '{_EN}')) AS DOUBLE)
+                              / (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                         ELSE 0.0 END, 6) AS stopword_ratio,
+                   ROUND(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                         THEN CAST(length(text) AS DOUBLE)
+                              / (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   ROUND(
+                     least(CAST((CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+                         THEN CAST(len(regexp_extract_all(text, '{_PUNCT_RE}')) AS DOUBLE) / length(text)
+                         ELSE 0.0 END) * 5) * 0.3
+                     + least((CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+                         THEN CAST(len(regexp_extract_all(text, '{_EN}')) AS DOUBLE)
+                              / (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                         ELSE 0.0 END) * 3, 1.0) * 0.3,
+                   6) AS quality_score
+            FROM documents ORDER BY doc_id
+        """,
+        'langid': f"""
+            WITH h AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{_DE}')) AS hits_de,
+                     len(regexp_extract_all(text, '{_EN}')) AS hits_en,
+                     len(regexp_extract_all(text, '{_RU}')) AS hits_ru
+              FROM documents
+            )
+            SELECT doc_id, CAST(hits_de AS INT) AS hits_de, CAST(hits_en AS INT) AS hits_en,
+                   CAST(hits_ru AS INT) AS hits_ru,
+                   CASE WHEN hits_de = 0 AND hits_en = 0 AND hits_ru = 0 THEN 'unknown'
+                        WHEN hits_de >= hits_en AND hits_de >= hits_ru THEN 'de'
+                        WHEN hits_en >= hits_ru THEN 'en'
+                        ELSE 'ru' END AS lang_pred
+            FROM h ORDER BY doc_id
+        """,
+        'fingerprint': r"""
+            SELECT doc_id,
+                   sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        'ann_cosine_topk': """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ROUND(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])), 9) AS sim
+              FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+              FROM s)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        'embedding_neardup': """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 9) >= 0.9
+            ORDER BY a_id, b_id
+        """,
+    }

@@ -1,0 +1,207 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding near-dup.
+
+Scale notes (the whole point of these shapes):
+
+* exact dedup is one hash-aggregate — no driver state;
+* MinHash+LSH turns the quadratic all-pairs problem into
+  ``b`` equi-joins on (band, band_hash) — each a plain shuffle join
+  that AQE can skew-split; candidate verification happens only inside
+  buckets;
+* SimHash gives a 64-bit sketch per doc; near-dup = low Hamming
+  distance within band buckets;
+* all sketches are computed in one Arrow-batched pandas UDF pass over
+  the text (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import List
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# -------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Exact duplicate groups: first-wins keeper + copy count."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(F.min(id_col).alias('keep_id'), F.count(F.lit(1)).alias('n_copies'))
+        .select('keep_id', 'n_copies')
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-grams as an array column (pure Column algebra)."""
+    words = F.split(F.trim(text_col), r'\s+')
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(' ', F.slice(words, i, n))),
+    ).otherwise(F.array().cast('array<string>'))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard(a_grams, b_grams):
+    inter = F.size(F.array_intersect(a_grams, b_grams))
+    union = F.size(F.array_union(a_grams, b_grams))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+    """n-gram Jaccard for explicit (a_id, b_id) pairs."""
+    g = df.select(F.col('doc_id'), word_ngrams(F.col('text'), n).alias('grams'))
+    a = g.selectExpr('doc_id as a_id', 'grams as a_grams')
+    b = g.selectExpr('doc_id as b_id', 'grams as b_grams')
+    return (
+        pairs.join(a, 'a_id').join(b, 'b_id')
+        .select('a_id', 'b_id', F.round(ngram_jaccard(F.col('a_grams'), F.col('b_grams')), 6).alias('jaccard'))
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], 'big')
+
+
+def _minhash_params(k: int) -> List[tuple]:
+    # deterministic affine permutation params seeded by index
+    return [
+        (1 + _hash64(f'mh-a-{i}') % (_MERSENNE - 1), _hash64(f'mh-b-{i}') % _MERSENNE)
+        for i in range(k)
+    ]
+
+
+def make_minhash_udf(k: int = 64, shingle: int = 5):
+    """Char-``shingle``-gram MinHash signature (k permutations) as an
+    Arrow-batched pandas UDF."""
+    params = _minhash_params(k)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_udf(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.array([p[0] for p in params], dtype=np.uint64)
+        b = np.array([p[1] for p in params], dtype=np.uint64)
+
+        def sig(t: str):
+            t = ' '.join((t or '').lower().split())
+            if len(t) < shingle:
+                shingles = {t} if t else set()
+            else:
+                shingles = {t[i:i + shingle] for i in range(len(t) - shingle + 1)}
+            if not shingles:
+                return [0] * k
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), 'big') for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # (a*h + b) mod mersenne61, vectorized over shingles x perms
+            m = (hs[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            return [int(x) for x in m.min(axis=0).astype(np.int64)]
+
+        return text.map(sig)
+
+    return minhash_udf
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: equal band-slice → bucket.
+
+    Returns (a_id, b_id, n_bands_matched) with a_id < b_id.
+    """
+    rows_per_band = k // bands
+    sigs = df.select(F.col(id_col).alias('doc_id'), make_minhash_udf(k, shingle)(F.col(text_col)).alias('sig'))
+    banded = sigs.select(
+        'doc_id',
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(',', F.slice(F.col('sig'), b * rows_per_band + 1, rows_per_band))),
+            )
+        ).alias('band', 'band_hash'),
+    )
+    left = banded.selectExpr('doc_id as a_id', 'band', 'band_hash')
+    right = banded.selectExpr('doc_id as b_id', 'band', 'band_hash')
+    return (
+        left.join(right, on=['band', 'band_hash'])
+        .where(F.col('a_id') < F.col('b_id'))
+        .groupBy('a_id', 'b_id')
+        .agg(F.count(F.lit(1)).alias('n_bands_matched'))
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard ≥ threshold."""
+    cand = minhash_lsh_candidates(df, **kw).select('a_id', 'b_id')
+    verified = jaccard_pairs(df, cand, n=3)
+    return verified.where(F.col('jaccard') >= threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+
+def make_simhash_udf():
+    """64-bit SimHash over word unigrams (blake2b word hashes)."""
+
+    @pandas_udf(LongType())
+    def simhash_udf(text: pd.Series) -> pd.Series:
+        def sh(t: str) -> int:
+            acc = [0] * 64
+            for w in (t or '').lower().split():
+                h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'big')
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= 1 << bit
+            return _struct.unpack('<q', _struct.pack('<Q', v))[0]
+
+        return text.map(sh)
+
+    return simhash_udf
+
+
+def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash: band the 64-bit sketch into 4×16-bit keys
+    (any pair within Hamming ≤ 3 shares at least one band), bucket-join,
+    verify Hamming distance."""
+    sigs = df.select('doc_id', make_simhash_udf()(F.col('text')).alias('simhash'))
+    banded = sigs.select(
+        'doc_id',
+        'simhash',
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col('simhash'), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+        ).alias('band', 'band_key'),
+    )
+    l = banded.selectExpr('doc_id as a_id', 'simhash as a_sh', 'band', 'band_key')
+    r = banded.selectExpr('doc_id as b_id', 'simhash as b_sh', 'band', 'band_key')
+    pairs = (
+        l.join(r, on=['band', 'band_key'])
+        .where(F.col('a_id') < F.col('b_id'))
+        .select('a_id', 'b_id', F.bit_count(F.col('a_sh').bitwiseXOR(F.col('b_sh'))).alias('hamming'))
+        .distinct()
+    )
+    return pairs.where(F.col('hamming') <= max_hamming)

@@ -1,0 +1,93 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure Column algebra (whole-stage codegen; zero Python in the hot
+path) — each has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish token regex: word runs OR single non-space punctuation
+BPE_TOKEN_RE = r'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'
+PUNCT_RE = r'[^A-Za-z0-9_\s]'
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    'en': r'(?i)\b(the|and|of|to|is|was|that|with)\b',
+    'de': r'(?i)\b(der|die|das|und|ist|nicht|mit|ein)\b',
+    'ru': r'[а-яА-ЯёЁ]',
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    t = F.trim(text)
+    return F.when(t == '', F.lit(0)).otherwise(F.size(F.split(t, r'\s+')))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def quality_features(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality features plus a composite score in [0, 1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(t, F.lit(LANG_MARKERS['en']))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5) * 0.3
+        + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        'doc_id',
+        n_chars.alias('n_chars'),
+        n_tokens.alias('n_tokens'),
+        bpe_token_count(t).alias('n_bpe_tokens'),
+        F.round(punct_ratio, 6).alias('punct_ratio'),
+        F.round(stop_ratio, 6).alias('stopword_ratio'),
+        F.round(mean_word_len, 6).alias('mean_word_len'),
+        F.round(score, 6).alias('quality_score'),
+    )
+
+
+def langid(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Marker-count language heuristic: argmax over per-language
+    marker hits, deterministic tie-break by language code."""
+    t = F.col(text_col)
+    hits = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+    # struct-max trick: max(struct(hits, negated-lang-rank)) — ties break
+    # toward the lexicographically smallest language code
+    pairs = F.array(
+        *[F.struct(hits[lang].alias('hits'), F.lit(_lang_rank(lang)).alias('rank')) for lang in sorted(LANG_MARKERS)]
+    )
+    best = F.array_max(pairs)
+    codes = sorted(LANG_MARKERS)
+    lang_expr = F.when(best['hits'] == 0, F.lit('unknown'))
+    for i, code in enumerate(codes):
+        lang_expr = lang_expr.when(best['rank'] == _lang_rank(code), F.lit(code))
+    return df.select(
+        'doc_id',
+        *[hits[lang].alias(f'hits_{lang}') for lang in codes],
+        lang_expr.alias('lang_pred'),
+    )
+
+
+def _lang_rank(lang: str) -> int:
+    # higher rank wins ties in array_max(struct) — invert lexicographic
+    return {c: i for i, c in enumerate(sorted(LANG_MARKERS, reverse=True))}[lang]
+
+
+def fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Whitespace-normalized sha256 document fingerprint (stable across
+    formatting-only edits)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r'\s+', ' ')
+    return df.select('doc_id', F.sha2(norm, 256).alias('fingerprint'))
