@@ -99,23 +99,51 @@ Zeile {i}. The quick brown fox jumps over the lazy dog.
 _CLASS_TPLS = ('important', 'article', 'duplicates', 'mime', 'refstyle', 'noimg')
 
 
-def doc_text(i: int) -> str:
+_FILLER_SENTENCES = (
+    'The quick brown fox jumps over the lazy dog near the riverbank.',
+    'Zwischen den Zeilen verbirgt sich oft die eigentliche Geschichte.',
+    'Данные конвейеры обрабатывают веб-страницы в промышленных масштабах.',
+    'Distributed systems trade latency for throughput in subtle ways.',
+    'A `code span ![not](an-image.png)` must never be extracted here.',
+    'Columnar formats let scans skip everything the query never reads.',
+)
+
+
+def doc_text(i: int, fat: bool = False) -> str:
     cls = _CLASS_TPLS[i % len(_CLASS_TPLS)]
     h0, h1 = host_for(i, 0), host_for(i, 1)
     if cls == 'important':
-        return _IMPORTANT_TPL.format(i=i, h0=h0, h1=h1)
-    if cls == 'article':
-        return _ARTICLE_TPL.format(i=i)
-    if cls == 'duplicates':
+        base = _IMPORTANT_TPL.format(i=i, h0=h0, h1=h1)
+    elif cls == 'article':
+        base = _ARTICLE_TPL.format(i=i)
+    elif cls == 'duplicates':
         # every 4th duplicate-doc shares its group with a neighbor →
         # cross-document identical bytes
         g = i if i % 4 else i - 6
-        return _DUPLICATES_TPL.format(i=i, g=g, h0=h0, h1=h1)
-    if cls == 'mime':
-        return _MIME_TPL.format(i=i, h0=h0, h1=h1)
-    if cls == 'refstyle':
-        return _REFSTYLE_TPL.format(i=i, h0=h0, h1=h1)
-    return _NOIMG_TPL.format(i=i)
+        base = _DUPLICATES_TPL.format(i=i, g=g, h0=h0, h1=h1)
+    elif cls == 'mime':
+        base = _MIME_TPL.format(i=i, h0=h0, h1=h1)
+    elif cls == 'refstyle':
+        base = _REFSTYLE_TPL.format(i=i, h0=h0, h1=h1)
+    else:
+        base = _NOIMG_TPL.format(i=i)
+    if not fat:
+        return base
+    # "fat" variant: realistic CC-page weight (several KB of prose,
+    # ~10 extra image links, fenced-code noise) for benchmarking —
+    # correctness fixtures use the small variant
+    parts = [base]
+    n_par = 14 + _h(f'fat:{i}') % 10
+    for p in range(n_par):
+        s0 = _FILLER_SENTENCES[(i + p) % len(_FILLER_SENTENCES)]
+        s1 = _FILLER_SENTENCES[(i * 7 + p * 3) % len(_FILLER_SENTENCES)]
+        parts.append(f'## Section {p} of article {i}\n\n{s0} {s1} '
+                     f'See [ref {p}](https://example.org/r/{i}/{p}) for context. {s0}')
+        if p % 2 == 0:
+            parts.append(f'![fig {p}](https://{host_for(i, 20 + p)}/fat/{i % 50000}/img{p}.png)')
+        if p % 5 == 4:
+            parts.append(f'```\nsample(code_block={p}) ![never](x{p}.png)\n```')
+    return '\n\n'.join(parts) + '\n'
 
 
 def doc_html(i: int) -> bytes:
@@ -131,10 +159,10 @@ def doc_html(i: int) -> bytes:
     ).encode()
 
 
-def doc_row(i: int) -> Tuple[str, datetime, bytes, str, str]:
+def doc_row(i: int, fat: bool = False) -> Tuple[str, datetime, bytes, str, str]:
     """One row of the input_hint table (url, warc_ts, html, text, lang)."""
     ts = datetime.fromtimestamp(1_600_000_000 + i, tz=timezone.utc)
-    return (doc_url(i), ts, doc_html(i), doc_text(i), _LANGS[i % 3])
+    return (doc_url(i), ts, doc_html(i), doc_text(i, fat), _LANGS[i % 3])
 
 
 # ---------------------------------------------------------------- fetch model
@@ -191,13 +219,13 @@ def pages_pdf_iter(indices) -> Iterator[Tuple[str, datetime, bytes, str, str]]:
 PAGES_SCHEMA = 'url string, warc_ts timestamp, html binary, text string, lang string'
 
 
-def pages_df(spark, n: int, partitions: int | None = None):
+def pages_df(spark, n: int, partitions: int | None = None, fat: bool = False):
     """Distributed generation of the pages table (input_hint shape)."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            rows = [doc_row(int(i)) for i in pdf['id']]
+            rows = [doc_row(int(i), fat) for i in pdf['id']]
             yield pd.DataFrame(rows, columns=['url', 'warc_ts', 'html', 'text', 'lang'])
 
     rng = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)

@@ -110,9 +110,26 @@ def live_fetcher(timeout: float | None = None) -> Fetcher:
     return fetch
 
 
-def fetch_distinct(links: DataFrame, key_col: str, fetcher: Fetcher, parallelism: int | None = None) -> DataFrame:
-    """distinct keys → salted repartition → Arrow-batched fetch."""
+def fetch_distinct(
+    links: DataFrame,
+    key_col: str,
+    fetcher: Fetcher,
+    parallelism: int | None = None,
+    salt_by_host: bool = False,
+) -> DataFrame:
+    """distinct keys → Arrow-batched fetch.
+
+    ``distinct()`` already hash-partitions by the full key, which is a
+    uniform spread — hot hosts do NOT skew it, so no second shuffle is
+    needed for the modeled fetcher.  ``salt_by_host=True`` adds an
+    explicit ``repartition(P, xxhash64(host), salt)`` for live-HTTP
+    politeness runs, where co-locating (then rate-limiting) a host's
+    URLs matters and the salt caps any one host's partition share.
+    """
     keys = links.select(F.col(key_col).alias('fetch_key')).where(F.col('fetch_key').isNotNull()).distinct()
-    p = parallelism or links.sparkSession.sparkContext.defaultParallelism
-    keys = keys.repartition(p, F.xxhash64('fetch_key'))
+    if salt_by_host:
+        p = parallelism or links.sparkSession.sparkContext.defaultParallelism
+        host = F.regexp_extract('fetch_key', r'^[a-zA-Z]+://([^/]+)', 1)
+        salt = F.pmod(F.xxhash64('fetch_key'), F.lit(4))
+        keys = keys.repartition(p, F.xxhash64(host), salt)
     return keys.mapInPandas(fetcher, schema=FETCH_SCHEMA)

@@ -128,17 +128,21 @@ def transform_pass(
             ).otherwise(F.col('download_url')),
         ),
     )
-    # the links table feeds two fetch scans plus the main join — persist
-    # the (still content-free, narrow) projection so the extraction UDF
-    # runs once per pass, not three times
+    # the links table feeds the fetch scan(s) plus the main join —
+    # persist the (still content-free, narrow) projection so the
+    # extraction UDF runs once per pass, not per consumer
     links = links.persist()
-    remote_fetched = fetch_distinct(links.where('status0 IS NULL AND is_remote'), 'fetch_key', fetcher)
-    local_fetched = fetch_distinct(
-        links.where('status0 IS NULL AND NOT is_remote'),
-        'fetch_key',
-        local_store_fetcher(local_assets or {}),
-    )
-    fetched = remote_fetched.unionByName(local_fetched)
+    fetched = fetch_distinct(links.where('status0 IS NULL AND is_remote'), 'fetch_key', fetcher)
+    # the local-file branch only exists for local articles (base_url '')
+    # — when base URLs derive from doc URLs every resolved link is
+    # remote, so don't pay for an empty mapInPandas stage + union
+    if not cfg.derive_base_url_from_doc_url and not cfg.paths.article_base_url:
+        local_fetched = fetch_distinct(
+            links.where('status0 IS NULL AND NOT is_remote'),
+            'fetch_key',
+            local_store_fetcher(local_assets or {}),
+        )
+        fetched = fetched.unionByName(local_fetched)
     links = links.join(fetched, on='fetch_key', how='left')
 
     # F7/S5 filename, F4 hashed rename, sha

@@ -41,13 +41,22 @@ def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
 
 
 def word_ngrams(text_col, n: int = 3):
-    """Distinct word n-grams as an array column (pure Column algebra)."""
+    """Distinct word n-grams as an array column (pure Column algebra).
+
+    Built from ``n`` shifted slices folded with zip_with — O(len) per
+    document.  (A per-position ``slice`` call is O(len) each, turning
+    gram generation quadratic on long documents.)
+    """
     words = F.split(F.trim(text_col), r'\s+')
     k = F.size(words) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(' ', F.slice(words, i, n))),
-    ).otherwise(F.array().cast('array<string>'))
+
+    def shifted(i):
+        return F.slice(words, i + 1, k)
+
+    grams = shifted(0)
+    for i in range(1, n):
+        grams = F.zip_with(grams, shifted(i), lambda a, b: F.concat(a, F.lit(' '), b))
+    grams = F.when(k > 0, grams).otherwise(F.array().cast('array<string>'))
     return F.array_distinct(grams)
 
 

@@ -111,3 +111,17 @@ def test_determinism_two_runs(spark):
     b = _run_both(spark, cfg)
     assert a[0] == b[0]
     assert a[1] == b[1]
+
+
+def test_differential_fat_docs(spark):
+    """The bench corpus variant (fat docs) is byte-identical too."""
+    cfg = TransformConfig(
+        skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH
+    )
+    docs = [(corpus.doc_url(i), corpus.doc_text(i, fat=True)) for i in range(12)]
+    res = transform_documents(
+        spark.createDataFrame(docs, 'url string, text string'), cfg
+    )
+    got = {r['url']: r['text_out'] for r in res.docs_out.collect()}
+    want = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(docs)
+    assert got == want.texts
