@@ -1,0 +1,75 @@
+"""S3 skip-list parsing, F10 templates, S9 naming, streaming ingest."""
+
+import os
+
+from markdown_articles_tool_spark import corpus
+from markdown_articles_tool_spark.config import article_out_path, parse_skip_list, resolve_templates
+
+
+class TestSkipListParsing:
+    def test_comma_list(self):
+        assert parse_skip_list('a, b,c') == frozenset({'a', 'b', 'c'})
+
+    def test_empty(self):
+        assert parse_skip_list('') == frozenset()
+        assert parse_skip_list(None) == frozenset()
+
+    def test_at_file(self, tmp_path):
+        f = tmp_path / 'skip.txt'
+        f.write_text('http://x\nhttp://y\n')
+        assert parse_skip_list(f'@{f}') == frozenset({'http://x', 'http://y'})
+
+    def test_list(self):
+        assert parse_skip_list(['u1', 'u2']) == frozenset({'u1', 'u2'})
+
+
+class TestTemplates:
+    def test_substitution(self):
+        out = resolve_templates(
+            'images_$date/$article_name', '$base_url/img',
+            article_name='doc1', article_base_url='https://h/a',
+            run_time='120000', run_date='20260816',
+        )
+        assert out['img_dir_name'] == 'images_20260816/doc1'
+        assert out['img_public_path'] == 'h/a/img'
+
+    def test_empty_public(self):
+        out = resolve_templates('images', None, 'a', '', '0', '0')
+        assert out['img_public_path'] is None
+
+    def test_dt(self):
+        out = resolve_templates('$dt', None, 'a', '', '120000', '20260816')
+        assert out['img_dir_name'] == '20260816_120000'
+
+
+class TestOutPath:
+    def test_plain(self):
+        assert article_out_path('/out', 'doc1', 'md') == '/out/doc1.md'
+
+    def test_self_overwrite_timestamped(self):
+        assert article_out_path('/out', 'doc1', 'md', exists=True, run_dt='20260816_120000') == (
+            '/out/doc1_20260816_120000.md'
+        )
+
+
+class TestStreamingIngest:
+    def test_available_now_batch(self, spark, tmp_path):
+        from markdown_articles_tool_spark.streaming.incremental import start_incremental_transform
+
+        in_dir = str(tmp_path / 'in')
+        out_dir = str(tmp_path / 'out')
+        pdf = [corpus.doc_row(i) for i in range(12)]
+        spark.createDataFrame(pdf, corpus.PAGES_SCHEMA).write.mode('overwrite').parquet(in_dir)
+
+        q = start_incremental_transform(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        docs = spark.read.parquet(os.path.join(out_dir, 'docs'))
+        assert docs.count() == 12
+        assert set(docs.columns) == {'url', 'text_out'}
+
+        # second start with new files only processes the delta
+        pdf2 = [corpus.doc_row(i) for i in range(12, 18)]
+        spark.createDataFrame(pdf2, corpus.PAGES_SCHEMA).write.mode('append').parquet(in_dir)
+        q2 = start_incremental_transform(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        assert spark.read.parquet(os.path.join(out_dir, 'docs')).count() == 18

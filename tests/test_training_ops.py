@@ -1,0 +1,157 @@
+"""Training-data operator semantics: planted near-duplicates must be
+found; LSH must agree with brute force on easy cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from markdown_articles_tool_spark.training import dedup, similarity, textstats
+from markdown_articles_tool_spark.training.multimodal import decode_images, extract_media_metadata
+
+BASE = (
+    'the quick brown fox jumps over the lazy dog while distributed systems '
+    'trade latency for throughput in subtle and occasionally surprising ways '
+    'columnar formats let scans skip data the query never touches '
+)
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    rows = []
+    for i in range(40):
+        text = BASE + f'unique trailer {i} ' + ('extra padding words here ' * (i % 3))
+        rows.append((i, text))
+    # planted near-dups: 100 and 101 differ by one word; 102 identical to 100
+    rows.append((100, BASE * 3 + 'tail marker alpha'))
+    rows.append((101, BASE * 3 + 'tail marker beta'))
+    rows.append((102, BASE * 3 + 'tail marker alpha'))
+    # exact duplicate pair
+    rows.append((200, 'completely different short text about nothing'))
+    rows.append((201, 'completely different short text about nothing'))
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+class TestExactDedup:
+    def test_groups(self, spark, docs):
+        res = {r['keep_id']: r['n_copies'] for r in dedup.exact_dedup(docs).collect()}
+        assert res[200] == 2
+        assert res[100] == 2  # 100 == 102
+        assert res[0] == 1
+
+
+class TestMinhash:
+    def test_planted_neardups_found(self, spark, docs):
+        pairs = {
+            (r['a_id'], r['b_id'])
+            for r in dedup.minhash_near_duplicates(docs, threshold=0.8).collect()
+        }
+        assert (100, 101) in pairs
+        assert (100, 102) in pairs
+        # unrelated docs must not pair with the 200-group
+        assert not any(a == 200 or b == 200 for a, b in pairs if (a, b) != (200, 201))
+
+    def test_signature_deterministic(self, spark, docs):
+        udf = dedup.make_minhash_udf(16, 5)
+        a = docs.select(udf(F.col('text')).alias('s')).collect()
+        b = docs.select(udf(F.col('text')).alias('s')).collect()
+        assert [r['s'] for r in a] == [r['s'] for r in b]
+
+
+class TestSimhash:
+    def test_identical_docs_zero_hamming(self, spark, docs):
+        res = {
+            (r['a_id'], r['b_id']): r['hamming']
+            for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+        }
+        assert res.get((100, 102)) == 0
+        assert res.get((200, 201)) == 0
+
+
+class TestLshRecall:
+    def test_lsh_matches_brute_force_top1(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # 10 well-separated cluster centers, 10 points each
+        centers = rng.standard_normal((10, 32)) * 5
+        rows = []
+        vid = 0
+        for c in range(10):
+            for _ in range(10):
+                v = centers[c] + rng.standard_normal(32) * 0.05
+                rows.append((vid, [float(x) for x in v], c))
+                vid += 1
+        emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>, label int')
+        queries = emb.where(F.col('vec_id') % 10 == 0).select(F.col('vec_id').alias('query_id'))
+        brute = {
+            (r['query_id'], r['rank']): r['neighbor_id']
+            for r in similarity.cosine_topk(emb, queries, k=1).collect()
+        }
+        lsh = {
+            (r['query_id'], r['rank']): r['neighbor_id']
+            for r in similarity.lsh_cosine_topk(emb, queries, k=1, n_planes=32, dim=32).collect()
+        }
+        hits = sum(1 for k in brute if lsh.get(k) == brute[k])
+        assert hits >= 8  # ≥80% top-1 recall on well-separated clusters
+
+    def test_neardup_pairs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+        pairs = {(r['a_id'], r['b_id']) for r in similarity.embedding_near_duplicates(emb, 0.95).collect()}
+        assert pairs == {(0, 1)}
+
+
+class TestTextStats:
+    def test_counts(self, spark):
+        df = spark.createDataFrame([(1, 'Hello, world! The cat.'), (2, '')], 'doc_id long, text string')
+        rows = {r['doc_id']: r for r in textstats.quality_features(df).collect()}
+        assert rows[1]['n_tokens'] == 4
+        assert rows[2]['n_tokens'] == 0
+        assert rows[1]['n_bpe_tokens'] == 7  # Hello , world ! The cat .
+        assert rows[2]['quality_score'] == pytest.approx(0.3)  # only punct term
+
+    def test_langid(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 'the cat and the dog was with that'),
+                (2, 'der Hund ist nicht mit der Katze'),
+                (3, 'привет это русский текст'),
+                (4, '12345 67890'),
+            ],
+            'doc_id long, text string',
+        )
+        rows = {r['doc_id']: r['lang_pred'] for r in textstats.langid(df).collect()}
+        assert rows == {1: 'en', 2: 'de', 3: 'ru', 4: 'unknown'}
+
+    def test_fingerprint_whitespace_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(1, 'a  b\t c'), (2, 'a b c'), (3, 'a b d')], 'doc_id long, text string'
+        )
+        rows = {r['doc_id']: r['fingerprint'] for r in textstats.fingerprint(df).collect()}
+        assert rows[1] == rows[2]
+        assert rows[1] != rows[3]
+
+
+class TestMultimodal:
+    def test_metadata_and_decode(self, spark):
+        rows = [
+            ('a.png', bytearray(b'\x89PNG\r\n' + b'x' * 100)),
+            ('b.jpg', bytearray(b'\xff\xd8\xff\xe0' + b'y' * 50)),
+            ('c.bin', bytearray(b'??data')),
+            ('d.res', bytearray(b'RESIZED:10x20:zz')),
+        ]
+        imgs = spark.createDataFrame(rows, 'real_path string, content binary')
+        meta = {r['path']: r for r in extract_media_metadata(imgs).collect()}
+        assert meta['a.png']['magic'] == 'png' and meta['a.png']['media_type'] == 'image'
+        assert meta['b.jpg']['magic'] == 'jpeg'
+        assert meta['c.bin']['magic'] == 'unknown'
+        assert meta['d.res']['magic'] == 'resized-model'
+        assert meta['a.png']['size_bytes'] == 106
+
+        dec = {r['path']: r for r in decode_images(imgs).collect()}
+        # PIL absent here → deterministic stub dims; plumbing is what we assert
+        assert all(r['decoder'] in ('stub', 'pil') for r in dec.values())
+        assert dec['a.png']['width'] is not None
