@@ -143,7 +143,10 @@ def transform_pass(
             local_store_fetcher(local_assets or {}),
         )
         fetched = fetched.unionByName(local_fetched)
-    links = links.join(fetched, on='fetch_key', how='left')
+    # the fetched side carries image BYTES — it must never be broadcast
+    # (at corpus scale it is GBs-to-TBs); shuffle-hash join, building
+    # the per-partition hash table from the (smaller) distinct-URL side
+    links = links.join(fetched.hint('shuffle_hash'), on='fetch_key', how='left')
 
     # F7/S5 filename, F4 hashed rename, sha
     links = links.withColumn(

@@ -30,8 +30,11 @@ def get_spark(
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
         .config('spark.sql.execution.arrow.maxRecordsPerBatch', '10000')
-        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
-        .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g'))
+        # keep the broadcast threshold at Spark's default 10MB: the
+        # pipeline carries binary image content in several tables and an
+        # over-eager broadcast of one of those kills the driver
+        .config('spark.sql.autoBroadcastJoinThreshold', str(10 * 1024 * 1024))
+        .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'))
         .config('spark.ui.enabled', 'false')
         .config('spark.sql.session.timeZone', 'UTC')
     )
