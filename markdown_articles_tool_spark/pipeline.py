@@ -143,22 +143,27 @@ def transform_pass(
             local_store_fetcher(local_assets or {}),
         )
         fetched = fetched.unionByName(local_fetched)
-    # the fetched side carries image BYTES — it must never be broadcast
-    # (at corpus scale it is GBs-to-TBs); shuffle-hash join, building
-    # the per-partition hash table from the (smaller) distinct-URL side
-    links = links.join(fetched.hint('shuffle_hash'), on='fetch_key', how='left')
+    # Image BYTES never ride through the link joins: the content hash
+    # is computed once at the fetch stage, and only the narrow metadata
+    # (key, final_url, content_type, status, sha) joins onto links.
+    # The bytes themselves are joined exactly once, at the images sink,
+    # for the rows that actually get written.  At corpus scale this is
+    # the difference between shuffling TBs of binaries through every
+    # stage and shuffling 100-byte rows.
+    fetched = fetched.withColumn('sha_hex', F.sha2(F.col('content'), 256)).persist()
+    fetched_meta = fetched.select('fetch_key', 'final_url', 'content_type', 'fetch_status', 'sha_hex')
+    links = links.join(fetched_meta, on='fetch_key', how='left')
 
-    # F7/S5 filename, F4 hashed rename, sha
+    # F7/S5 filename, F4 hashed rename
     links = links.withColumn(
         'filename0',
         udfs.filename_udf(F.col('is_remote'), F.col('final_url'), F.col('content_type'), F.col('download_url')),
     )
-    links = links.withColumn('sha_hex', F.sha2(F.col('content'), 256))
 
     links = links.withColumn(
         'status',
         F.when(F.col('status0').isNotNull(), F.col('status0'))
-        .when(F.col('content').isNull() | (F.col('fetch_status') >= 400), F.lit('error'))
+        .when(F.col('sha_hex').isNull() | (F.col('fetch_status') >= 400), F.lit('error'))
         .when(F.col('filename0') == udfs.FILENAME_KEYERROR, F.lit('error'))
         .when(F.col('filename0').isNull(), F.lit('no_filename'))
         .otherwise(F.lit('ok')),
@@ -243,12 +248,28 @@ def transform_pass(
         .select('url', 'text_out')
     )
 
+    # images sink: pick the winning (first) writer per path on narrow
+    # columns, then join the bytes in once — one content shuffle total
     writable = links.where((F.col('status') == 'ok') & F.col('dedup_path').isNull())
-    stored = F.when(F.col('need_rescaling'), _resized_bytes()).otherwise(F.col('content'))
+    winners_by_path = writable.groupBy('real_path').agg(
+        F.min_by(
+            F.struct(F.col('fetch_key'), F.col('w'), F.col('h'), F.col('need_rescaling')),
+            F.col('pass_key'),
+        ).alias('win')
+    )
     images_out = (
-        writable.withColumn('stored', stored)
-        .groupBy('real_path')
-        .agg(F.min_by(F.col('stored'), F.col('pass_key')).alias('content'))
+        winners_by_path.select(
+            'real_path',
+            F.col('win.fetch_key').alias('fetch_key'),
+            F.col('win.w').alias('w'),
+            F.col('win.h').alias('h'),
+            F.col('win.need_rescaling').alias('need_rescaling'),
+        )
+        .join(fetched.select('fetch_key', 'content'), on='fetch_key', how='inner')
+        .select(
+            'real_path',
+            F.when(F.col('need_rescaling'), _resized_bytes()).otherwise(F.col('content')).alias('content'),
+        )
     )
 
     links_audit = links.select(
@@ -305,13 +326,15 @@ def _attach_paths(links: DataFrame, cfg: TransformConfig, doc_prefix_join: str, 
         w_path = Window.partitionBy('real_path', '_elig').orderBy('pass_key')
         # the byte-compare is raw fetched content vs the bytes WRITTEN
         # by the first link at this path — i.e. its resized form when it
-        # rescales (image_downloader.py:296-301, 317-319)
-        stored0 = F.when(F.col('need_rescaling'), _resized_bytes()).otherwise(F.col('content'))
+        # rescales (image_downloader.py:296-301, 317-319).  Expressed on
+        # hashes: equal iff the first writer did NOT resize and the
+        # content hashes match (sha256 stands in for byte equality, F15)
         links = (
             links.withColumn('_rn', F.row_number().over(w_path))
-            .withColumn('_first_stored', F.first(stored0).over(w_path))
+            .withColumn('_first_sha', F.first('sha_hex').over(w_path))
+            .withColumn('_first_resc', F.first('need_rescaling').over(w_path))
         )
-        same = F.col('content') == F.col('_first_stored')
+        same = ~F.col('_first_resc') & (F.col('sha_hex') == F.col('_first_sha'))
         collide = (F.col('_elig') == 1) & (F.col('_rn') > 1)
         # same-content collision: reference passes the full URL as
         # image_local_url (bug kept, image_downloader.py:327-331)
@@ -324,7 +347,7 @@ def _attach_paths(links: DataFrame, cfg: TransformConfig, doc_prefix_join: str, 
         links = links.withColumn(
             'filename1',
             F.when(F.col('_renaming') == 1, F.concat(diff_idx.cast('string'), fn)).otherwise(fn),
-        ).drop('real_path', '_rn', '_first_stored', '_elig', '_renaming')
+        ).drop('real_path', '_rn', '_first_sha', '_first_resc', '_elig', '_renaming')
     else:
         links = links.withColumn('local_url_override', F.lit(None).cast('string'))
 
