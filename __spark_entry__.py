@@ -231,7 +231,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     from markdown_articles_tool_spark.training.similarity import embedding_near_duplicates
 
-    return embedding_near_duplicates(_t(spark, sf_dir, 'embeddings'), threshold=0.9).select(
+    return embedding_near_duplicates(_t(spark, sf_dir, 'embeddings'), threshold=0.45).select(
         'a_id', 'b_id'
     ).orderBy('a_id', 'b_id')
 
@@ -423,7 +423,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 9) >= 0.9
+                                               CAST(b.embedding AS DOUBLE[])), 9) >= 0.45
             ORDER BY a_id, b_id
         """,
     }
