@@ -111,6 +111,7 @@ def run_with_resume(
         with open(os.path.join(out_dir, 'commits', f'shard={k}'), 'w') as f:
             f.write('ok')
         run.append(k)
+        res.cleanup()  # drop this shard's cached intermediates
 
     return RunReport(n_shards, run, skipped)
 

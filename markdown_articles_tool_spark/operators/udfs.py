@@ -62,8 +62,53 @@ def extract_html_links(text: pd.Series) -> pd.Series:
 
 @pandas_udf(StringType())
 def mime_type_of(download_url: pd.Series) -> pd.Series:
-    """P3 MIME gate input (frozen stdlib tables, image_downloader.py:124-131)."""
+    """P3 MIME gate input (frozen stdlib tables, image_downloader.py:124-131).
+
+    Python-exact version; the pipeline hot path uses ``mime_gate_col``
+    (pure Column algebra, whole-stage codegen) instead.
+    """
     return download_url.map(lambda u: guess_mime_type(u) if u is not None else None)
+
+
+def _mime_gate_maps():
+    """Precomputed gate tables replicating stdlib guess_type resolution
+    (see core.wwwtools.guess_mime_type): direct ext → pass, suffix-map
+    exts (.tgz → .tar.gz …) resolved ahead of time, and encoding exts
+    (.gz/.bz2/…) that defer to the previous extension."""
+    from ..mime_frozen import ENCODINGS_MAP, SUFFIX_MAP, TYPES_MAP
+
+    direct = sorted({e.lower() for e in TYPES_MAP})
+    suffix_pass = sorted(
+        e.lower() for e in SUFFIX_MAP if guess_mime_type('x' + SUFFIX_MAP[e]) is not None
+    )
+    encodings = sorted(ENCODINGS_MAP)  # case-sensitive in the stdlib
+    return direct, suffix_pass, encodings
+
+
+def mime_gate_col(download_url):
+    """P3 as pure Column algebra: true iff ``guess_mime_type(url)`` is
+    non-null.  Exact except for multi-level compression chains beyond
+    one encoding suffix (e.g. ``a.tgz.gz``), which no image URL has.
+    """
+    direct, suffix_pass, encodings = _mime_gate_maps()
+    stripped = F.regexp_replace(download_url, '^[^/:]+:', '')
+    bn = F.substring_index(stripped, '/', -1)
+    bn2 = F.regexp_replace(bn, r'^\.+', '')
+    has_ext = bn2.contains('.')
+    last = F.concat(F.lit('.'), F.substring_index(bn2, '.', -1))
+    base_wo_last = F.regexp_extract(bn2, r'^(.*)\.[^.]*$', 1)
+    prev = F.when(
+        base_wo_last.contains('.'),
+        F.concat(F.lit('.'), F.substring_index(base_wo_last, '.', -1)),
+    ).otherwise(F.lit(''))
+    ll = F.lower(last)
+    return (
+        F.when(F.lower(download_url).startswith('data:'), download_url.contains(','))
+        .when(~has_ext, F.lit(False))
+        .when(ll.isin(*suffix_pass) if suffix_pass else F.lit(False), F.lit(True))
+        .when(last.isin(*encodings), F.lower(prev).isin(*direct))
+        .otherwise(ll.isin(*direct))
+    )
 
 
 # sentinel: the reference raises KeyError on a missing content-type

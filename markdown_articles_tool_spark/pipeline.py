@@ -44,6 +44,7 @@ class PassResult:
     links_audit: DataFrame       # url, pass, ord, src, status, fetch_key, real_path
     images_out: DataFrame        # real_path, content
     dedup_registrations: Optional[DataFrame]  # sha_hex, key, filename (CONTENT_HASH only)
+    cached: tuple = ()           # persisted intermediates; unpersist via cleanup()
 
 
 @dataclass
@@ -51,6 +52,14 @@ class PipelineResult:
     docs_out: DataFrame          # url, text_out (after all passes)
     links_audit: DataFrame
     images_out: DataFrame        # real_path, content (first-write-wins overall)
+    cached: tuple = ()           # persisted intermediates across passes
+
+    def cleanup(self) -> None:
+        """Unpersist intermediates after sinks are written — keeps
+        long-lived sessions (sharded resume loops) from accumulating
+        dead cache blocks."""
+        for df in self.cached:
+            df.unpersist()
 
 
 def _doc_prefix_strings(cfg: TransformConfig):
@@ -107,9 +116,10 @@ def transform_pass(
         .otherwise(F.concat(F.lit(article_dir + '/'), F.col('src'))),
     )
 
-    # P3 MIME gate
+    # P3 MIME gate — pure Column algebra (JVM-side); the python-exact
+    # twin udfs.mime_type_of backs the oracle and the parity test
     gate_ok = (
-        F.lit(True) if cfg.download_incorrect_mime_types else udfs.mime_type_of(F.col('download_url')).isNotNull()
+        F.lit(True) if cfg.download_incorrect_mime_types else udfs.mime_gate_col(F.col('download_url'))
     )
     links = links.withColumn(
         'status0',
@@ -283,7 +293,7 @@ def transform_pass(
         'sha_hex',
     )
 
-    return PassResult(docs_out, links_audit, images_out, dedup_registrations)
+    return PassResult(docs_out, links_audit, images_out, dedup_registrations, cached=(links, fetched))
 
 
 def _resized_bytes():
@@ -398,6 +408,7 @@ def transform_documents(
     cur = docs.select('url', 'text')
     audits: List[DataFrame] = []
     images: List[DataFrame] = []
+    cached: List[DataFrame] = []
     dedup_state = None
     for i, fmt in enumerate(cfg.input_formats):
         res = transform_pass(
@@ -405,6 +416,7 @@ def transform_documents(
         )
         audits.append(res.links_audit)
         images.append(res.images_out.withColumn('_pass', F.lit(i)))
+        cached.extend(res.cached)
         if res.dedup_registrations is not None:
             dedup_state = res.dedup_registrations
         cur = res.docs_out.withColumnRenamed('text_out', 'text')
@@ -422,4 +434,4 @@ def transform_documents(
     # first write wins across passes (skip-if-exists, image_downloader.py:287-289)
     images_out = imgs.groupBy('real_path').agg(F.min_by('content', '_pass').alias('content'))
 
-    return PipelineResult(cur.withColumnRenamed('text', 'text_out'), audit, images_out)
+    return PipelineResult(cur.withColumnRenamed('text', 'text_out'), audit, images_out, cached=tuple(cached))

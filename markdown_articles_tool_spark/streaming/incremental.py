@@ -44,6 +44,7 @@ def start_incremental_transform(
         res = transform_documents(batch_df, cfg)
         res.docs_out.write.mode('append').parquet(os.path.join(output_dir, 'docs'))
         res.images_out.write.mode('append').parquet(os.path.join(output_dir, 'images'))
+        res.cleanup()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         'checkpointLocation', os.path.join(output_dir, '_checkpoint')

@@ -125,3 +125,30 @@ def test_differential_fat_docs(spark):
     got = {r['url']: r['text_out'] for r in res.docs_out.collect()}
     want = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(docs)
     assert got == want.texts
+
+
+def test_mime_gate_col_parity(spark):
+    """Column-algebra MIME gate ≡ python guess_mime_type over an
+    adversarial URL corpus."""
+    from pyspark.sql import functions as F
+    from markdown_articles_tool_spark.core.wwwtools import guess_mime_type
+    from markdown_articles_tool_spark.operators.udfs import mime_gate_col
+
+    urls = [
+        'https://h/a.png', 'https://h/a.PNG', 'https://h/a.jpe', 'https://h/a',
+        'https://h/u/1?s=80&v=4', 'https://www.google.com/', './pic/x.png',
+        'pic/x.jpeg', 'https://h/x.tar.gz', 'https://h/x.svgz', 'https://h/x.tgz',
+        'https://h/x.gz', 'https://h/x.png.gz', 'https://h/x.PNG.gz',
+        'https://h/.hidden', 'https://h/.hidden.png', 'https://h/a.b.c.gif',
+        'data:image/png;base64,xxx', 'data:broken', 'https://h/dir.d/x',
+        'https://h/trailing.', 'a b.png', 'https://h/q?x=.png',
+        'https://cubox.pro/c/filters:no_upscale()?u=x.jpg%3Fs%3D1',
+        'https://h/x.Z', 'https://h/x.png.Z', 'ftp://h/y.gif', 'x',
+    ]
+    urls += [f'https://h/f{i}.{ext}' for i, ext in enumerate(
+        ['png', 'jpg', 'jpeg', 'gif', 'bmp', 'webp', 'svg', 'ico', 'tif', 'txt', 'html', 'zzz'])]
+    df = spark.createDataFrame([(u,) for u in urls], 'u string')
+    got = {r['u']: r['g'] for r in df.select('u', mime_gate_col(F.col('u')).alias('g')).collect()}
+    for u in urls:
+        want = guess_mime_type(u) is not None
+        assert got[u] == want, f'{u}: col={got[u]} py={want}'
