@@ -50,13 +50,19 @@ class LinkRecord:
     # normal path candidates (both renderings, see pathalgebra)
     doc_path: Optional[str] = None          # '/'.join(parts)
     doc_path_posix: Optional[str] = None    # str(Path)
-    # candidates after sha256(url)_ filename repair (_fix_paths)
-    doc_path_fixed: Optional[str] = None
-    doc_path_fixed_posix: Optional[str] = None
+    # final filename — only needed to lazily derive the collision-repair
+    # path (sha256(src)_filename), which almost never fires
+    filename: Optional[str] = None
 
 
-def fold_mapping(records: Sequence[LinkRecord]) -> List[Tuple[str, str]]:
-    """Insertion-ordered ``src -> dst`` replacement pairs for one doc."""
+def fold_mapping(records: Sequence[LinkRecord], path_cfg=None) -> List[Tuple[str, str]]:
+    """Insertion-ordered ``src -> dst`` replacement pairs for one doc.
+
+    ``path_cfg`` (a pathalgebra.PathConfig) is needed only to derive the
+    ``_fix_paths`` repair path on a collision — computed lazily because
+    collisions only ever fire against content-dedup entries (the
+    reference's Path == str quirk) and are rare.
+    """
     # (src, dst_render, is_path_entry, dst_posix)
     mapping: List[Tuple[str, str, bool, str]] = []
     seen = set()
@@ -77,11 +83,22 @@ def fold_mapping(records: Sequence[LinkRecord]) -> List[Tuple[str, str]]:
         for url, _d, is_path, p in mapping:
             # Path == str is always False → only path-entries can collide
             if is_path and p == r.doc_path_posix and url != r.src:
-                dst, posix = r.doc_path_fixed, r.doc_path_fixed_posix
+                dst, posix = _fixed_doc_path(path_cfg, r.src, r.filename)
                 break
         setdefault(r.src, dst, False, posix)
 
     return [(src, dst) for src, dst, _ip, _p in mapping]
+
+
+def _fixed_doc_path(path_cfg, src: str, filename: str) -> Tuple[str, str]:
+    """sha256(url)_-prefixed repair path (image_downloader.py:303-312);
+    note the reference passes the full original URL as the hierarchy
+    component here."""
+    from .linkflow import fixed_collision_filename
+    from .pathalgebra import PathConfig, get_document_img_path
+
+    cfg = path_cfg if path_cfg is not None else PathConfig()
+    return get_document_img_path(cfg, src, fixed_collision_filename(src, filename))
 
 
 def rewrite_text(text: str, mapping: Sequence[Tuple[str, str]]) -> str:
@@ -97,5 +114,5 @@ def rewrite_text(text: str, mapping: Sequence[Tuple[str, str]]) -> str:
     return '\n'.join(out)
 
 
-def fold_and_rewrite(text: str, records: Sequence[LinkRecord]) -> str:
-    return rewrite_text(text, fold_mapping(records))
+def fold_and_rewrite(text: str, records: Sequence[LinkRecord], path_cfg=None) -> str:
+    return rewrite_text(text, fold_mapping(records, path_cfg))

@@ -24,7 +24,6 @@ from pyspark.sql.types import (
 )
 
 from ..core import mdparse
-from ..core.linkflow import fixed_collision_filename
 from ..core.pathalgebra import PathConfig, get_document_img_path, get_real_path, image_local_url
 from ..core.wwwtools import filename_from_url, guess_mime_type
 
@@ -145,8 +144,6 @@ PATHS_STRUCT = StructType(
         StructField('real_path', StringType()),
         StructField('doc_path', StringType()),
         StructField('doc_path_posix', StringType()),
-        StructField('doc_path_fixed', StringType()),
-        StructField('doc_path_fixed_posix', StringType()),
     ]
 )
 
@@ -157,7 +154,8 @@ def make_paths_udf(cfg: PathConfig):
     ``local_url_override`` carries the reference's `_fix_name_collision`
     same-content quirk (image_downloader.py:327-331): when set, the
     document path is computed with the full original URL instead of the
-    link's directory.
+    link's directory.  The collision-repair path (sha256(url)_filename)
+    is derived lazily inside the fold — never shipped per link.
     """
 
     @pandas_udf(PATHS_STRUCT)
@@ -167,18 +165,13 @@ def make_paths_udf(cfg: PathConfig):
         rows = []
         for lk, bu, fn, ov in zip(link, base_url, filename, local_url_override):
             if fn is None or lk is None:
-                rows.append((None, None, None, None, None))
+                rows.append((None, None, None))
                 continue
             local_url = ov if ov is not None else image_local_url(lk)
             real_path = get_real_path(cfg, image_local_url(lk), fn, bu or '')
             doc_path, doc_path_posix = get_document_img_path(cfg, local_url, fn)
-            fixed_fn = fixed_collision_filename(lk, fn)
-            fixed, fixed_posix = get_document_img_path(cfg, lk, fixed_fn)
-            rows.append((real_path, doc_path, doc_path_posix, fixed, fixed_posix))
-        return pd.DataFrame(
-            rows,
-            columns=['real_path', 'doc_path', 'doc_path_posix', 'doc_path_fixed', 'doc_path_fixed_posix'],
-        )
+            rows.append((real_path, doc_path, doc_path_posix))
+        return pd.DataFrame(rows, columns=['real_path', 'doc_path', 'doc_path_posix'])
 
     return paths_udf
 
@@ -191,13 +184,12 @@ REC_STRUCT = StructType(
         StructField('dedup_path', StringType()),
         StructField('doc_path', StringType()),
         StructField('doc_path_posix', StringType()),
-        StructField('doc_path_fixed', StringType()),
-        StructField('doc_path_fixed_posix', StringType()),
+        StructField('filename', StringType()),
     ]
 )
 
 
-def make_rewrite_udf(strict_duplicate_assert: bool, skip_all_errors: bool):
+def make_rewrite_udf(strict_duplicate_assert: bool, skip_all_errors: bool, path_cfg: PathConfig = None):
     """R1 + A1/A5: per-document fold + ordered cascading rewrite.
 
     The fold itself is ``core.docfold``; this wrapper adapts the Spark
@@ -231,11 +223,10 @@ def make_rewrite_udf(strict_duplicate_assert: bool, skip_all_errors: bool):
                         dedup_path=r['dedup_path'],
                         doc_path=r['doc_path'],
                         doc_path_posix=r['doc_path_posix'],
-                        doc_path_fixed=r['doc_path_fixed'],
-                        doc_path_fixed_posix=r['doc_path_fixed_posix'],
+                        filename=r['filename'],
                     )
                 )
-            out.append(docfold.fold_and_rewrite(t, records))
+            out.append(docfold.fold_and_rewrite(t, records, path_cfg))
         return pd.Series(out, dtype=object)
 
     return rewrite_udf

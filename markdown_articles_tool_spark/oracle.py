@@ -32,7 +32,6 @@ from .core.linkflow import (
     local_filename,
     mime_gate,
     name_hash_filename,
-    fixed_collision_filename,
     remote_filename,
     resolve_download_url,
 )
@@ -109,7 +108,7 @@ class ReferenceOracle:
             res.audit.setdefault(url, []).append(
                 (fmt, ord_, src, rec.status, rec.dedup_path or rec.doc_path)
             )
-        return docfold.fold_and_rewrite(text, records)
+        return docfold.fold_and_rewrite(text, records, cfg.paths)
 
     def _process_link(
         self,
@@ -191,8 +190,6 @@ class ReferenceOracle:
                 real_path = get_real_path(cfg.paths, local_url, filename, base_url)
 
         doc_path, doc_path_posix = get_document_img_path(cfg.paths, local_url, filename)
-        fixed_fn = fixed_collision_filename(src, filename)
-        doc_path_fixed, doc_path_fixed_posix = get_document_img_path(cfg.paths, src, fixed_fn)
 
         # image write with exists-skip (image_downloader.py:284-301)
         if real_path not in res.images:
@@ -204,8 +201,7 @@ class ReferenceOracle:
             docfold.OK,
             doc_path=doc_path,
             doc_path_posix=doc_path_posix,
-            doc_path_fixed=doc_path_fixed,
-            doc_path_fixed_posix=doc_path_fixed_posix,
+            filename=filename,
         )
 
     @staticmethod

@@ -246,12 +246,11 @@ def transform_pass(
         F.col('dedup_path'),
         F.col('doc_path'),
         F.col('doc_path_posix'),
-        F.col('doc_path_fixed'),
-        F.col('doc_path_fixed_posix'),
+        F.col('filename1').alias('filename'),
     ).alias('rec')
     per_doc = links.groupBy('url').agg(F.collect_list(rec).alias('recs'))
 
-    rewrite = udfs.make_rewrite_udf(cfg.strict_duplicate_assert, cfg.skip_all_errors)
+    rewrite = udfs.make_rewrite_udf(cfg.strict_duplicate_assert, cfg.skip_all_errors, cfg.paths)
     docs_out = (
         docs.join(per_doc, on='url', how='left')
         .withColumn('text_out', rewrite(F.col('text'), F.col('recs')))
@@ -367,19 +366,13 @@ def _attach_paths(links: DataFrame, cfg: TransformConfig, doc_prefix_join: str, 
         links = links.withColumn('real_path', F.when(ok, F.concat(F.lit(images_dir + '/'), fn)))
         links = links.withColumn('doc_path', F.when(ok, F.concat(F.lit(doc_prefix_join + '/'), fn)))
         links = links.withColumn('doc_path_posix', F.when(ok, F.concat(F.lit(doc_prefix_posix + '/'), fn)))
-        fixed_fn = F.concat(F.sha2(F.encode(F.col('src'), 'utf-8'), 256), F.lit('_'), fn)
-        links = links.withColumn(
-            'doc_path_fixed', F.when(ok, F.concat(F.lit(doc_prefix_join + '/'), fixed_fn))
-        ).withColumn(
-            'doc_path_fixed_posix', F.when(ok, F.concat(F.lit(doc_prefix_posix + '/'), fixed_fn))
-        )
     else:
         paths_udf = udfs.make_paths_udf(cfg.paths)
         links = links.withColumn(
             '_paths',
             F.when(ok, paths_udf(F.col('src'), F.col('base_url'), fn, F.col('local_url_override'))),
         )
-        for c in ('real_path', 'doc_path', 'doc_path_posix', 'doc_path_fixed', 'doc_path_fixed_posix'):
+        for c in ('real_path', 'doc_path', 'doc_path_posix'):
             links = links.withColumn(c, F.col(f'_paths.{c}'))
         links = links.drop('_paths')
     return links
