@@ -127,9 +127,16 @@ def fetch_distinct(
     URLs matters and the salt caps any one host's partition share.
     """
     keys = links.select(F.col(key_col).alias('fetch_key')).where(F.col('fetch_key').isNotNull()).distinct()
+    p = parallelism or links.sparkSession.sparkContext.defaultParallelism
     if salt_by_host:
-        p = parallelism or links.sparkSession.sparkContext.defaultParallelism
         host = F.regexp_extract('fetch_key', r'^[a-zA-Z]+://([^/]+)', 1)
         salt = F.pmod(F.xxhash64('fetch_key'), F.lit(4))
         keys = keys.repartition(p, F.xxhash64(host), salt)
+    else:
+        # explicit width: the key list is tiny in bytes but each key
+        # EXPANDS into a full fetch (network/CPU + content bytes), so
+        # AQE's byte-based coalescing would starve this stage of
+        # parallelism; a round-robin repartition of the narrow keys is
+        # near-free and pins the fan-out to the cluster width
+        keys = keys.repartition(p, F.xxhash64('fetch_key'))
     return keys.mapInPandas(fetcher, schema=FETCH_SCHEMA)

@@ -117,26 +117,29 @@ FILENAME_KEYERROR = '\x00\x00content-type-keyerror'
 
 
 @pandas_udf(StringType())
-def filename_udf(
-    is_remote: pd.Series, final_url: pd.Series, content_type: pd.Series, download_url: pd.Series
-) -> pd.Series:
-    """F7 + S5 naming: remote → filename_from_url (www_tools.py:80-116);
-    local → ``Path(download_path).name`` (image_downloader.py:277-282)."""
+def remote_filename_udf(final_url: pd.Series, content_type: pd.Series) -> pd.Series:
+    """F7: remote filename from response URL + content-type
+    (www_tools.py:80-116).  Runs on the *fetched* side — once per
+    distinct URL, not once per link occurrence."""
+    out = []
+    for u, ct in zip(final_url, content_type):
+        if u is None:
+            out.append(None)
+            continue
+        try:
+            out.append(filename_from_url(u, ct))
+        except KeyError:
+            out.append(FILENAME_KEYERROR)
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(StringType())
+def local_name_udf(download_url: pd.Series) -> pd.Series:
+    """S5 naming: ``Path(download_path).name``
+    (image_downloader.py:277-282); only used in local-article configs."""
     from pathlib import PurePosixPath
 
-    out = []
-    for rem, u, ct, du in zip(is_remote, final_url, content_type, download_url):
-        if rem:
-            if u is None:
-                out.append(None)
-                continue
-            try:
-                out.append(filename_from_url(u, ct))
-            except KeyError:
-                out.append(FILENAME_KEYERROR)
-        else:
-            out.append(PurePosixPath(du).name if du is not None else None)
-    return pd.Series(out, dtype=object)
+    return download_url.map(lambda du: PurePosixPath(du).name if du is not None else None)
 
 
 PATHS_STRUCT = StructType(

@@ -141,7 +141,7 @@ def transform_pass(
     # the links table feeds the fetch scan(s) plus the main join —
     # persist the (still content-free, narrow) projection so the
     # extraction UDF runs once per pass, not per consumer
-    links = links.persist()
+    links = links_pre = links.persist()
     fetched = fetch_distinct(links.where('status0 IS NULL AND is_remote'), 'fetch_key', fetcher)
     # the local-file branch only exists for local articles (base_url '')
     # — when base URLs derive from doc URLs every resolved link is
@@ -154,21 +154,28 @@ def transform_pass(
         )
         fetched = fetched.unionByName(local_fetched)
     # Image BYTES never ride through the link joins: the content hash
-    # is computed once at the fetch stage, and only the narrow metadata
-    # (key, final_url, content_type, status, sha) joins onto links.
-    # The bytes themselves are joined exactly once, at the images sink,
-    # for the rows that actually get written.  At corpus scale this is
-    # the difference between shuffling TBs of binaries through every
-    # stage and shuffling 100-byte rows.
-    fetched = fetched.withColumn('sha_hex', F.sha2(F.col('content'), 256)).persist()
-    fetched_meta = fetched.select('fetch_key', 'final_url', 'content_type', 'fetch_status', 'sha_hex')
+    # AND the derived filename are computed once per distinct URL on the
+    # fetch side (F7 is a pure function of the response); only narrow
+    # metadata joins onto links.  The bytes themselves are joined
+    # exactly once, at the images sink, for the rows that actually get
+    # written.  At corpus scale this is the difference between
+    # shuffling TBs of binaries through every stage and 100-byte rows.
+    fetched = (
+        fetched.withColumn('sha_hex', F.sha2(F.col('content'), 256))
+        .withColumn('filename_remote', udfs.remote_filename_udf(F.col('final_url'), F.col('content_type')))
+        .persist()
+    )
+    fetched_meta = fetched.select('fetch_key', 'fetch_status', 'sha_hex', 'filename_remote')
     links = links.join(fetched_meta, on='fetch_key', how='left')
 
     # F7/S5 filename, F4 hashed rename
-    links = links.withColumn(
-        'filename0',
-        udfs.filename_udf(F.col('is_remote'), F.col('final_url'), F.col('content_type'), F.col('download_url')),
-    )
+    if not cfg.derive_base_url_from_doc_url and not cfg.paths.article_base_url:
+        filename0 = F.when(F.col('is_remote'), F.col('filename_remote')).otherwise(
+            udfs.local_name_udf(F.col('download_url'))
+        )
+    else:
+        filename0 = F.col('filename_remote')
+    links = links.withColumn('filename0', filename0)
 
     links = links.withColumn(
         'status',
@@ -195,6 +202,10 @@ def transform_pass(
     links = links.withColumn(
         'pass_key', F.struct(F.lit(pass_idx).alias('p'), F.col('url').alias('u'), F.col('ord').alias('o'))
     )
+    # second materialization point: the dedup-winners branch and the
+    # main branch both consume the joined+derived links — without this,
+    # the meta join and its upstream UDFs execute once per branch
+    links = links.drop('download_url', 'filename_remote').persist()
 
     doc_prefix_join, doc_prefix_posix, dedup_prefix = _doc_prefix_strings(cfg)
 
@@ -292,7 +303,7 @@ def transform_pass(
         'sha_hex',
     )
 
-    return PassResult(docs_out, links_audit, images_out, dedup_registrations, cached=(links, fetched))
+    return PassResult(docs_out, links_audit, images_out, dedup_registrations, cached=(links_pre, links, fetched))
 
 
 def _resized_bytes():

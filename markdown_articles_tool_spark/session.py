@@ -28,6 +28,11 @@ def get_spark(
         .config('spark.sql.adaptive.enabled', 'true')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        # AQE coalesces by shuffle-read BYTES; several of our stages are
+        # compute-heavy on byte-narrow input (pandas-UDF extraction,
+        # fetch fan-out, rewrite), so the 1MB default floor starves them
+        # of parallelism on small-to-mid corpora
+        .config('spark.sql.adaptive.coalescePartitions.minPartitionSize', '64k')
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
         .config('spark.sql.execution.arrow.maxRecordsPerBatch', '10000')
         # keep the broadcast threshold at Spark's default 10MB: the
