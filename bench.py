@@ -9,10 +9,12 @@ print ONE JSON line::
      "queries": {name: sec, ...}, "sf": 0.1, "docs_per_sec": ...}
 
 ``--dual`` mode: evidence for the north_rule's two-cluster-size scaling
-criterion — run the same corpus transform in two subprocesses at
-local[8] and local[32] (standing in for N vs 4N executors; no real
-cluster in this sandbox), compute throughput at both plus scaling
-efficiency = tput(32) / (4 x tput(8)), and write BENCH/BASELINE.md.
+criterion — run the same corpus transform in two subprocesses at N and
+4N cores (default local[2] vs local[8]; SPARK_GRAFT_SCALE_LEVELS
+overrides — standing in for N vs 4N executors; no real cluster in this
+sandbox), compute throughput at both plus scaling efficiency =
+tput(4N) / (4 x tput(N)), and write BENCH/BASELINE.md with a parallel-
+burn CPU calibration recording what this shared box actually delivered.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import time
 SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
 CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
 BENCH_DOCS = int(os.environ.get('SPARK_GRAFT_BENCH_DOCS', '48000'))
-SCALE_DOCS = int(os.environ.get('SPARK_GRAFT_SCALE_DOCS', '200000'))
+SCALE_DOCS = int(os.environ.get('SPARK_GRAFT_SCALE_DOCS', '48000'))
 
 
 def _force(df) -> int:
@@ -120,29 +122,58 @@ def run_bench(emit_json: bool = True) -> dict:
     return out
 
 
-def run_dual() -> None:
-    """local[8] vs local[32] scaling-efficiency evidence (N vs 4N).
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
 
-    Runs at SCALE_DOCS (larger than the default bench corpus) so the
-    distributed compute dwarfs the per-action orchestration floor —
-    the regime a 10^12-doc production run actually lives in."""
-    results = {}
-    for cpus in (8, 32):
+
+def _calibrate_cpu(n: int, seconds: float = 1.5) -> float:
+    """Measured parallel CPU throughput at n processes (Mloops/s) —
+    records how many cores this shared box actually delivers."""
+    import multiprocessing as mp
+
+    with mp.Pool(n) as p:
+        return round(sum(p.map(_burn, [seconds] * n)) / 1e6 / seconds, 1)
+
+
+def run_dual() -> None:
+    """N vs 4N scaling-efficiency evidence.
+
+    Default pair is local[2] vs local[8]: this sandbox is a shared box
+    (other tenants routinely hold 10+ cores), so 8 cores are reliably
+    available while 32 are not — the 2→8 pair measures the PIPELINE's
+    scaling rather than the neighbors' load.  Override with
+    SPARK_GRAFT_SCALE_LEVELS='8,32'.  A CPU calibration (parallel burn
+    throughput at each level) is recorded next to the numbers so the
+    hardware availability at measurement time is on the record.
+    Runs at SCALE_DOCS so distributed compute dwarfs the per-action
+    orchestration floor — the regime a 10^12-doc run lives in."""
+    lo, hi = (int(x) for x in os.environ.get('SPARK_GRAFT_SCALE_LEVELS', '2,8').split(','))
+    results, calib = {}, {}
+    for cpus in (lo, hi):
+        calib[cpus] = _calibrate_cpu(cpus)
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
                    SPARK_GRAFT_BENCH_DOCS=str(SCALE_DOCS))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True,
-            check=True,
-        )
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` physical cores: local[N] only caps concurrent TASKS,
+        # while each task burns a JVM thread plus a python worker, so an
+        # unpinned low side silently uses ~2x its nominal cores and the
+        # measured efficiency misrepresents how N- vs 4N-core executors
+        # would behave
+        cmd = ['taskset', '-c', f'0-{cpus - 1}', sys.executable, os.path.abspath(__file__)]
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]['queries']['transform_corpus']
-    t32 = results[32]['queries']['transform_corpus']
+    t8 = results[lo]['queries']['transform_corpus']
+    t32 = results[hi]['queries']['transform_corpus']
     tput8 = SCALE_DOCS / t8
     tput32 = SCALE_DOCS / t32
     eff = tput32 / (4 * tput8)
-    total8 = results[8]['value']
-    total32 = results[32]['value']
+    total8 = results[lo]['value']
+    total32 = results[hi]['value']
     eff_total = (1 / total32) / (4 * (1 / total8))
 
     os.makedirs('BENCH', exist_ok=True)
@@ -151,13 +182,19 @@ def run_dual() -> None:
             '# BENCH/BASELINE — throughput + scaling efficiency\n\n'
             'Two-cluster-size criterion evidenced at two parallelism levels on one\n'
             'machine (no real cluster in this sandbox): identical input + code, only\n'
-            '`local[8]` vs `local[32]` (N vs 4N cores standing in for N vs 4N\n'
-            'executors). Corpus transform = full extraction → fetch-dedup → rewrite\n'
+            f'`local[{lo}]` vs `local[{hi}]` (N vs 4N cores standing in for N vs 4N\n'
+            'executors). This box is SHARED — external tenants routinely hold 10+\n'
+            'cores — so the pair is chosen where the cores are actually available;\n'
+            'the parallel-burn calibration below records what the hardware delivered\n'
+            'at measurement time. Corpus transform = full extraction → fetch-dedup →\n'
+            'rewrite\n'
             f'pipeline over {SCALE_DOCS} synthetic CC-style documents (multi-KB fat\n'
             'pages, ~12 image links each); min of cache-cleared trials per level\n'
             'to defeat noisy-neighbor load on this shared box.\n\n'
-            '| metric | local[8] | local[32] | scaling efficiency tput32/(4·tput8) |\n'
+            f'| metric | local[{lo}] | local[{hi}] | scaling efficiency tput_4N/(4*tput_N) |\n'
             '|---|---|---|---|\n'
+            f'| parallel-burn calibration (Mloops/s) | {calib[lo]} | {calib[hi]} | '
+            f'hw delivered {calib[hi]/calib[lo]:.2f}x of {hi//lo}x |\n'
             f'| corpus transform (sec) | {t8:.2f} | {t32:.2f} | |\n'
             f'| corpus transform (docs/sec) | {tput8:.1f} | {tput32:.1f} | **{eff:.3f}** |\n'
             f'| all headline queries (sec) | {total8:.2f} | {total32:.2f} | {eff_total:.3f} |\n\n'
@@ -165,12 +202,13 @@ def run_dual() -> None:
             '## Per-query seconds\n\n'
             '| query | local[8] | local[32] |\n|---|---|---|\n'
             + '\n'.join(
-                f"| {name} | {results[8]['queries'][name]} | {results[32]['queries'][name]} |"
-                for name in results[8]['queries']
+                f"| {name} | {results[lo]['queries'][name]} | {results[hi]['queries'][name]} |"
+                for name in results[lo]['queries']
             )
             + '\n'
         )
-    print(json.dumps({'efficiency': round(eff, 4), 'tput8': round(tput8, 2), 'tput32': round(tput32, 2)}))
+    print(json.dumps({'efficiency': round(eff, 4), f'tput{lo}': round(tput8, 2),
+                      f'tput{hi}': round(tput32, 2), 'calibration': calib}))
 
 
 if __name__ == '__main__':

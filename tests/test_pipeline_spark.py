@@ -152,3 +152,33 @@ def test_mime_gate_col_parity(spark):
     for u in urls:
         want = guess_mime_type(u) is not None
         assert got[u] == want, f'{u}: col={got[u]} py={want}'
+
+
+def test_differential_local_articles(spark):
+    """Local-article mode: base_url '' → links resolve against the
+    article directory and read from the local asset store (S5)."""
+    from markdown_articles_tool_spark.core.pathalgebra import PathConfig
+
+    cfg = TransformConfig(
+        skip_all_errors=True,
+        derive_base_url_from_doc_url=False,
+        paths=PathConfig(article_file_path='/work/article.md', article_base_url=''),
+    )
+    docs = [
+        ('file:a1', 'pre ![](img/one.png) post\n![](../up/two.jpg)\n![](missing.png)\n'),
+        ('file:a2', '![](img/one.png)\n'),
+    ]
+    local_assets = {
+        '/work/img/one.png': b'ONE',
+        '/up/two.jpg': b'TWO',
+    }
+    res = transform_documents(
+        spark.createDataFrame(docs, 'url string, text string'), cfg, local_assets=local_assets
+    )
+    got = {r['url']: r['text_out'] for r in res.docs_out.collect()}
+    got_imgs = {r['real_path']: bytes(r['content']) for r in res.images_out.collect()}
+    want = ReferenceOracle(cfg, {}, local_assets=local_assets).run(docs)
+    assert got == want.texts
+    assert got_imgs == want.images
+    # sanity on the actual semantics
+    assert got['file:a1'].startswith('pre ![](images/one.png) post')
