@@ -85,15 +85,16 @@ def _collect_link_defs(lines: List[str]) -> Dict[str, str]:
             if _is_fence_close(line, fence):
                 fence = None
             continue
-        m = _FENCE_OPEN_RE.match(line)
-        if m and not in_paragraph:
-            fence = m.group(1)
-            continue
+        if not in_paragraph and ('`' in line[:4] or '~' in line[:4]):
+            m = _FENCE_OPEN_RE.match(line)
+            if m:
+                fence = m.group(1)
+                continue
         stripped = line.strip()
         if not stripped:
             in_paragraph = False
             continue
-        if not in_paragraph and not line.startswith('    '):
+        if not in_paragraph and '[' in line and not line.startswith('    '):
             dm = _LINK_DEF_RE.match(line)
             if dm:
                 defs.setdefault(dm.group(1).strip().lower(), dm.group(2))
@@ -111,6 +112,8 @@ def _is_fence_close(line: str, fence: str) -> bool:
 def _code_span_ranges(line: str) -> List[Tuple[int, int]]:
     """[start, end) ranges covered by inline code spans (equal-length
     backtick-run pairing, CommonMark rule)."""
+    if '`' not in line:
+        return []
     runs = [(m.start(), m.end()) for m in re.finditer(r'`+', line)]
     ranges: List[Tuple[int, int]] = []
     i = 0
@@ -231,10 +234,11 @@ def extract_md_img_srcs(text: str) -> List[str]:
             else:
                 html_buf.append(line)
             continue
-        m = _FENCE_OPEN_RE.match(line)
-        if m and not in_paragraph:
-            fence = m.group(1)
-            continue
+        if not in_paragraph and ('`' in line[:4] or '~' in line[:4]):
+            m = _FENCE_OPEN_RE.match(line)
+            if m:
+                fence = m.group(1)
+                continue
         stripped = line.strip()
         if not stripped:
             in_paragraph = False
@@ -242,14 +246,17 @@ def extract_md_img_srcs(text: str) -> List[str]:
         if not in_paragraph:
             if line.startswith('    ') or line.startswith('\t'):
                 continue  # indented code block
-            if _HTML_BLOCK_RE.match(line):
+            if '<' in line[:4] and _HTML_BLOCK_RE.match(line):
                 in_html_block = True
                 html_buf.append(line)
                 continue
-            if _LINK_DEF_RE.match(line):
+            if '[' in line and _LINK_DEF_RE.match(line):
                 continue  # link definition produces no output
         in_paragraph = True
-        _scan_inline_images(line, defs, out)
+        # fast path: no image-opener on this line → nothing to scan
+        # (code-span state never crosses lines in this grammar)
+        if '![' in line:
+            _scan_inline_images(line, defs, out)
     flush_html()
     return out
 

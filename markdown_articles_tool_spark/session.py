@@ -41,6 +41,12 @@ def get_spark(
         .config('spark.sql.autoBroadcastJoinThreshold', str(10 * 1024 * 1024))
         .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'))
         .config('spark.ui.enabled', 'false')
+        # image bytes are high-entropy (already-compressed formats):
+        # columnar-cache compression burns CPU for ~no size win
+        .config(
+            'spark.sql.inMemoryColumnarStorage.compressed',
+            os.environ.get('SPARK_GRAFT_CACHE_COMPRESS', 'false'),
+        )
         .config('spark.sql.session.timeZone', 'UTC')
     )
     return builder.getOrCreate()
