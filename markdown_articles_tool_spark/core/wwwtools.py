@@ -41,6 +41,7 @@ URL_PREFIXES = ('http', 'ftp', 'https', 'ftps')
 _PROTOCOL_PREFIX_RE = re.compile(
     r'^\s*(?:(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?//|[a-zA-Z][a-zA-Z0-9+.\-]*:)'
 )
+_SLASHES_RE = re.compile(r'^\s*:?//', re.IGNORECASE)
 # Java-regex flavor of the same pattern, for Spark regexp_replace.
 PROTOCOL_PREFIX_JAVA_REGEX = (
     r'^\s*(?:(?:[a-zA-Z][a-zA-Z0-9+.\-]*:)?//|[a-zA-Z][a-zA-Z0-9+.\-]*:)'
@@ -58,8 +59,19 @@ def is_url(url: str, allowed_url_prefixes: Tuple[str, ...] = URL_PREFIXES) -> bo
 
 
 def remove_protocol_prefix(url: str) -> str:
-    """Strip one leading protocol prefix (www_tools.py:33-38)."""
-    return _PROTOCOL_PREFIX_RE.sub('', url)
+    """Strip one leading protocol prefix (www_tools.py:33-38).
+
+    Exact semantics: clear the scheme through a parse/unparse round
+    trip, then strip leading ``[:]//`` — which also normalizes dangling
+    empty ``?``/``#`` markers away, an observable side effect the
+    single-regex fast path (``PROTOCOL_PREFIX_JAVA_REGEX``, used for
+    Column-expression twins) does not reproduce on degenerate inputs.
+    """
+    from urllib.parse import urlparse, urlunparse
+
+    parts = urlparse(url)
+    rebuilt = urlunparse(('',) + tuple(parts[1:]))
+    return _SLASHES_RE.sub('', rebuilt)
 
 
 def slugify(value: str) -> str:
