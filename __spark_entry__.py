@@ -228,6 +228,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from markdown_articles_tool_spark.training.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, 'embeddings')
+    queries = emb.where(F.col('vec_id') % 50 == 0).select(F.col('vec_id').alias('query_id'))
+    return ivf_cosine_topk(emb, queries, k=5).select('query_id', 'neighbor_id', 'rank').orderBy(
+        'query_id', 'rank'
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     from markdown_articles_tool_spark.training.similarity import embedding_near_duplicates
 
@@ -255,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
+        'ann_ivf_topk': q_ann_ivf_topk,
         'embedding_neardup': q_embedding_neardup,
     }
 

@@ -129,6 +129,91 @@ def lsh_cosine_topk(
     )
 
 
+def _kmeans_centroids(emb: DataFrame, k: int, dim: int, sample: int = 2048, iters: int = 8):
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer is tiny — centroids broadcast; training over a bounded
+    sample is the standard IVF recipe)."""
+    import numpy as np
+
+    rows = emb.select('vec_id', 'embedding').orderBy('vec_id').limit(sample).collect()
+    mat = np.stack([np.asarray(r['embedding'], dtype='float64') for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    seed = int.from_bytes(hashlib.sha256(b'ivf-centroids').digest()[:8], 'big') % (2**32)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def make_ivf_assign_udf(centroids, nprobe: int = 1):
+    """Nearest-centroid(s) id list per embedding (numpy batch matmul)."""
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.stack([np.asarray(v, dtype='float64') for v in emb])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    return assign_udf
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → inverted lists keyed by cell
+    → queries probe their ``nprobe`` nearest cells → exact cosine only
+    inside probed cells.  The quadratic crossJoin becomes an equi-join
+    on ``cell``; at corpus scale the inverted lists are just a
+    hash-partitioned table."""
+    if dim is None:
+        dim = len(emb.select('embedding').head()['embedding'])
+    cent = _kmeans_centroids(emb, n_cells, dim)
+    assign1 = make_ivf_assign_udf(cent, nprobe=1)
+    assignp = make_ivf_assign_udf(cent, nprobe=nprobe)
+
+    lists = emb.select(
+        F.col('vec_id').alias('neighbor_id'),
+        F.col('embedding').alias('n_emb'),
+        F.explode(assign1(F.col('embedding'))).alias('cell'),
+    )
+    probes = (
+        query_ids.join(emb, query_ids['query_id'] == emb['vec_id'])
+        .select('query_id', F.col('embedding').alias('q_emb'), F.explode(assignp(F.col('embedding'))).alias('cell'))
+    )
+    scored = (
+        probes.join(lists, on='cell')
+        .where(F.col('query_id') != F.col('neighbor_id'))
+        .select(
+            'query_id',
+            'neighbor_id',
+            F.round(cosine(F.col('q_emb').cast('array<double>'), F.col('n_emb').cast('array<double>')), 9).alias('sim'),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy('query_id').orderBy(F.col('sim').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id', 'rank', 'sim')
+    )
+
+
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All (a, b) pairs with cosine ≥ threshold, a < b (exact; the LSH
     bucket prefilter above is the scale path)."""

@@ -155,3 +155,31 @@ class TestMultimodal:
         # PIL absent here → deterministic stub dims; plumbing is what we assert
         assert all(r['decoder'] in ('stub', 'pil') for r in dec.values())
         assert dec['a.png']['width'] is not None
+
+
+class TestIvfRecall:
+    def test_ivf_matches_brute_force_top1(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((8, 32)) * 5
+        rows = []
+        vid = 0
+        for c in range(8):
+            for _ in range(12):
+                v = centers[c] + rng.standard_normal(32) * 0.05
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+        queries = emb.where(F.col('vec_id') % 12 == 0).select(F.col('vec_id').alias('query_id'))
+        brute = {
+            (r['query_id'], r['rank']): r['neighbor_id']
+            for r in similarity.cosine_topk(emb, queries, k=1).collect()
+        }
+        ivf = {
+            (r['query_id'], r['rank']): r['neighbor_id']
+            for r in similarity.ivf_cosine_topk(emb, queries, k=1, n_cells=8, nprobe=2, dim=32).collect()
+        }
+        hits = sum(1 for key in brute if ivf.get(key) == brute[key])
+        assert hits >= 7  # >=87% top-1 recall on separated clusters
