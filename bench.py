@@ -173,6 +173,11 @@ def run_dual() -> None:
     tput8 = SCALE_DOCS / t8
     tput32 = SCALE_DOCS / t32
     eff = tput32 / (4 * tput8)
+    # pipeline scaling per unit of CPU the shared box actually
+    # delivered (parallel-burn calibrated): on a dedicated machine or
+    # real cluster nodes hw_ratio -> 4 and this equals `eff`
+    hw_ratio = calib[hi] / calib[lo]
+    eff_hw = (tput32 / tput8) / hw_ratio
     total8 = results[lo]['value']
     total32 = results[hi]['value']
     eff_total = (1 / total32) / (4 * (1 / total8))
@@ -198,8 +203,10 @@ def run_dual() -> None:
             f'hw delivered {calib[hi]/calib[lo]:.2f}x of {hi//lo}x |\n'
             f'| corpus transform (sec) | {t8:.2f} | {t32:.2f} | |\n'
             f'| corpus transform (docs/sec) | {tput8:.1f} | {tput32:.1f} | **{eff:.3f}** |\n'
+            f'| hardware-normalized pipeline scaling (tput ratio / delivered-CPU ratio) | | | **{eff_hw:.3f}** |\n'
             f'| all headline queries (sec) | {total8:.2f} | {total32:.2f} | {eff_total:.3f} |\n\n'
-            f'North-rule target: efficiency >= 0.8 → **{"MET" if eff >= 0.8 else "NOT MET"}**\n\n'
+            f'North-rule target: efficiency >= 0.8 → raw **{"MET" if eff >= 0.8 else "NOT MET"}**'
+            f' ({eff:.3f}); hardware-normalized **{"MET" if eff_hw >= 0.8 else "NOT MET"}** ({eff_hw:.3f})\n\n'
             '## Methodology & single-box caveats\n\n'
             '- Subprocesses are `taskset`-pinned to exactly N / 4N cores: `local[N]`\n'
             '  alone only caps concurrent tasks while each task burns a JVM thread\n'
@@ -221,8 +228,9 @@ def run_dual() -> None:
             )
             + '\n'
         )
-    print(json.dumps({'efficiency': round(eff, 4), f'tput{lo}': round(tput8, 2),
-                      f'tput{hi}': round(tput32, 2), 'calibration': calib}))
+    print(json.dumps({'efficiency': round(eff, 4), 'efficiency_hw_normalized': round(eff_hw, 4),
+                      f'tput{lo}': round(tput8, 2), f'tput{hi}': round(tput32, 2),
+                      'calibration': calib}))
 
 
 if __name__ == '__main__':
