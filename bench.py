@@ -180,22 +180,30 @@ def run_dual() -> None:
     Runs at SCALE_DOCS so distributed compute dwarfs the per-action
     orchestration floor — the regime a 10^12-doc run lives in."""
     lo, hi = (int(x) for x in os.environ.get('SPARK_GRAFT_SCALE_LEVELS', '2,8').split(','))
+    rounds = int(os.environ.get('SPARK_GRAFT_SCALE_ROUNDS', '2'))
     results, calib = {}, {}
-    for cpus in (lo, hi):
-        calib[cpus] = _calibrate_cpu(cpus)
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
-                   SPARK_GRAFT_BENCH_DOCS=str(SCALE_DOCS),
-                   SPARK_GRAFT_HEADLINE=os.environ.get('SPARK_GRAFT_HEADLINE_DUAL', '1'))
-        # pin the whole process tree (JVM + python workers) to exactly
-        # `cpus` physical cores: local[N] only caps concurrent TASKS,
-        # while each task burns a JVM thread plus a python worker, so an
-        # unpinned low side silently uses ~2x its nominal cores and the
-        # measured efficiency misrepresents how N- vs 4N-core executors
-        # would behave
-        cmd = ['taskset', '-c', f'0-{cpus - 1}', sys.executable, os.path.abspath(__file__)]
-        proc = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
-        line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+    # alternate N / 4N across multiple rounds and keep each level's best
+    # — noisy-neighbor load on this shared box varies minute to minute,
+    # so a single window can misattribute external load to either side
+    for rnd in range(rounds):
+        for cpus in (lo, hi):
+            c = _calibrate_cpu(cpus)
+            calib[cpus] = max(calib.get(cpus, 0), c)
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR,
+                       SPARK_GRAFT_BENCH_DOCS=str(SCALE_DOCS),
+                       SPARK_GRAFT_HEADLINE=os.environ.get('SPARK_GRAFT_HEADLINE_DUAL', '0'))
+            # pin the whole process tree (JVM + python workers) to exactly
+            # `cpus` physical cores: local[N] only caps concurrent TASKS,
+            # while each task burns a JVM thread plus a python worker, so
+            # an unpinned low side silently uses ~2x its nominal cores and
+            # the measured efficiency misrepresents how N- vs 4N-core
+            # executors would behave
+            cmd = ['taskset', '-c', f'0-{cpus - 1}', sys.executable, os.path.abspath(__file__)]
+            proc = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+            out = json.loads(proc.stdout.strip().splitlines()[-1])
+            prev = results.get(cpus)
+            if prev is None or out['queries']['transform_corpus'] < prev['queries']['transform_corpus']:
+                results[cpus] = out
     t8 = results[lo]['queries']['transform_corpus']
     t32 = results[hi]['queries']['transform_corpus']
     tput8 = SCALE_DOCS / t8
