@@ -1,0 +1,69 @@
+"""Physical-plan regression guards (SURVEY.md §4).
+
+These lock in the scale properties that were bugs once already:
+column pruning must reach the scan, image bytes must never be
+broadcast, and per-branch UDF re-evaluation must not come back.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from markdown_articles_tool_spark import corpus
+from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+from markdown_articles_tool_spark.pipeline import transform_documents
+
+
+@pytest.fixture(scope='module')
+def plan(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp('plan') / 'pages')
+    rows = [corpus.doc_row(i) for i in range(40)]
+    spark.createDataFrame(rows, corpus.PAGES_SCHEMA).write.parquet(tmp)
+    pages = spark.read.parquet(tmp).where("lang = 'en'").select('url', 'text')
+    cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+    res = transform_documents(pages, cfg)
+    jdf = res.docs_out._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+    return jdf.queryExecution().explainString(mode)
+
+
+class TestPlanQuality:
+    def test_column_pruning_reaches_scan(self, plan):
+        # the 5-column table must be pruned to (url, text, lang) at the
+        # parquet scan — html/warc_ts never read for an md pass
+        scans = re.findall(r'ReadSchema: struct<([^>]*)>', plan)
+        assert scans, 'no parquet scans in plan'
+        for cols in scans:
+            names = {c.split(':')[0] for c in cols.split(',')}
+            assert 'html' not in names and 'warc_ts' not in names, names
+
+    def test_filter_pushdown_reaches_scan(self, plan):
+        assert re.search(r'PushedFilters: \[[^\]]*EqualTo\(lang,en\)', plan), (
+            'lang filter not pushed to the parquet scan'
+        )
+
+    def test_content_bytes_never_broadcast(self, plan):
+        # every BroadcastExchange's input must not carry the binary
+        # content column
+        for m in re.finditer(r'BroadcastExchange[^\n]*\n(?:.*\n){0,3}', plan):
+            assert 'content#' not in m.group(0), (
+                'image content column feeds a broadcast exchange'
+            )
+
+    def test_extraction_udf_evaluated_once(self, plan):
+        assert plan.count('extract_md_links') <= 2, (
+            'extraction UDF fan-out regression (was 1 logical ref; formatted '
+            'plan shows node + detail line)'
+        )
+
+    def test_filename_udf_on_fetched_side_once(self, plan):
+        # remote_filename_udf must be evaluated once (fetched side), not
+        # re-run per consumer branch (3x regression caught 2026-08-16)
+        assert plan.count('remote_filename_udf') <= 2, plan.count('remote_filename_udf')
+
+    def test_mime_gate_is_jvm_side(self, plan):
+        assert 'mime_type_of' not in plan, 'MIME gate fell back to the python UDF'
+
+    def test_fetch_stage_is_map_in_pandas(self, plan):
+        assert 'MapInPandas' in plan
