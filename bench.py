@@ -270,6 +270,10 @@ def run_dual() -> None:
                 for name in results[lo]['queries']
             )
             + '\n'
+            + ('\n## Run-to-run variance\n\n'
+               'Raw efficiency varies with external tenant load on this shared box\n'
+               '(see calibration rows); compare repeated --dual invocations and\n'
+               'prefer the per-delivered-core number, which is load-robust.\n')
         )
     print(json.dumps({'efficiency': round(eff, 4), 'efficiency_hw_normalized': round(eff_hw, 4),
                       f'tput{lo}': round(tput8, 2), f'tput{hi}': round(tput32, 2),
