@@ -182,3 +182,45 @@ def test_differential_local_articles(spark):
     assert got_imgs == want.images
     # sanity on the actual semantics
     assert got['file:a1'].startswith('pre ![](images/one.png) post')
+
+
+@pytest.mark.parametrize(
+    'name,cfg',
+    [
+        (
+            'chain_with_content_dedup',
+            TransformConfig(
+                skip_all_errors=True,
+                input_formats=('md', 'html'),
+                deduplication=DedupVariant.CONTENT_HASH,
+            ),
+        ),
+        (
+            'html_first_chain',
+            TransformConfig(skip_all_errors=True, input_formats=('html', 'md')),
+        ),
+        (
+            'kitchen_sink',
+            TransformConfig(
+                skip_all_errors=True,
+                deduplication=DedupVariant.CONTENT_HASH,
+                replace_image_names=True,
+                paths=PathConfig(save_hierarchy=True, img_public_path='/cdn/img'),
+                skip_list=frozenset({'https://www.google.com/'}),
+            ),
+        ),
+        (
+            'names_hashing_hierarchy',
+            TransformConfig(
+                skip_all_errors=True,
+                deduplication=DedupVariant.NAMES_HASHING,
+                paths=PathConfig(save_hierarchy=True),
+            ),
+        ),
+    ],
+)
+def test_differential_combos(spark, name, cfg):
+    """Cross-pass dedup state, pass-order permutation, and stacked-flag
+    configurations — byte-identical vs the oracle."""
+    got_texts, got_images, want = _run_both(spark, cfg, n=48)
+    _assert_match(got_texts, got_images, want)
