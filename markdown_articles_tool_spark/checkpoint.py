@@ -94,7 +94,10 @@ def run_with_resume(
             r['status']: r['count']
             for r in res.links_audit.groupBy('status').count().collect()
         }
-        n_docs = res.docs_out.count()
+        # lineage doc count comes from the just-written parquet (footer
+        # metadata — near-free) instead of re-counting the unpersisted
+        # transform, which would recompute the whole shard a second time
+        n_docs = spark.read.parquet(docs_path).count()
         lineage_row = {
             'shard': k,
             'n_docs': n_docs,

@@ -72,9 +72,13 @@ def mime_gate(cfg: TransformConfig, download_url: str) -> bool:
     return guess_mime_type(download_url) is not None
 
 
-def remote_filename(final_url: str, content_type: Optional[str]) -> Optional[str]:
+def remote_filename(
+    final_url: str,
+    content_type: Optional[str],
+    content_disposition: Optional[str] = None,
+) -> Optional[str]:
     """Filename for a remote fetch (www_tools.py:80-116)."""
-    return filename_from_url(final_url, content_type)
+    return filename_from_url(final_url, content_type, content_disposition)
 
 
 def local_filename(download_path: str) -> str:

@@ -162,17 +162,34 @@ def url_path(url: str) -> str:
     return rest
 
 
-def filename_from_url(final_url: str, content_type: Optional[str]) -> Optional[str]:
+_CONTENT_DISPOSITION_RE = re.compile(r'filename=(.+)')
+
+
+def filename_from_url(
+    final_url: str,
+    content_type: Optional[str],
+    content_disposition: Optional[str] = None,
+) -> Optional[str]:
     """Derive the stored image filename (www_tools.py:80-116).
 
     ``final_url`` is the post-redirect response URL; ``content_type``
-    the response header value (may include ``; charset=...``).
+    the response header value (may include ``; charset=...``);
+    ``content_disposition`` the raw header used by the fallback branch
+    (www_tools.py:91-103: taken only when ``url.find('/') == 0``, i.e.
+    the truthiness quirk — a URL with no '/' at all is truthy via -1
+    and stays on the path branch).
     """
     if final_url.find('/') != 0:
         result = url_path(final_url)
     else:
-        # content-disposition branch — modeled fetch never takes it
-        return None
+        # content-disposition branch (www_tools.py:91-103):
+        # re.findall('filename=(.+)') — first match, greedy to EOL
+        if content_disposition is None:
+            return None
+        found = _CONTENT_DISPOSITION_RE.findall(content_disposition)
+        if not found:
+            return None
+        result = found[0]
 
     f_name, f_ext = split_file_ext(result)
     if f_name == '':

@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 FETCH_SCHEMA = (
-    'fetch_key string, final_url string, content binary, content_type string, fetch_status int'
+    'fetch_key string, final_url string, content binary, content_type string, '
+    'content_disposition string, fetch_status int'
 )
 
 Fetcher = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
@@ -42,11 +43,15 @@ def model_fetcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for key in pdf['fetch_key']:
             a = model_asset(key)
             if a is None:
-                rows.append((key, None, None, None, 599))
+                rows.append((key, None, None, None, None, 599))
             else:
-                rows.append((key, a.final_url or key, a.content, a.content_type, a.status))
+                rows.append(
+                    (key, a.final_url or key, a.content, a.content_type,
+                     a.content_disposition, a.status)
+                )
         yield pd.DataFrame(
-            rows, columns=['fetch_key', 'final_url', 'content', 'content_type', 'fetch_status']
+            rows, columns=['fetch_key', 'final_url', 'content', 'content_type',
+                         'content_disposition', 'fetch_status']
         )
 
 
@@ -59,11 +64,12 @@ def local_store_fetcher(local_assets: dict) -> Fetcher:
             for key in pdf['fetch_key']:
                 content = local_assets.get(key)
                 if content is None:
-                    rows.append((key, None, None, None, 404))
+                    rows.append((key, None, None, None, None, 404))
                 else:
-                    rows.append((key, key, content, None, 200))
+                    rows.append((key, key, content, None, None, 200))
             yield pd.DataFrame(
-                rows, columns=['fetch_key', 'final_url', 'content', 'content_type', 'fetch_status']
+                rows, columns=['fetch_key', 'final_url', 'content', 'content_type',
+                         'content_disposition', 'fetch_status']
             )
 
     return fetch
@@ -96,15 +102,18 @@ def live_fetcher(timeout: float | None = None) -> Fetcher:
                                 key, allow_redirects=True, verify=False, timeout=timeout, headers=headers
                             )
                         if not resp.ok:
-                            rows.append((key, None, None, None, resp.status_code))
+                            rows.append((key, None, None, None, None, resp.status_code))
                         else:
                             rows.append(
-                                (key, resp.url, resp.content, resp.headers.get('content-type'), 200)
+                                (key, resp.url, resp.content,
+                                 resp.headers.get('content-type'),
+                                 resp.headers.get('content-disposition'), 200)
                             )
                     except Exception:
-                        rows.append((key, None, None, None, 599))
+                        rows.append((key, None, None, None, None, 599))
             yield pd.DataFrame(
-                rows, columns=['fetch_key', 'final_url', 'content', 'content_type', 'fetch_status']
+                rows, columns=['fetch_key', 'final_url', 'content', 'content_type',
+                         'content_disposition', 'fetch_status']
             )
 
     return fetch

@@ -117,17 +117,20 @@ FILENAME_KEYERROR = '\x00\x00content-type-keyerror'
 
 
 @pandas_udf(StringType())
-def remote_filename_udf(final_url: pd.Series, content_type: pd.Series) -> pd.Series:
-    """F7: remote filename from response URL + content-type
+def remote_filename_udf(
+    final_url: pd.Series, content_type: pd.Series, content_disposition: pd.Series
+) -> pd.Series:
+    """F7: remote filename from response URL + content-type, with the
+    content-disposition ``filename=`` fallback branch
     (www_tools.py:80-116).  Runs on the *fetched* side — once per
     distinct URL, not once per link occurrence."""
     out = []
-    for u, ct in zip(final_url, content_type):
+    for u, ct, cd in zip(final_url, content_type, content_disposition):
         if u is None:
             out.append(None)
             continue
         try:
-            out.append(filename_from_url(u, ct))
+            out.append(filename_from_url(u, ct, cd))
         except KeyError:
             out.append(FILENAME_KEYERROR)
     return pd.Series(out, dtype=object)

@@ -48,6 +48,7 @@ class Asset:
     content_type: str = 'image/png'
     status: int = 200
     final_url: Optional[str] = None  # post-redirect URL; None → request URL
+    content_disposition: Optional[str] = None  # raw header (F7 fallback branch)
 
 
 @dataclass
@@ -137,7 +138,11 @@ class ReferenceOracle:
                 if asset is None or asset.status >= 400:
                     raise OSError(f'fetch failed: {download_url}')
                 content = asset.content
-                filename = remote_filename(asset.final_url or fetch_key(download_url), asset.content_type)
+                filename = remote_filename(
+                    asset.final_url or fetch_key(download_url),
+                    asset.content_type,
+                    asset.content_disposition,
+                )
             else:
                 if download_url not in self.local_assets:
                     raise FileNotFoundError(download_url)

@@ -38,6 +38,11 @@ from .operators.fetch import Fetcher, fetch_distinct, local_store_fetcher, model
 from .operators.udfs import base_url_col, is_url_col
 
 
+# above this many entries the P2 skip list joins as a broadcast dim
+# table instead of compiling into an IN-literal expression tree
+SKIP_LIST_BROADCAST_THRESHOLD = 1000
+
+
 @dataclass
 class PassResult:
     docs_out: DataFrame          # url, text_out
@@ -104,8 +109,24 @@ def transform_pass(
     else:
         links = links.withColumn('base_url', F.lit(cfg.paths.article_base_url))
 
-    # P2 skip list (broadcast-isin: exact-match set, image_downloader.py:262-269)
-    skip = F.col('src').isin(*cfg.skip_list) if cfg.skip_list else F.lit(False)
+    # P2 skip list (exact-match set, image_downloader.py:262-269).
+    # Small lists compile to an isin literal; above the threshold a
+    # 100k-term IN becomes a 100k-node expression tree shipped into
+    # every task, so large lists go through a broadcast hash join
+    # instead (SURVEY.md §2.3 P2) — same exact-match semantics, and
+    # skipped rows keep their audit/status row (they are markers, not
+    # drops: a skipped link gets no mapping entry but its text row
+    # still flows to the rewrite fold untouched).
+    if cfg.skip_list and len(cfg.skip_list) > SKIP_LIST_BROADCAST_THRESHOLD:
+        skip_df = docs.sparkSession.createDataFrame(
+            [(s,) for s in sorted(cfg.skip_list)], 'src string'
+        ).withColumn('_skipped', F.lit(True))
+        links = links.join(F.broadcast(skip_df), on='src', how='left')
+        skip = F.coalesce(F.col('_skipped'), F.lit(False))
+    elif cfg.skip_list:
+        skip = F.col('src').isin(*cfg.skip_list)
+    else:
+        skip = F.lit(False)
 
     # F9 relative→absolute resolution (image_downloader.py:194-210)
     article_dir = str(PurePosixPath(cfg.paths.article_file_path).parent)
@@ -125,6 +146,8 @@ def transform_pass(
         'status0',
         F.when(skip, F.lit('skipped')).when(~gate_ok, F.lit('mime_drop')),
     )
+    if '_skipped' in links.columns:
+        links = links.drop('_skipped')
 
     # S4: fetch each distinct URL once cluster-wide
     links = links.withColumn('is_remote', is_url_col(F.col('download_url')))
@@ -162,7 +185,12 @@ def transform_pass(
     # shuffling TBs of binaries through every stage and 100-byte rows.
     fetched = (
         fetched.withColumn('sha_hex', F.sha2(F.col('content'), 256))
-        .withColumn('filename_remote', udfs.remote_filename_udf(F.col('final_url'), F.col('content_type')))
+        .withColumn(
+            'filename_remote',
+            udfs.remote_filename_udf(
+                F.col('final_url'), F.col('content_type'), F.col('content_disposition')
+            ),
+        )
         .persist()
     )
     fetched_meta = fetched.select('fetch_key', 'fetch_status', 'sha_hex', 'filename_remote')

@@ -72,6 +72,22 @@ class TestFilenames:
         assert filename_from_url('https://host/', 'image/png') == '.png'
         assert filename_from_url('https://host/.png', 'image/png') == '.png'
 
+    def test_filename_content_disposition_branch(self):
+        # reference www_tools.py:91-103: taken only when url.find('/')==0
+        assert filename_from_url('/x', 'image/png', 'attachment; filename=Photo File.PNG') == (
+            'photo-file.png'
+        )
+        # regex is findall('filename=(.+)') — greedy, first match
+        assert filename_from_url('/x', 'image/png', 'filename=a.b.c.gif') == 'abc.gif'
+        # no header / no filename= → None
+        assert filename_from_url('/x', 'image/png', None) is None
+        assert filename_from_url('/x', 'image/png', 'attachment') is None
+        # a URL with no '/' at all stays on the path branch (find -> -1,
+        # truthy in the reference's `if req.url.find('/')`)
+        assert filename_from_url('name.png', 'image/png', 'filename=other.gif') == 'name.png'
+        # missing ext on the disposition name → content-type extension
+        assert filename_from_url('/x', 'image/png', 'filename=rawname') == 'rawname.png'
+
     def test_get_base_url(self):
         assert get_base_url('https://a/b/c.md') == 'https://a/b'
         assert get_base_url('https://a') == 'https:/'  # rsplit quirk

@@ -97,6 +97,24 @@ def test_differential(spark, name, cfg):
     _assert_match(got_texts, got_images, want)
 
 
+def test_skip_list_large_broadcast_join(spark):
+    """P2 above the size threshold: a 10k-entry skip list must compile
+    to a broadcast hash join (not a 10k-term IN literal) and stay
+    byte-identical vs the oracle."""
+    big = {f'https://neverseen.example/x{i}.png' for i in range(10_000)}
+    big |= {'https://www.google.com/', './pic/pic1_50.png'}
+    cfg = TransformConfig(skip_all_errors=True, skip_list=frozenset(big))
+    res = transform_documents(_spark_docs(spark), cfg)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+    plan = res.docs_out._jdf.queryExecution().explainString(mode)
+    assert 'BroadcastExchange' in plan or 'BroadcastHashJoin' in plan, 'skip list not broadcast-joined'
+    assert plan.count('neverseen.example') == 0, '10k-term IN literal leaked into the plan'
+    got_texts = {r['url']: r['text_out'] for r in res.docs_out.collect()}
+    got_images = {r['real_path']: bytes(r['content']) for r in res.images_out.collect()}
+    want = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(corpus.docs_list(N_DOCS))
+    _assert_match(got_texts, got_images, want)
+
+
 def test_no_image_docs_untouched(spark):
     cfg = TransformConfig(skip_all_errors=True)
     got_texts, _, _ = _run_both(spark, cfg)
