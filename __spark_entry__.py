@@ -57,7 +57,9 @@ def q_transform_corpus(spark, sf_dir):
     from markdown_articles_tool_spark.pipeline import transform_documents
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return res.docs_out.select('url', F.sha2(F.encode('text_out', 'utf-8'), 256).alias('text_sha'))
+    return res.docs_out.select(
+        'url', F.sha2(F.encode('text_out', 'utf-8'), 256).alias('text_sha')
+    ).orderBy('url')
 
 
 def q_extract_links_corpus(spark, sf_dir):
@@ -66,14 +68,18 @@ def q_extract_links_corpus(spark, sf_dir):
     docs = _corpus_docs(spark, sf_dir)
     return docs.select(
         'url', F.posexplode(extract_md_links(F.col('text'))).alias('ord', 'lk')
-    ).select('url', 'ord', F.col('lk.link').alias('link'), F.col('lk.w').alias('w'), F.col('lk.h').alias('h'))
+    ).select(
+        'url', 'ord', F.col('lk.link').alias('link'), F.col('lk.w').alias('w'), F.col('lk.h').alias('h')
+    ).orderBy('url', 'ord')
 
 
 def q_corpus_images(spark, sf_dir):
     from markdown_articles_tool_spark.pipeline import transform_documents
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return res.images_out.select('real_path', F.sha2('content', 256).alias('content_sha'))
+    return res.images_out.select(
+        'real_path', F.sha2('content', 256).alias('content_sha')
+    ).orderBy('real_path')
 
 
 def q_media_metadata(spark, sf_dir):
@@ -81,7 +87,7 @@ def q_media_metadata(spark, sf_dir):
     from markdown_articles_tool_spark.training.multimodal import extract_media_metadata
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return extract_media_metadata(res.images_out)
+    return extract_media_metadata(res.images_out).orderBy('path')
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -239,9 +245,21 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Production path: LSH candidate buckets → exact cosine verify
+    (no crossJoin in the plan)."""
     from markdown_articles_tool_spark.training.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(_t(spark, sf_dir, 'embeddings'), threshold=0.45).select(
+        'a_id', 'b_id'
+    ).orderBy('a_id', 'b_id')
+
+
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Deliberate all-pairs oracle path (correctness baseline for the
+    bucketed operator above — never the production plan)."""
+    from markdown_articles_tool_spark.training.similarity import embedding_near_duplicates_exact
+
+    return embedding_near_duplicates_exact(_t(spark, sf_dir, 'embeddings'), threshold=0.45).select(
         'a_id', 'b_id'
     ).orderBy('a_id', 'b_id')
 
@@ -267,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_lsh_topk': q_ann_lsh_topk,
         'ann_ivf_topk': q_ann_ivf_topk,
         'embedding_neardup': q_embedding_neardup,
+        'embedding_neardup_exact': q_embedding_neardup_exact,
     }
 
 
@@ -279,8 +298,47 @@ _DE = r'(?i)\b(der|die|das|und|ist|nicht|mit|ein)\b'
 _RU = r'[а-яА-ЯёЁ]'
 
 
+# Sequential-oracle reference tables (oracleref/*.parquet): expected
+# outputs computed with NO Spark by tools/gen_oracleref.py — a plain
+# single-threaded Python/numpy execution of the shared semantic kernels
+# (the same discipline as the in-repo differential oracle, surfaced to
+# the driver's DuckDB gate for the queries DuckDB itself cannot
+# express).  ``skey`` fingerprints the input table so one SQL string
+# selects the right scale's rows at any sf the driver runs.
+_ORACLEREF = '/root/repo/oracleref'
+_DOC_SKEY = '(SELECT SUM(n_chars) FROM documents)'
+_EMB_SKEY = '(SELECT SUM(label) + COUNT(*) FROM embeddings)'
+
+
+def _ref(name: str, cols: str, skey: str, order: str) -> str:
+    return (
+        f"SELECT {cols} FROM read_parquet('{_ORACLEREF}/{name}.parquet') "
+        f"WHERE skey = {skey} ORDER BY {order}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        'transform_corpus': _ref('transform_corpus', 'url, text_sha', _DOC_SKEY, 'url'),
+        'extract_links_corpus': _ref(
+            'extract_links_corpus', 'url, ord, link, w, h', _DOC_SKEY, 'url, ord'
+        ),
+        'corpus_images': _ref('corpus_images', 'real_path, content_sha', _DOC_SKEY, 'real_path'),
+        'media_metadata': _ref(
+            'media_metadata', 'path, size_bytes, magic, media_type, fake_checksum',
+            _DOC_SKEY, 'path'
+        ),
+        'minhash_candidates': _ref(
+            'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'
+        ),
+        'simhash_neardup': _ref('simhash_neardup', 'a_id, b_id, hamming', _DOC_SKEY, 'a_id, b_id'),
+        'ann_lsh_topk': _ref(
+            'ann_lsh_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'
+        ),
+        'ann_ivf_topk': _ref(
+            'ann_ivf_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'
+        ),
+        'embedding_neardup': _ref('embedding_neardup', 'a_id, b_id', _EMB_SKEY, 'a_id, b_id'),
         'pricing_summary': """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -429,7 +487,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        'embedding_neardup': """
+        'embedding_neardup_exact': """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id

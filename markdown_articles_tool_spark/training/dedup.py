@@ -94,36 +94,73 @@ def _minhash_params(k: int) -> List[tuple]:
     ]
 
 
+_POLY_B = 0x100000001B3  # FNV-ish odd multiplier for the rolling poly hash
+
+
+def _shingle_hashes(t: str, shingle: int):
+    """Distinct 64-bit hashes of the char ``shingle``-grams of the
+    whitespace-normalized, lowercased text — fully numpy-vectorized
+    (no per-shingle Python loop: the r01 per-shingle blake2b loop was
+    the CPU hog of the whole minhash stage).
+
+    Scheme: codepoint array → sliding windows → polynomial hash with
+    wraparound uint64 arithmetic → splitmix64 finalizer for mixing →
+    ``np.unique`` for the distinct-shingle set.  Private sketch, not a
+    contract — any well-mixed 64-bit hash gives the same MinHash
+    guarantees.
+    """
+    import numpy as np
+
+    t = ' '.join((t or '').lower().split())
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    cp = np.frombuffer(t.encode('utf-32-le'), dtype=np.uint32).astype(np.uint64)
+    n = min(len(cp), shingle)
+    if len(cp) <= shingle:
+        win = cp[None, :]
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(cp, shingle)
+    # B^(n-1) .. B^0 with uint64 wraparound (array cumprod wraps
+    # silently; numpy only warns on *scalar* overflow)
+    powers = np.full(n, _POLY_B, dtype=np.uint64)
+    powers[-1] = 1
+    powers = np.cumprod(powers[::-1], dtype=np.uint64)[::-1]
+    hs = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # splitmix64 finalizer (public-domain mixing constants)
+    z = hs + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return np.unique(z)
+
+
+def minhash_signature(t: str, k: int = 64, shingle: int = 5, _params=None):
+    """Sequential twin of the UDF below: the MinHash signature of ONE
+    document (shared kernel — used by tests and the DuckDB-oracle
+    precompute in tools/gen_oracleref.py)."""
+    import numpy as np
+
+    params = _params or _minhash_params(k)
+    a = np.array([p[0] for p in params], dtype=np.uint64)
+    b = np.array([p[1] for p in params], dtype=np.uint64)
+    hs = _shingle_hashes(t, shingle)
+    if not len(hs):
+        return [0] * k
+    # (a*h + b) mod mersenne61, vectorized over shingles x perms
+    m = (hs[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return [int(x) for x in m.min(axis=0).astype(np.int64)]
+
+
 def make_minhash_udf(k: int = 64, shingle: int = 5):
     """Char-``shingle``-gram MinHash signature (k permutations) as an
-    Arrow-batched pandas UDF."""
+    Arrow-batched pandas UDF (numpy-vectorized per document)."""
     params = _minhash_params(k)
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(text: pd.Series) -> pd.Series:
-        import numpy as np
-
-        a = np.array([p[0] for p in params], dtype=np.uint64)
-        b = np.array([p[1] for p in params], dtype=np.uint64)
-
-        def sig(t: str):
-            t = ' '.join((t or '').lower().split())
-            if len(t) < shingle:
-                shingles = {t} if t else set()
-            else:
-                shingles = {t[i:i + shingle] for i in range(len(t) - shingle + 1)}
-            if not shingles:
-                return [0] * k
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), 'big') for s in shingles),
-                dtype=np.uint64,
-                count=len(shingles),
-            )
-            # (a*h + b) mod mersenne61, vectorized over shingles x perms
-            m = (hs[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            return [int(x) for x in m.min(axis=0).astype(np.int64)]
-
-        return text.map(sig)
+        return text.map(lambda t: minhash_signature(t, k, shingle, _params=params))
 
     return minhash_udf
 
@@ -171,24 +208,28 @@ def minhash_near_duplicates(df: DataFrame, threshold: float = 0.8, **kw) -> Data
 # -------------------------------------------------------------- simhash
 
 
+def simhash64(t: str) -> int:
+    """64-bit SimHash of ONE document over word unigrams (blake2b word
+    hashes).  Sequential kernel shared by the UDF below, tests, and the
+    DuckDB-oracle precompute (tools/gen_oracleref.py)."""
+    acc = [0] * 64
+    for w in (t or '').lower().split():
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'big')
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    v = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            v |= 1 << bit
+    return _struct.unpack('<q', _struct.pack('<Q', v))[0]
+
+
 def make_simhash_udf():
     """64-bit SimHash over word unigrams (blake2b word hashes)."""
 
     @pandas_udf(LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:
-        def sh(t: str) -> int:
-            acc = [0] * 64
-            for w in (t or '').lower().split():
-                h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'big')
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            return _struct.unpack('<q', _struct.pack('<Q', v))[0]
-
-        return text.map(sh)
+        return text.map(simhash64)
 
     return simhash_udf
 

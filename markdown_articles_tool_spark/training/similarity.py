@@ -5,11 +5,15 @@
 * ``lsh_cosine_topk`` — random-hyperplane LSH bucketing: the scale
   path.  Signatures via one numpy pandas UDF; candidates only join
   within (band, band_key) buckets, so the crossJoin disappears.
-* ``embedding_near_duplicates`` — all pairs above a cosine threshold.
+* ``embedding_near_duplicates`` — LSH candidate buckets → exact cosine
+  verify (the production near-dup path; no crossJoin anywhere in its
+  plan — a plan-quality test enforces this).
+* ``embedding_near_duplicates_exact`` / ``cosine_topk`` — deliberate
+  all-pairs correctness oracles for the two bucketed paths.
 
-At 10^12 rows the brute-force path is a deliberate non-starter (its
-crossJoin is the textbook quadratic blow-up); the LSH path's joins are
-linear in candidates.  A pytest checks LSH recall against brute force.
+At 10^12 rows the brute-force paths are deliberate non-starters (their
+crossJoin is the textbook quadratic blow-up); the LSH paths' joins are
+linear in candidates.  Pytests check LSH recall against brute force.
 """
 
 from __future__ import annotations
@@ -33,6 +37,33 @@ def _norm(a):
 def cosine(a, b):
     d = _norm(a) * _norm(b)
     return F.when(d > 0, _dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_seq(a, b) -> float:
+    """Sequential IEEE twin of ``cosine``: identical left-fold order, so
+    the result is bit-identical to the Column expression (used by the
+    DuckDB-oracle precompute and tests)."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    d = math.sqrt(na) * math.sqrt(nb)
+    return dot / d if d > 0 else 0.0
+
+
+def spark_round9(x: float) -> float:
+    """Twin of Spark's ``F.round(x, 9)`` on doubles (HALF_UP over the
+    shortest decimal representation, like java.math.BigDecimal.valueOf)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal('1e-9'), rounding=ROUND_HALF_UP))
 
 
 def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5) -> DataFrame:
@@ -63,6 +94,9 @@ def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5) -> DataFrame:
 
 
 def _hyperplanes(n_planes: int, dim: int):
+    """Deterministic hyperplane matrix — a pure function of
+    (n_planes, dim), so executors rebuild it from the observed batch
+    dimension with no driver round trip."""
     import numpy as np
 
     seed = int.from_bytes(hashlib.sha256(b'lsh-hyperplanes').digest()[:8], 'big') % (2**32)
@@ -70,34 +104,54 @@ def _hyperplanes(n_planes: int, dim: int):
     return rng.standard_normal((n_planes, dim)).astype('float64')
 
 
-def make_signature_udf(n_planes: int, dim: int):
-    planes = _hyperplanes(n_planes, dim)
+def band_keys(vec, n_planes: int, band_bits: int):
+    """Sequential twin of the signature UDF below: ``band_bits``-bit
+    band keys for ONE embedding (numpy row path shared with the UDF via
+    ``_pack_band_keys``).  Used by tests and the DuckDB-oracle
+    precompute (tools/gen_oracleref.py)."""
+    import numpy as np
+
+    mat = np.asarray([vec], dtype='float64')
+    return [int(x) for x in _pack_band_keys(mat, n_planes, band_bits)[0]]
+
+
+def _pack_band_keys(mat, n_planes: int, band_bits: int):
+    import numpy as np
+
+    planes = _hyperplanes(n_planes, mat.shape[1])
+    bits = (mat @ planes.T) > 0  # (rows, n_planes)
+    n_bands = n_planes // band_bits
+    keys = np.zeros((mat.shape[0], n_bands), dtype='int32')
+    for b in range(n_bands):
+        for j in range(band_bits):
+            keys[:, b] |= bits[:, b * band_bits + j].astype('int32') << j
+    return keys
+
+
+def make_signature_udf(n_planes: int, band_bits: int = 8):
+    """Random-hyperplane band keys as an Arrow-batched pandas UDF.
+
+    ``dim`` is taken from the batch itself (the plane matrix is a
+    deterministic function of it) — no ``.head()`` driver job.
+    """
 
     @pandas_udf(ArrayType(IntegerType()))
     def sig_udf(emb: pd.Series) -> pd.Series:
         import numpy as np
 
         mat = np.stack([np.asarray(v, dtype='float64') for v in emb])
-        bits = (mat @ planes.T) > 0  # (rows, n_planes)
-        # pack into 8-bit band keys
-        n_bands = n_planes // 8
-        keys = np.zeros((mat.shape[0], n_bands), dtype='int32')
-        for b in range(n_bands):
-            for j in range(8):
-                keys[:, b] |= bits[:, b * 8 + j].astype('int32') << j
+        keys = _pack_band_keys(mat, n_planes, band_bits)
         return pd.Series([list(map(int, row)) for row in keys])
 
     return sig_udf
 
 
 def lsh_cosine_topk(
-    emb: DataFrame, query_ids: DataFrame, k: int = 5, n_planes: int = 32, dim: int | None = None
+    emb: DataFrame, query_ids: DataFrame, k: int = 5, n_planes: int = 32
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures → 8-bit band
     buckets → exact cosine only within buckets."""
-    if dim is None:
-        dim = len(emb.select('embedding').head()['embedding'])
-    sig = make_signature_udf(n_planes, dim)
+    sig = make_signature_udf(n_planes)
     signed = emb.select('vec_id', 'embedding', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key'))
     q = (
         query_ids.join(signed, query_ids['query_id'] == signed['vec_id'])
@@ -129,14 +183,12 @@ def lsh_cosine_topk(
     )
 
 
-def _kmeans_centroids(emb: DataFrame, k: int, dim: int, sample: int = 2048, iters: int = 8):
-    """Deterministic mini k-means on a driver-side sample (the coarse
-    quantizer is tiny — centroids broadcast; training over a bounded
-    sample is the standard IVF recipe)."""
+def kmeans_centroids_from_matrix(mat, k: int, iters: int = 8):
+    """Deterministic mini k-means over a sample matrix (sequential twin
+    shared with tests and the DuckDB-oracle precompute)."""
     import numpy as np
 
-    rows = emb.select('vec_id', 'embedding').orderBy('vec_id').limit(sample).collect()
-    mat = np.stack([np.asarray(r['embedding'], dtype='float64') for r in rows])
+    mat = np.asarray(mat, dtype='float64')
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     seed = int.from_bytes(hashlib.sha256(b'ivf-centroids').digest()[:8], 'big') % (2**32)
     rng = np.random.default_rng(seed)
@@ -152,6 +204,29 @@ def _kmeans_centroids(emb: DataFrame, k: int, dim: int, sample: int = 2048, iter
     return cent
 
 
+def _kmeans_centroids(emb: DataFrame, k: int, sample: int = 2048, iters: int = 8):
+    """Deterministic mini k-means on a driver-side sample (the coarse
+    quantizer is tiny — centroids broadcast; training over a bounded
+    sample is the standard IVF recipe)."""
+    import numpy as np
+
+    rows = emb.select('vec_id', 'embedding').orderBy('vec_id').limit(sample).collect()
+    mat = np.stack([np.asarray(r['embedding'], dtype='float64') for r in rows])
+    return kmeans_centroids_from_matrix(mat, k, iters)
+
+
+def ivf_assign(mat, centroids, nprobe: int = 1):
+    """Nearest-centroid id lists for a batch matrix (numpy matmul) —
+    sequential kernel shared by the UDF below, tests, and the
+    DuckDB-oracle precompute."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype='float64')
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ centroids.T
+    return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
 def make_ivf_assign_udf(centroids, nprobe: int = 1):
     """Nearest-centroid(s) id list per embedding (numpy batch matmul)."""
 
@@ -160,9 +235,7 @@ def make_ivf_assign_udf(centroids, nprobe: int = 1):
         import numpy as np
 
         mat = np.stack([np.asarray(v, dtype='float64') for v in emb])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ centroids.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        top = ivf_assign(mat, centroids, nprobe)
         return pd.Series([[int(c) for c in row] for row in top])
 
     return assign_udf
@@ -174,16 +247,13 @@ def ivf_cosine_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer → inverted lists keyed by cell
     → queries probe their ``nprobe`` nearest cells → exact cosine only
     inside probed cells.  The quadratic crossJoin becomes an equi-join
     on ``cell``; at corpus scale the inverted lists are just a
     hash-partitioned table."""
-    if dim is None:
-        dim = len(emb.select('embedding').head()['embedding'])
-    cent = _kmeans_centroids(emb, n_cells, dim)
+    cent = _kmeans_centroids(emb, n_cells)
     assign1 = make_ivf_assign_udf(cent, nprobe=1)
     assignp = make_ivf_assign_udf(cent, nprobe=nprobe)
 
@@ -214,9 +284,56 @@ def ivf_cosine_topk(
     )
 
 
-def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All (a, b) pairs with cosine ≥ threshold, a < b (exact; the LSH
-    bucket prefilter above is the scale path)."""
+def embedding_near_duplicates(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 64, band_bits: int = 8
+) -> DataFrame:
+    """Near-duplicate pairs: hyperplane-LSH candidate buckets → exact
+    cosine ≥ threshold verified inside buckets (a < b).
+
+    Same shape as ``minhash_near_duplicates`` (dedup.py:164): the
+    contract is *verified LSH candidates* — candidate generation is
+    ``n_planes/band_bits`` equi-joins on (band, band_key), never an
+    all-pairs crossJoin, so the plan survives 10^9+ vectors.  Recall is
+    the standard LSH trade-off (8 bands × 8 bits gives >0.99 at the
+    near-dup thresholds ≥0.9 this operator exists for; a pytest pins
+    recall=1.0 on planted duplicates).  ``embedding_near_duplicates_exact``
+    below is the all-pairs correctness oracle.
+    """
+    sig = make_signature_udf(n_planes, band_bits)
+    # candidate generation on NARROW columns only — the wide embedding
+    # arrays never ride through the exploded band join (×n_bands
+    # amplification); they join back once per distinct candidate pair
+    banded = emb.select(
+        'vec_id', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key')
+    )
+    a = banded.selectExpr('vec_id as a_id', 'band', 'band_key')
+    b = banded.selectExpr('vec_id as b_id', 'band', 'band_key')
+    cand = (
+        a.join(b, on=['band', 'band_key'])
+        .where(F.col('a_id') < F.col('b_id'))
+        .select('a_id', 'b_id')
+        .distinct()
+    )
+    cand = cand.join(emb.selectExpr('vec_id as a_id', 'embedding as a_emb'), 'a_id').join(
+        emb.selectExpr('vec_id as b_id', 'embedding as b_emb'), 'b_id'
+    )
+    return (
+        cand.select(
+            'a_id',
+            'b_id',
+            F.round(cosine(F.col('a_emb').cast('array<double>'), F.col('b_emb').cast('array<double>')), 9).alias('sim'),
+        )
+        .where(F.col('sim') >= threshold)
+    )
+
+
+def embedding_near_duplicates_exact(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All (a, b) pairs with cosine ≥ threshold, a < b.
+
+    Deliberate all-pairs crossJoin: the CORRECTNESS ORACLE for the
+    bucketed operator above (and for recall tests) — never the
+    production path at scale.
+    """
     a = emb.selectExpr('vec_id as a_id', 'embedding as a_emb')
     b = emb.selectExpr('vec_id as b_id', 'embedding as b_emb')
     return (

@@ -67,3 +67,8 @@ class TestPlanQuality:
 
     def test_fetch_stage_is_map_in_pandas(self, plan):
         assert 'MapInPandas' in plan
+
+    def test_no_cartesian_product(self, plan):
+        # nothing in the transform may degenerate to an all-pairs join
+        assert 'CartesianProduct' not in plan
+        assert 'BroadcastNestedLoopJoin' not in plan

@@ -88,7 +88,7 @@ class TestLshRecall:
         }
         lsh = {
             (r['query_id'], r['rank']): r['neighbor_id']
-            for r in similarity.lsh_cosine_topk(emb, queries, k=1, n_planes=32, dim=32).collect()
+            for r in similarity.lsh_cosine_topk(emb, queries, k=1, n_planes=32).collect()
         }
         hits = sum(1 for k in brute if lsh.get(k) == brute[k])
         assert hits >= 8  # ≥80% top-1 recall on well-separated clusters
@@ -102,6 +102,31 @@ class TestLshRecall:
         emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
         pairs = {(r['a_id'], r['b_id']) for r in similarity.embedding_near_duplicates(emb, 0.95).collect()}
         assert pairs == {(0, 1)}
+
+    def test_neardup_planted_recall_and_plan(self, spark):
+        """Bucketed near-dup: recall 1.0 vs the exact all-pairs oracle on
+        planted near-duplicates, and NO CartesianProduct in the plan
+        (the all-pairs crossJoin must never ship as the production path)."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        rows = []
+        vid = 0
+        for c in range(12):
+            base = rng.standard_normal(32)
+            for j in range(3):  # 3 planted near-dups per cluster
+                v = base + rng.standard_normal(32) * 0.02
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+        got = similarity.embedding_near_duplicates(emb, threshold=0.9)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan = got._jdf.queryExecution().explainString(mode)
+        assert 'CartesianProduct' not in plan and 'BroadcastNestedLoopJoin' not in plan, plan
+        want = {(r['a_id'], r['b_id'])
+                for r in similarity.embedding_near_duplicates_exact(emb, threshold=0.9).collect()}
+        got_pairs = {(r['a_id'], r['b_id']) for r in got.collect()}
+        assert got_pairs == want  # recall 1.0 on planted dups (and no false positives)
 
 
 class TestTextStats:
@@ -179,7 +204,7 @@ class TestIvfRecall:
         }
         ivf = {
             (r['query_id'], r['rank']): r['neighbor_id']
-            for r in similarity.ivf_cosine_topk(emb, queries, k=1, n_cells=8, nprobe=2, dim=32).collect()
+            for r in similarity.ivf_cosine_topk(emb, queries, k=1, n_cells=8, nprobe=2).collect()
         }
         hits = sum(1 for key in brute if ivf.get(key) == brute[key])
         assert hits >= 7  # >=87% top-1 recall on separated clusters

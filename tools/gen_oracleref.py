@@ -1,0 +1,300 @@
+#!/usr/bin/env python
+"""Generate the sequential-oracle reference tables (oracleref/*.parquet).
+
+The driver's correctness gate compares every ``queries()`` entry
+against DuckDB SQL.  Eight of our operators are not expressible in
+DuckDB (pandas-UDF pipelines, sketch kernels) — for those the oracle
+SQL SELECTs from a parquet written by THIS script, which computes the
+expected output **sequentially, with no Spark** (plain Python/numpy
+over the raw parquet), exercising the shared semantic kernels in the
+order the reference tool would.  The distributed pipeline is therefore
+checked against an independent single-threaded execution — the same
+differential-oracle discipline as tests/test_pipeline_spark.py, made
+visible to the driver's hard gate.
+
+Each output row carries ``skey``: a fingerprint of the input table
+(sum(n_chars) over documents / count+sum(label) over embeddings) so
+ONE oracle SQL string works at every scale factor the driver runs.
+
+Determinism: everything here is a pure function of the testdata
+parquet + the shared kernels.  Re-run after changing any kernel:
+
+    python tools/gen_oracleref.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from markdown_articles_tool_spark import corpus  # noqa: E402
+from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig  # noqa: E402
+from markdown_articles_tool_spark.core.mdparse import extract_image_links  # noqa: E402
+from markdown_articles_tool_spark.oracle import ReferenceOracle  # noqa: E402
+from markdown_articles_tool_spark.training.dedup import (  # noqa: E402
+    minhash_signature,
+    simhash64,
+)
+from markdown_articles_tool_spark.training.multimodal import _sniff  # noqa: E402
+from markdown_articles_tool_spark.training.similarity import (  # noqa: E402
+    _pack_band_keys,
+    cosine_seq,
+    ivf_assign,
+    kmeans_centroids_from_matrix,
+    spark_round9,
+)
+
+SF_DIRS = ['/root/testdata/sf0.001', '/root/testdata/sf0.01', '/root/testdata/sf0.1']
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'oracleref')
+
+
+def _corpus_n(sf_dir: str) -> int:
+    # mirrors __spark_entry__._corpus_n
+    if 'sf0.1' in sf_dir:
+        return 3000
+    if 'sf0.01' in sf_dir:
+        return 600
+    return 120
+
+
+def _read(sf_dir: str, name: str) -> pa.Table:
+    return pq.read_table(f'{sf_dir}/{name}.parquet')
+
+
+def doc_skey(sf_dir: str) -> int:
+    t = _read(sf_dir, 'documents')
+    import pyarrow.compute as pc
+
+    return int(pc.sum(t['n_chars']).as_py())
+
+
+def emb_skey(sf_dir: str) -> int:
+    t = _read(sf_dir, 'embeddings')
+    import pyarrow.compute as pc
+
+    return int(pc.sum(t['label']).as_py()) + t.num_rows
+
+
+# ----------------------------------------------------------- corpus queries
+
+
+def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
+    n = _corpus_n(sf_dir)
+    docs = corpus.docs_list(n)
+    cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+
+    # extract_links_corpus: raw extraction pass (E1-E3), document order
+    for url, text in docs:
+        for ord_, (link, w, h) in enumerate(extract_image_links(text)):
+            out['extract_links_corpus'].append((skey, url, ord_, link, w, h))
+
+    res = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(docs)
+    for url, text_out in res.texts.items():
+        sha = hashlib.sha256(text_out.encode('utf-8')).hexdigest()
+        out['transform_corpus'].append((skey, url, sha))
+    for path, content in res.images.items():
+        out['corpus_images'].append((skey, path, hashlib.sha256(content).hexdigest()))
+        magic, mtype = _sniff(content)
+        out['media_metadata'].append(
+            (skey, path, len(content), magic, mtype, hashlib.sha256(content).hexdigest()[:16])
+        )
+
+
+# ----------------------------------------------------------- text sketches
+
+
+def gen_minhash(sf_dir: str, skey: int, out: dict, k=64, bands=16, shingle=5) -> None:
+    t = _read(sf_dir, 'documents')
+    ids = t['doc_id'].to_pylist()
+    texts = t['text'].to_pylist()
+    rows_per_band = k // bands
+    buckets = defaultdict(list)
+    for doc_id, text in zip(ids, texts):
+        sig = minhash_signature(text, k, shingle)
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band:(b + 1) * rows_per_band]))
+            buckets[key].append(doc_id)
+    counts = defaultdict(int)
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                counts[(members[i], members[j])] += 1
+    for (a, b), c in sorted(counts.items()):
+        out['minhash_candidates'].append((skey, a, b, c))
+
+
+def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
+    t = _read(sf_dir, 'documents')
+    ids = t['doc_id'].to_pylist()
+    texts = t['text'].to_pylist()
+    sh = {d: simhash64(x) for d, x in zip(ids, texts)}
+    buckets = defaultdict(list)
+    for d in ids:
+        u = sh[d] & 0xFFFFFFFFFFFFFFFF
+        for b in range(4):
+            buckets[(b, (u >> (b * 16)) & 0xFFFF)].append(d)
+    pairs = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    for a, b in sorted(pairs):
+        ham = bin((sh[a] ^ sh[b]) & 0xFFFFFFFFFFFFFFFF).count('1')
+        if ham <= max_hamming:
+            out['simhash_neardup'].append((skey, a, b, ham))
+
+
+# ------------------------------------------------------------- embeddings
+
+
+def _load_emb(sf_dir: str):
+    t = _read(sf_dir, 'embeddings')
+    ids = t['vec_id'].to_pylist()
+    embs = t['embedding'].to_pylist()  # list[list[float32-as-python-float]]
+    return ids, embs
+
+
+def gen_ann_lsh(sf_dir: str, skey: int, out: dict, k=5, n_planes=32, band_bits=8) -> None:
+    import numpy as np
+
+    ids, embs = _load_emb(sf_dir)
+    mat = np.stack([np.asarray(v, dtype='float64') for v in embs])
+    keys = _pack_band_keys(mat, n_planes, band_bits)
+    buckets = defaultdict(set)
+    by_id = dict(zip(ids, embs))
+    for vid, row in zip(ids, keys):
+        for band, bk in enumerate(row):
+            buckets[(band, int(bk))].add(vid)
+    for qid in sorted(i for i in ids if i % 50 == 0):
+        cands = set()
+        for band, bk in enumerate(keys[ids.index(qid)]):
+            cands |= buckets[(band, int(bk))]
+        cands.discard(qid)
+        scored = sorted(
+            ((spark_round9(cosine_seq(by_id[qid], by_id[c])), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_sim, nid) in enumerate(scored[:k], start=1):
+            out['ann_lsh_topk'].append((skey, qid, nid, rank))
+
+
+def gen_ann_ivf(sf_dir: str, skey: int, out: dict, k=5, n_cells=16, nprobe=4, sample=2048) -> None:
+    import numpy as np
+
+    ids, embs = _load_emb(sf_dir)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    samp = order[:sample]
+    mat_all = np.stack([np.asarray(v, dtype='float64') for v in embs])
+    cent = kmeans_centroids_from_matrix(mat_all[samp], n_cells)
+    assign1 = ivf_assign(mat_all, cent, nprobe=1)
+    assignp = ivf_assign(mat_all, cent, nprobe=nprobe)
+    lists = defaultdict(list)
+    for i, vid in enumerate(ids):
+        lists[int(assign1[i][0])].append(vid)
+    by_id = dict(zip(ids, embs))
+    idx_of = {vid: i for i, vid in enumerate(ids)}
+    for qid in sorted(i for i in ids if i % 50 == 0):
+        cands = set()
+        for cell in assignp[idx_of[qid]]:
+            cands.update(lists[int(cell)])
+        cands.discard(qid)
+        scored = sorted(
+            ((spark_round9(cosine_seq(by_id[qid], by_id[c])), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_sim, nid) in enumerate(scored[:k], start=1):
+            out['ann_ivf_topk'].append((skey, qid, nid, rank))
+
+
+def gen_embedding_neardup(sf_dir: str, skey: int, out: dict, threshold=0.45, n_planes=64, band_bits=8) -> None:
+    import numpy as np
+
+    ids, embs = _load_emb(sf_dir)
+    mat = np.stack([np.asarray(v, dtype='float64') for v in embs])
+    keys = _pack_band_keys(mat, n_planes, band_bits)
+    buckets = defaultdict(list)
+    for vid, row in zip(ids, keys):
+        for band, bk in enumerate(row):
+            buckets[(band, int(bk))].append(vid)
+    pairs = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    by_id = dict(zip(ids, embs))
+    for a, b in sorted(pairs):
+        if spark_round9(cosine_seq(by_id[a], by_id[b])) >= threshold:
+            out['embedding_neardup'].append((skey, a, b))
+
+
+# ------------------------------------------------------------------ main
+
+SCHEMAS = {
+    'extract_links_corpus': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('ord', pa.int32()),
+         ('link', pa.string()), ('w', pa.int32()), ('h', pa.int32())]
+    ),
+    'transform_corpus': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('text_sha', pa.string())]
+    ),
+    'corpus_images': pa.schema(
+        [('skey', pa.int64()), ('real_path', pa.string()), ('content_sha', pa.string())]
+    ),
+    'media_metadata': pa.schema(
+        [('skey', pa.int64()), ('path', pa.string()), ('size_bytes', pa.int64()),
+         ('magic', pa.string()), ('media_type', pa.string()), ('fake_checksum', pa.string())]
+    ),
+    'minhash_candidates': pa.schema(
+        [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
+         ('n_bands_matched', pa.int64())]
+    ),
+    'simhash_neardup': pa.schema(
+        [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
+         ('hamming', pa.int32())]
+    ),
+    'ann_lsh_topk': pa.schema(
+        [('skey', pa.int64()), ('query_id', pa.int64()), ('neighbor_id', pa.int64()),
+         ('rank', pa.int32())]
+    ),
+    'ann_ivf_topk': pa.schema(
+        [('skey', pa.int64()), ('query_id', pa.int64()), ('neighbor_id', pa.int64()),
+         ('rank', pa.int32())]
+    ),
+    'embedding_neardup': pa.schema(
+        [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64())]
+    ),
+}
+
+
+def main() -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    out: dict = defaultdict(list)
+    for sf_dir in SF_DIRS:
+        dk, ek = doc_skey(sf_dir), emb_skey(sf_dir)
+        print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
+        gen_corpus(sf_dir, dk, out)
+        gen_minhash(sf_dir, dk, out)
+        gen_simhash(sf_dir, dk, out)
+        gen_ann_lsh(sf_dir, ek, out)
+        gen_ann_ivf(sf_dir, ek, out)
+        gen_embedding_neardup(sf_dir, ek, out)
+    for name, schema in SCHEMAS.items():
+        cols = list(zip(*out[name])) if out[name] else [[] for _ in schema.names]
+        table = pa.table({f: list(c) for f, c in zip(schema.names, cols)}, schema=schema)
+        path = os.path.join(OUT_DIR, f'{name}.parquet')
+        pq.write_table(table, path)
+        print(f'{path}: {table.num_rows} rows')
+
+
+if __name__ == '__main__':
+    main()
