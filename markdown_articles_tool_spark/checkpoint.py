@@ -1,31 +1,38 @@
 """Checkpointed, resumable corpus runs with per-partition lineage.
 
 North-rule requirement: the 10^12-doc job must be resumable from
-checkpoint with per-partition lineage + metrics.  The reference has no
-fault tolerance at all (a crash re-runs the article from scratch;
-partially written images are skipped by the exists-check,
+checkpoint with per-partition lineage + metrics, AND a resumed/sharded
+run must be byte-identical to an uninterrupted global run.  The
+reference has no fault tolerance at all (a crash re-runs the article
+from scratch; partially written images are skipped by the exists-check,
 image_downloader.py:287-289) — this module is the cluster-grade
 replacement (SURVEY.md §4 "Resume / fault tolerance").
 
 Design (batch-incremental, no Structured Streaming — the reference has
-no streaming concept):
+no streaming concept).  Each transformer pass runs in two phases:
 
-* work is split into deterministic **shards** by ``pxxhash64(url) % n``;
-* each shard's outputs land under ``out/docs/shard=K`` and
-  ``out/images/shard=K`` followed by a ``_SHARD_COMMIT`` marker and a
-  lineage row — marker-last gives idempotent, atomic-enough commits on
-  any filesystem (on Iceberg this becomes a MERGE + snapshot);
-* restart = anti-join of the shard list against committed markers:
-  completed shards are skipped byte-for-byte, incomplete shard dirs are
-  overwritten;
-* lineage parquet rows: (shard, n_docs, n_links, per-status counts,
-  wall_sec) — the per-partition metrics table.
+* **Phase A (sharded, resumable)** — the expensive shard-local half
+  (``pipeline.extract_pass_links``: extraction UDF, filters,
+  distinct-URL fetch, per-link filename/status).  Work splits into
+  deterministic shards by ``pmod(xxhash64(url), n)``; each shard's
+  narrow link metadata + fetched bytes land under
+  ``stage/pass=P/{links,fetched}/shard=K`` followed by a commit marker
+  — marker-last gives idempotent commits on any filesystem (on Iceberg
+  this becomes a MERGE + snapshot).  Restart = anti-join of the shard
+  list against committed markers.
+* **Phase B (global, idempotent)** — the cheap global half
+  (``pipeline.finish_pass``: content-dedup winners over the union of
+  ALL shards' links, path algebra, per-doc fold + rewrite, sinks).
+  Because dedup winners are computed over the full corpus here, a
+  sharded/resumed run produces byte-identical output to a non-sharded
+  run **by construction** — there is no per-shard dedup scope to
+  diverge (this closes r01's DIVERGENCES #12).  Phase B re-runs in
+  full if its marker is missing; it is deterministic and overwrite-
+  idempotent.
 
-Determinism note: content-hash dedup state is scoped per shard under
-resume (each shard computes its own winners).  A canonical total order
-(url, ord) keeps that deterministic; cross-shard dedup is recovered at
-read time by mapping image paths through the global winners view, or
-by running dedup globally in a non-resumable pass.
+Lineage parquet-style rows: per (pass, shard) JSON with n_docs +
+per-status link counts + wall seconds (the per-partition metrics
+table), plus a per-pass global row.
 """
 
 from __future__ import annotations
@@ -38,28 +45,37 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .core.linkflow import TransformConfig
-from .pipeline import transform_documents
-
-SHARD_COMMIT = '_SHARD_COMMIT'
+from .core.linkflow import DedupVariant, TransformConfig
+from .pipeline import LINKMETA_COLS, extract_pass_links, finish_pass
 
 
 @dataclass
 class RunReport:
     n_shards: int
-    shards_run: List[int]
-    shards_skipped: List[int]
+    shards_run: List[int]       # shards whose phase A ran in ANY pass
+    shards_skipped: List[int]   # shards skipped (already committed) in every pass
 
 
-def _committed_shards(out_dir: str) -> set:
-    marker_dir = os.path.join(out_dir, 'commits')
-    if not os.path.isdir(marker_dir):
-        return set()
-    return {
-        int(name.split('=', 1)[1])
-        for name in os.listdir(marker_dir)
-        if name.startswith('shard=')
-    }
+def _marker(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, 'commits', name)
+
+
+def _commit(out_dir: str, name: str) -> None:
+    # marker LAST: a crash before this line leaves the unit uncommitted
+    # → fully re-run on restart (idempotent overwrite)
+    with open(_marker(out_dir, name), 'w') as f:
+        f.write('ok')
+
+
+def _committed(out_dir: str, name: str) -> bool:
+    return os.path.exists(_marker(out_dir, name))
+
+
+def _write_lineage(out_dir: str, name: str, row: dict) -> None:
+    p = os.path.join(out_dir, 'lineage')
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, name), 'w') as f:
+        json.dump(row, f)
 
 
 def run_with_resume(
@@ -69,66 +85,140 @@ def run_with_resume(
     out_dir: str,
     n_shards: int = 8,
     fetcher=None,
+    local_assets: Optional[dict] = None,
 ) -> RunReport:
-    """Transform ``docs`` (url, text) shard by shard, committing each
-    shard atomically; re-running after a crash skips committed shards."""
+    """Transform ``docs`` (url, text) with checkpointed resume.
+
+    Re-running after a crash skips committed shard stages and
+    re-executes only missing work; the final tables are byte-identical
+    to an uninterrupted (and to a non-sharded) run.
+    """
     os.makedirs(os.path.join(out_dir, 'commits'), exist_ok=True)
-    done = _committed_shards(out_dir)
-    run, skipped = [], []
+    ran, skipped = set(), set()
+    finals_ran = False
 
-    sharded = docs.withColumn('shard', F.pmod(F.xxhash64('url'), F.lit(n_shards)))
-    for k in range(n_shards):
-        if k in done:
-            skipped.append(k)
+    for i, fmt in enumerate(cfg.input_formats):
+        last = i == len(cfg.input_formats) - 1
+        if _committed(out_dir, f'pass={i}_final'):
+            skipped.update(range(n_shards))
             continue
+
+        cur_docs = (
+            docs.select('url', 'text')
+            if i == 0
+            else spark.read.parquet(os.path.join(out_dir, f'docs_pass={i - 1}'))
+        )
+        sharded = cur_docs.withColumn('shard', F.pmod(F.xxhash64('url'), F.lit(n_shards)))
+
+        # ---------------------------------------------- phase A (sharded)
+        for k in range(n_shards):
+            if _committed(out_dir, f'pass={i}_shard={k}'):
+                skipped.add(k)
+                continue
+            t0 = time.time()
+            shard_docs = sharded.where(F.col('shard') == k).select('url', 'text')
+            links, fetched, cached = extract_pass_links(
+                shard_docs, cfg, fmt=fmt, fetcher=fetcher, local_assets=local_assets
+            )
+            links_path = os.path.join(out_dir, 'stage', f'pass={i}', 'links', f'shard={k}')
+            fetched_path = os.path.join(out_dir, 'stage', f'pass={i}', 'fetched', f'shard={k}')
+            links.write.mode('overwrite').parquet(links_path)
+            fetched.select('fetch_key', 'content').write.mode('overwrite').parquet(fetched_path)
+            status_counts = {
+                r['status']: r['count'] for r in links.groupBy('status').count().collect()
+            }
+            _write_lineage(out_dir, f'shard-{i}-{k}.json', {
+                'pass': i,
+                'shard': k,
+                # footer-count of the staged parquet, not a recompute
+                'n_links': spark.read.parquet(links_path).count(),
+                'n_docs': shard_docs.count(),
+                'status_counts': status_counts,
+                'wall_sec': round(time.time() - t0, 3),
+            })
+            _commit(out_dir, f'pass={i}_shard={k}')
+            ran.add(k)
+            for df in cached:
+                df.unpersist()
+
+        # ---------------------------------------------- phase B (global)
         t0 = time.time()
-        shard_docs = sharded.where(F.col('shard') == k).select('url', 'text')
-        res = transform_documents(shard_docs, cfg, fetcher=fetcher)
+        finals_ran = True
+        # the shard=K dirs read back as a discovered partition column —
+        # project it away so finish_pass sees exactly the linkmeta shape
+        links_all = spark.read.parquet(
+            os.path.join(out_dir, 'stage', f'pass={i}', 'links')
+        ).select(*LINKMETA_COLS)
+        fetched_all = spark.read.parquet(
+            os.path.join(out_dir, 'stage', f'pass={i}', 'fetched')
+        ).dropDuplicates(['fetch_key'])
+        dedup_state = None
+        if i > 0 and cfg.deduplication == DedupVariant.CONTENT_HASH:
+            dedup_state = spark.read.parquet(
+                os.path.join(out_dir, 'stage', f'pass={i - 1}', 'registrations')
+            )
+        res = finish_pass(cur_docs, links_all, fetched_all, cfg, pass_idx=i, dedup_state=dedup_state)
 
-        docs_path = os.path.join(out_dir, 'docs', f'shard={k}')
-        imgs_path = os.path.join(out_dir, 'images', f'shard={k}')
-        res.docs_out.write.mode('overwrite').parquet(docs_path)
-        res.images_out.write.mode('overwrite').parquet(imgs_path)
-
-        status_counts = {
-            r['status']: r['count']
-            for r in res.links_audit.groupBy('status').count().collect()
-        }
-        # lineage doc count comes from the just-written parquet (footer
-        # metadata — near-free) instead of re-counting the unpersisted
-        # transform, which would recompute the whole shard a second time
-        n_docs = spark.read.parquet(docs_path).count()
-        lineage_row = {
-            'shard': k,
-            'n_docs': n_docs,
-            'status_counts': status_counts,
+        if last:
+            res.docs_out.write.mode('overwrite').parquet(os.path.join(out_dir, 'docs'))
+        else:
+            res.docs_out.withColumnRenamed('text_out', 'text').write.mode('overwrite').parquet(
+                os.path.join(out_dir, f'docs_pass={i}')
+            )
+        res.images_out.withColumn('_pass', F.lit(i)).write.mode('overwrite').parquet(
+            os.path.join(out_dir, 'stage', f'pass={i}', 'images')
+        )
+        if res.dedup_registrations is not None:
+            res.dedup_registrations.write.mode('overwrite').parquet(
+                os.path.join(out_dir, 'stage', f'pass={i}', 'registrations')
+            )
+        _write_lineage(out_dir, f'pass-{i}.json', {
+            'pass': i,
+            'n_docs_out': spark.read.parquet(
+                os.path.join(out_dir, 'docs' if last else f'docs_pass={i}')
+            ).count(),
             'wall_sec': round(time.time() - t0, 3),
-        }
-        lineage_path = os.path.join(out_dir, 'lineage')
-        os.makedirs(lineage_path, exist_ok=True)
-        with open(os.path.join(lineage_path, f'shard-{k}.json'), 'w') as f:
-            json.dump(lineage_row, f)
+        })
+        _commit(out_dir, f'pass={i}_final')
 
-        # marker LAST: a crash before this line leaves the shard
-        # uncommitted → fully re-run on restart (idempotent overwrite)
-        with open(os.path.join(out_dir, 'commits', f'shard={k}'), 'w') as f:
-            f.write('ok')
-        run.append(k)
-        res.cleanup()  # drop this shard's cached intermediates
+    # ------------------------------------- final images (cross-pass wins)
+    if finals_ran or not _committed(out_dir, 'images_final'):
+        imgs = spark.read.parquet(os.path.join(out_dir, 'stage', 'pass=*', 'images'))
+        # first write wins across passes (skip-if-exists,
+        # image_downloader.py:287-289) — same fold as transform_documents
+        imgs.groupBy('real_path').agg(F.min_by('content', '_pass').alias('content')).write.mode(
+            'overwrite'
+        ).parquet(os.path.join(out_dir, 'images'))
+        _commit(out_dir, 'images_final')
 
-    return RunReport(n_shards, run, skipped)
+    return RunReport(n_shards, sorted(ran), sorted(skipped - ran))
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, 'docs', 'shard=*'))
+    return spark.read.parquet(os.path.join(out_dir, 'docs'))
+
+
+def read_images(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, 'images'))
 
 
 def lineage(out_dir: str) -> List[dict]:
+    """Per-(pass, shard) metrics rows (phase A)."""
+    return _lineage_rows(out_dir, 'shard-')
+
+
+def pass_lineage(out_dir: str) -> List[dict]:
+    """Per-pass global rows (phase B)."""
+    return _lineage_rows(out_dir, 'pass-')
+
+
+def _lineage_rows(out_dir: str, prefix: str) -> List[dict]:
     p = os.path.join(out_dir, 'lineage')
     if not os.path.isdir(p):
         return []
     rows = []
     for name in sorted(os.listdir(p)):
-        with open(os.path.join(p, name)) as f:
-            rows.append(json.load(f))
+        if name.startswith(prefix):
+            with open(os.path.join(p, name)) as f:
+                rows.append(json.load(f))
     return rows

@@ -77,18 +77,30 @@ def _doc_prefix_strings(cfg: TransformConfig):
     return '/'.join(p.parts), str(p), str(dedup_p)
 
 
-def transform_pass(
+# columns extract_pass_links hands to finish_pass — everything the
+# global half needs, nothing else (this is also the sharded-resume
+# staging schema: narrow per-link metadata, no content bytes)
+LINKMETA_COLS = (
+    'url', 'ord', 'src', 'w', 'h', 'base_url', 'status',
+    'fetch_key', 'sha_hex', 'filename1', 'need_rescaling',
+)
+
+
+def extract_pass_links(
     docs: DataFrame,
     cfg: TransformConfig,
     fmt: str = 'md',
-    pass_idx: int = 0,
     fetcher: Optional[Fetcher] = None,
     local_assets: Optional[dict] = None,
-    dedup_state: Optional[DataFrame] = None,
-) -> PassResult:
-    """One transformer pass (E5 chaining runs these sequentially).
+):
+    """Shard-local half of one transformer pass: extraction UDF →
+    filters → distinct-URL fetch → per-link filename/status derivation.
 
-    ``docs``: DataFrame(url string, text string).
+    No global state enters here, so this half can run per shard under
+    checkpointed resume; ``finish_pass`` is the global half (dedup
+    winners, paths, rewrite, sinks).  Returns ``(links, fetched,
+    cached)`` where ``links`` has LINKMETA_COLS and ``fetched`` the
+    distinct-URL bytes ``(fetch_key, content)`` plus metadata.
     """
     fetcher = fetcher or model_fetcher
     extract = udfs.extract_md_links if fmt == 'md' else udfs.extract_html_links
@@ -226,14 +238,34 @@ def transform_pass(
 
     links = links.withColumn('need_rescaling', F.col('w').isNotNull() | F.col('h').isNotNull())
 
+    # second materialization point: the dedup-winners branch and the
+    # main branch both consume the joined+derived links — without this,
+    # the meta join and its upstream UDFs execute once per branch
+    links = links.select(*LINKMETA_COLS).persist()
+    return links, fetched, (links_pre, links, fetched)
+
+
+def finish_pass(
+    docs: DataFrame,
+    links: DataFrame,
+    fetched: DataFrame,
+    cfg: TransformConfig,
+    pass_idx: int = 0,
+    dedup_state: Optional[DataFrame] = None,
+    cached: tuple = (),
+) -> PassResult:
+    """Global half of one transformer pass: cluster-wide dedup winners,
+    path algebra, per-document fold + rewrite, and both sinks.
+
+    ``links``: LINKMETA_COLS rows (live from ``extract_pass_links`` or
+    read back from the resume staging parquet — identical semantics
+    either way, which is what makes sharded resume byte-identical to
+    the global run).  ``fetched`` needs (fetch_key, content).
+    """
     # canonical total order for cluster-wide first-wins (SURVEY.md §2.5)
     links = links.withColumn(
         'pass_key', F.struct(F.lit(pass_idx).alias('p'), F.col('url').alias('u'), F.col('ord').alias('o'))
     )
-    # second materialization point: the dedup-winners branch and the
-    # main branch both consume the joined+derived links — without this,
-    # the meta join and its upstream UDFs execute once per branch
-    links = links.drop('download_url', 'filename_remote').persist()
 
     doc_prefix_join, doc_prefix_posix, dedup_prefix = _doc_prefix_strings(cfg)
 
@@ -331,7 +363,27 @@ def transform_pass(
         'sha_hex',
     )
 
-    return PassResult(docs_out, links_audit, images_out, dedup_registrations, cached=(links_pre, links, fetched))
+    return PassResult(docs_out, links_audit, images_out, dedup_registrations, cached=cached)
+
+
+def transform_pass(
+    docs: DataFrame,
+    cfg: TransformConfig,
+    fmt: str = 'md',
+    pass_idx: int = 0,
+    fetcher: Optional[Fetcher] = None,
+    local_assets: Optional[dict] = None,
+    dedup_state: Optional[DataFrame] = None,
+) -> PassResult:
+    """One transformer pass (E5 chaining runs these sequentially).
+
+    ``docs``: DataFrame(url string, text string).  Composition of the
+    shard-local and global halves above.
+    """
+    links, fetched, cached = extract_pass_links(
+        docs, cfg, fmt=fmt, fetcher=fetcher, local_assets=local_assets
+    )
+    return finish_pass(docs, links, fetched, cfg, pass_idx=pass_idx, dedup_state=dedup_state, cached=cached)
 
 
 def _resized_bytes():

@@ -1,14 +1,23 @@
 """Resume semantics: kill-after-k-shards restart must produce
 byte-identical final tables and skip completed shards (SURVEY.md §5
-rebuild test plan, point e)."""
+rebuild test plan, point e) — and a sharded/resumed run must be
+byte-identical to a NON-sharded global run, including cross-shard
+content-dedup winners (r01 DIVERGENCES #12, now closed)."""
 
 import os
 
 import pytest
 
 from markdown_articles_tool_spark import corpus
-from markdown_articles_tool_spark.checkpoint import lineage, read_output, run_with_resume
-from markdown_articles_tool_spark.core.linkflow import TransformConfig
+from markdown_articles_tool_spark.checkpoint import (
+    lineage,
+    pass_lineage,
+    read_images,
+    read_output,
+    run_with_resume,
+)
+from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+from markdown_articles_tool_spark.pipeline import transform_documents
 
 
 @pytest.fixture()
@@ -18,6 +27,10 @@ def docs(spark):
 
 def _texts(spark, out):
     return {r['url']: r['text_out'] for r in read_output(spark, out).collect()}
+
+
+def _images(spark, out):
+    return {r['real_path']: bytes(r['content']) for r in read_images(spark, out).collect()}
 
 
 def test_full_run_then_resume_noop(spark, docs, tmp_path):
@@ -41,17 +54,17 @@ def test_crash_and_resume_byte_identical(spark, docs, tmp_path):
     # uninterrupted run
     run_with_resume(spark, docs, cfg, out_a, n_shards=4)
 
-    # "crashed" run: simulate by committing only 2 shards, then resume
+    # "crashed" run: simulate dying after 2 shard commits, before the
+    # global finish — wipe the markers of shards 2,3 and the finals
     run_with_resume(spark, docs, cfg, out_b, n_shards=4)
-    # wipe commit markers of shards 2,3 + their outputs (as if the job
-    # died mid-write)
-    for k in (2, 3):
-        os.remove(os.path.join(out_b, 'commits', f'shard={k}'))
+    for name in ('pass=0_shard=2', 'pass=0_shard=3', 'pass=0_final', 'images_final'):
+        os.remove(os.path.join(out_b, 'commits', name))
     rep = run_with_resume(spark, docs, cfg, out_b, n_shards=4)
     assert sorted(rep.shards_run) == [2, 3]
     assert sorted(rep.shards_skipped) == [0, 1]
 
     assert _texts(spark, out_a) == _texts(spark, out_b)
+    assert _images(spark, out_a) == _images(spark, out_b)
 
 
 def test_lineage_rows(spark, docs, tmp_path):
@@ -62,3 +75,49 @@ def test_lineage_rows(spark, docs, tmp_path):
     assert len(rows) == 2
     assert sum(r['n_docs'] for r in rows) == 24
     assert all('status_counts' in r and 'wall_sec' in r for r in rows)
+    prows = pass_lineage(out)
+    assert len(prows) == 1 and prows[0]['n_docs_out'] == 24
+
+
+def test_sharded_equals_global_on_dup_heavy_corpus(spark, tmp_path):
+    """The r2 gate: sharded-resume output == non-sharded output,
+    byte-for-byte, on a dup-heavy corpus with content-hash dedup —
+    cross-shard dedup winners must be GLOBAL, not per-shard."""
+    out = str(tmp_path / 'out')
+    cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+    docs120 = corpus.docs_list(120)  # includes cross-document dup groups
+    docs_df = spark.createDataFrame(docs120, 'url string, text string')
+
+    run_with_resume(spark, docs_df, cfg, out, n_shards=5)
+    got_texts = _texts(spark, out)
+    got_images = _images(spark, out)
+
+    res = transform_documents(docs_df, cfg)
+    want_texts = {r['url']: r['text_out'] for r in res.docs_out.collect()}
+    want_images = {r['real_path']: bytes(r['content']) for r in res.images_out.collect()}
+
+    mismatches = [u for u in want_texts if got_texts.get(u) != want_texts[u]]
+    assert not mismatches, f'{len(mismatches)} docs differ sharded vs global: {mismatches[:3]}'
+    assert got_images == want_images
+
+
+def test_sharded_equals_global_multipass_chain(spark, tmp_path):
+    """Same gate for a chained md+html run with shared dedup state."""
+    out = str(tmp_path / 'out')
+    cfg = TransformConfig(
+        skip_all_errors=True,
+        input_formats=('md', 'html'),
+        deduplication=DedupVariant.CONTENT_HASH,
+    )
+    docs48 = corpus.docs_list(48)
+    docs_df = spark.createDataFrame(docs48, 'url string, text string')
+
+    run_with_resume(spark, docs_df, cfg, out, n_shards=3)
+    got_texts = _texts(spark, out)
+    got_images = _images(spark, out)
+
+    res = transform_documents(docs_df, cfg)
+    want_texts = {r['url']: r['text_out'] for r in res.docs_out.collect()}
+    want_images = {r['real_path']: bytes(r['content']) for r in res.images_out.collect()}
+    assert got_texts == want_texts
+    assert got_images == want_images
