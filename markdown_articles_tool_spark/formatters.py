@@ -2,13 +2,21 @@
 
 * ``md`` — identity utf-8 encode (formatters/simple.py:6-17): a pure
   Column expression.
-* ``html`` — markdown → HTML render wrapped in the reference's fixed
-  ``<html><head><style>…`` shell (formatters/html.py:23-39).  The
-  renderer is a from-scratch minimal block/inline markdown-to-HTML
-  converter running in a pandas UDF; parity with the reference is
-  *structural* (python-markdown + pygments are not available here, and
-  the reference's own HTML output is not part of the byte-identical
-  gate — that gate covers the ``md`` transform).
+* ``html`` — markdown → HTML render wrapped in the reference's shell
+  (formatters/html.py:23-39): ``<html>\n<head><style>\n{pygments
+  style defs}\n</style></head>\n<body>\n{md}\n</body>\n</html>``.
+  pygments IS installed here, so the two pygments-touching pieces are
+  REAL and match the reference exactly: the ``<style>`` shell comes
+  from the same ``CustomHtmlFormatter().get_style_defs()`` call, and
+  fenced code blocks render through the reference's custom
+  ``_wrap_code`` formatter with codehilite's lexer-selection semantics
+  (formatters/html.py:10-21; markdown.extensions.codehilite defaults:
+  guess_lang, css_class='codehilite', lang_prefix='language-').  The
+  block/inline markdown renderer around them is from scratch
+  (python-markdown itself is absent); headings carry toc-style ids and
+  pipe tables render in python-markdown's table shape.  Full
+  python-markdown byte parity stays out of scope while that library is
+  absent (DIVERGENCES.md #11).
 * ``pdf`` / ``docx`` — require weasyprint / python-docx; import-gated
   stubs that raise ``NotImplementedError`` with a clear message when
   the libraries are absent (formatters/pdf.py, formatters/docx.py).
@@ -25,8 +33,88 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
-HTML_HEAD = '<html>\n<head><style>\n</style></head>\n<body>\n'
-HTML_TAIL = '\n</body>\n</html>'
+try:
+    from pygments import highlight as _pyg_highlight
+    from pygments.formatters import HtmlFormatter as _PygHtmlFormatter
+    from pygments.lexers import get_lexer_by_name as _get_lexer_by_name
+    from pygments.lexers import guess_lexer as _guess_lexer
+
+    _HAVE_PYGMENTS = True
+except ImportError:  # pragma: no cover - pygments is installed here
+    _HAVE_PYGMENTS = False
+
+
+if _HAVE_PYGMENTS:
+
+    class CustomHtmlFormatter(_PygHtmlFormatter):
+        """The reference's pygments formatter (formatters/html.py:10-21):
+        injects ``{lang_prefix}{lang}`` as the ``<code>`` class."""
+
+        def __init__(self, lang_str='', **options):
+            super().__init__(**options)
+            self.lang_str = lang_str
+
+        def _wrap_code(self, source):
+            yield 0, f'<code class="{self.lang_str}">'
+            yield from source
+            yield 0, '</code>'
+
+    def _style_defs() -> str:
+        return CustomHtmlFormatter().get_style_defs()
+
+    def _render_fence(src: str, lang: str) -> str:
+        """codehilite's lexer selection + the custom formatter
+        (markdown.extensions.codehilite.CodeHilite.hilite semantics:
+        named lexer, else guess, else plaintext; lang_str from the
+        explicit language or the guessed lexer's first alias)."""
+        try:
+            lexer = _get_lexer_by_name(lang) if lang else _guess_lexer(src)
+        except Exception:
+            try:
+                lexer = _guess_lexer(src) if lang else _get_lexer_by_name('text')
+            except Exception:
+                lexer = _get_lexer_by_name('text')
+        lang_str = f'language-{lang or lexer.aliases[0]}'
+        formatter = CustomHtmlFormatter(
+            lang_str=lang_str, cssclass='codehilite', wrapcode=True
+        )
+        return _pyg_highlight(src, lexer, formatter).rstrip('\n')
+
+else:  # pragma: no cover
+
+    def _style_defs() -> str:
+        return ''
+
+    def _render_fence(src: str, lang: str) -> str:
+        return '<pre><code>' + _html.escape(src) + '</code></pre>'
+
+
+def html_shell(body: str) -> str:
+    """The reference's exact output shell (formatters/html.py:38-39)."""
+    return (
+        f'<html>\n<head><style>\n{_style_defs()}\n</style></head>\n'
+        f'<body>\n{body}\n</body>\n</html>'
+    )
+
+
+_TOC_NONWORD_RE = re.compile(r'[^\w\s-]')
+_TOC_DASH_RE = re.compile(r'[-\s]+')
+
+
+def _toc_slugify(value: str, seen: dict) -> str:
+    """toc-extension id slugs (markdown.extensions.toc.slugify +
+    unique): NFKD → ascii → lower → strip non-word → dashes; duplicate
+    ids get ``_1``, ``_2``, … suffixes."""
+    import unicodedata
+
+    v = unicodedata.normalize('NFKD', value).encode('ascii', 'ignore').decode('ascii')
+    v = _TOC_NONWORD_RE.sub('', v).strip().lower()
+    slug = _TOC_DASH_RE.sub('-', v)
+    if slug in seen:
+        seen[slug] += 1
+        return f'{slug}_{seen[slug]}'
+    seen[slug] = 0
+    return slug
 
 _FENCE_RE = re.compile(r'^ {0,3}(`{3,}|~{3,})\s*(\S*)\s*$')
 _HEADING_RE = re.compile(r'^(#{1,6})\s+(.*?)\s*#*\s*$')
@@ -49,14 +137,44 @@ def _inline(text: str) -> str:
     return text
 
 
+_TABLE_SEP_CELL_RE = re.compile(r':?-+:?')
+
+
+def _is_table_sep(line: str) -> bool:
+    s = line.strip()
+    if '|' not in s:
+        return False
+    cells = [c.strip() for c in s.strip('|').split('|')]
+    return bool(cells) and all(_TABLE_SEP_CELL_RE.fullmatch(c) for c in cells)
+
+
+def _split_row(line: str) -> List[str]:
+    cells = line.strip().strip('|').split('|')
+    return [c.strip() for c in cells]
+
+
+def _table_align(sep_cells: List[str]) -> List[str]:
+    out = []
+    for c in sep_cells:
+        left, right = c.startswith(':'), c.endswith(':')
+        out.append(
+            'center' if left and right else 'right' if right else 'left' if left else ''
+        )
+    return out
+
+
 def render_markdown_html(text: str) -> str:
-    """Minimal block-level markdown renderer (from scratch)."""
+    """Minimal block-level markdown renderer (from scratch; fenced code
+    goes through pygments/codehilite, headings carry toc ids, pipe
+    tables render in python-markdown's table shape)."""
     out: List[str] = []
     lines = text.split('\n')
     para: List[str] = []
     list_tag = None
     fence = None
+    fence_lang = ''
     code_buf: List[str] = []
+    slugs_seen: dict = {}
 
     def flush_para():
         if para:
@@ -69,33 +187,68 @@ def render_markdown_html(text: str) -> str:
             out.append(f'</{list_tag}>')
             list_tag = None
 
-    for line in lines:
+    i = 0
+    while i < len(lines):
+        line = lines[i]
         if fence is not None:
             m = _FENCE_RE.match(line)
             if m and m.group(1)[0] == fence[0] and len(m.group(1)) >= len(fence):
-                out.append(
-                    '<pre><code>' + _html.escape('\n'.join(code_buf)) + '</code></pre>'
-                )
+                out.append(_render_fence('\n'.join(code_buf), fence_lang))
                 fence = None
                 code_buf = []
             else:
                 code_buf.append(line)
+            i += 1
             continue
         m = _FENCE_RE.match(line)
         if m and not para:
             flush_para()
             close_list()
-            fence = m.group(1)
+            fence, fence_lang = m.group(1), m.group(2)
+            i += 1
             continue
         if not line.strip():
             flush_para()
             close_list()
+            i += 1
             continue
         h = _HEADING_RE.match(line)
         if h:
             flush_para()
             close_list()
-            out.append(f'<h{len(h.group(1))}>{_inline(h.group(2))}</h{len(h.group(1))}>')
+            hid = _toc_slugify(h.group(2), slugs_seen)
+            lvl = len(h.group(1))
+            out.append(f'<h{lvl} id="{hid}">{_inline(h.group(2))}</h{lvl}>')
+            i += 1
+            continue
+        # pipe table: header row + delimiter row ('tables' extension shape)
+        if (
+            '|' in line
+            and not para
+            and i + 1 < len(lines)
+            and _is_table_sep(lines[i + 1])
+        ):
+            close_list()
+            header = _split_row(line)
+            align = _table_align(_split_row(lines[i + 1]))
+            align += [''] * (len(header) - len(align))
+
+            def cell(tag, idx, content):
+                style = f' style="text-align: {align[idx]};"' if idx < len(align) and align[idx] else ''
+                return f'<{tag}{style}>{_inline(content)}</{tag}>'
+
+            out.append('<table>\n<thead>\n<tr>')
+            out.extend(cell('th', j, c) for j, c in enumerate(header))
+            out.append('</tr>\n</thead>\n<tbody>')
+            i += 2
+            while i < len(lines) and '|' in lines[i] and lines[i].strip():
+                row = _split_row(lines[i])
+                row += [''] * (len(header) - len(row))
+                out.append('<tr>')
+                out.extend(cell('td', j, c) for j, c in enumerate(row[: len(header)]))
+                out.append('</tr>')
+                i += 1
+            out.append('</tbody>\n</table>')
             continue
         ul = _ULIST_RE.match(line)
         ol = _OLIST_RE.match(line)
@@ -107,10 +260,12 @@ def render_markdown_html(text: str) -> str:
                 out.append(f'<{tag}>')
                 list_tag = tag
             out.append(f'<li>{_inline((ul or ol).group(1))}</li>')
+            i += 1
             continue
         para.append(line.strip())
+        i += 1
     if fence is not None:
-        out.append('<pre><code>' + _html.escape('\n'.join(code_buf)) + '</code></pre>')
+        out.append(_render_fence('\n'.join(code_buf), fence_lang))
     flush_para()
     close_list()
     return '\n'.join(out)
@@ -126,9 +281,7 @@ def format_md(text_col: Column) -> Column:
 
 @pandas_udf(BinaryType())
 def format_html_udf(text: pd.Series) -> pd.Series:
-    return text.map(
-        lambda t: (HTML_HEAD + render_markdown_html(t or '') + HTML_TAIL).encode('utf-8')
-    )
+    return text.map(lambda t: html_shell(render_markdown_html(t or '')).encode('utf-8'))
 
 
 def format_html(text_col: Column) -> Column:
