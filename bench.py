@@ -69,7 +69,13 @@ def run_bench(emit_json: bool = True) -> dict:
     from markdown_articles_tool_spark.pipeline import transform_documents
     from markdown_articles_tool_spark.session import get_spark
 
-    spark = get_spark(app_name='mats-bench', master=f'local[{CPUS}]', shuffle_partitions=max(CPUS, 8))
+    # shuffle partitions: measured A/B on this workload says one task
+    # wave per core wins — finer granularity (4x partitions + 4x input
+    # files) LOST ~15-20% at 8 cores to per-task pandas-UDF batch setup
+    # and scan open cost; work per partition is uniform here so tail
+    # risk is low.  Both knobs stay env-tunable for skewed corpora.
+    mult = int(os.environ.get('SPARK_GRAFT_SHUFFLE_MULT', '1'))
+    spark = get_spark(app_name='mats-bench', master=f'local[{CPUS}]', shuffle_partitions=max(mult * CPUS, 8))
 
     sf = 0.1 if 'sf0.1' in SF_DIR else (0.01 if 'sf0.01' in SF_DIR else 0.001)
     qs = entry_mod.queries()
@@ -88,7 +94,11 @@ def run_bench(emit_json: bool = True) -> dict:
     trials = int(os.environ.get('SPARK_GRAFT_BENCH_TRIALS', '3'))
     tmp = tempfile.mkdtemp(prefix='mats_bench_')
     pages_path = os.path.join(tmp, 'pages')
-    pages_df(spark, BENCH_DOCS, fat=True).select('url', 'text').write.mode('overwrite').parquet(pages_path)
+    # one file per core by default (see shuffle-partition note above)
+    n_files = int(os.environ.get('SPARK_GRAFT_PAGES_FILES', str(CPUS)))
+    pages_df(spark, BENCH_DOCS, partitions=n_files, fat=True).select('url', 'text').write.mode(
+        'overwrite'
+    ).parquet(pages_path)
     docs = spark.read.parquet(pages_path)
     _force(transform_documents(docs.limit(2000), entry_mod._transform_cfg()).docs_out)  # warmup
     spark.catalog.clearCache()

@@ -31,7 +31,52 @@ FETCH_SCHEMA = (
     'content_disposition string, fetch_status int'
 )
 
+# fetch + per-URL derivations in ONE python crossing (see derive_fetched)
+FETCH_DERIVED_SCHEMA = FETCH_SCHEMA + ', sha_hex string, filename_remote string'
+
 Fetcher = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+
+# sentinel mirrored from operators.udfs: the reference raises KeyError
+# on a missing content-type header (www_tools.py:108)
+FILENAME_KEYERROR = '\x00\x00content-type-keyerror'
+
+
+def derive_fetched(fetcher: Fetcher) -> Fetcher:
+    """Wrap a fetcher so the per-distinct-URL derivations — sha256 hex
+    (F4/F5) and the remote filename (F7) — happen inside the SAME
+    mapInPandas batch that produced the bytes.
+
+    The content is already in this python worker's memory; deriving
+    here removes a second python operator (Arrow round trip) and a
+    JVM-side sha2 pass over every fetched byte from the hot path.
+    hashlib.sha256().hexdigest() is byte-identical to Spark's
+    ``sha2(content, 256)``.
+    """
+    import hashlib
+
+    from ..core.wwwtools import filename_from_url
+
+    def fetch_and_derive(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in fetcher(batches):
+            shas, names = [], []
+            for content, final_url, ctype, cdisp in zip(
+                pdf['content'], pdf['final_url'], pdf['content_type'], pdf['content_disposition']
+            ):
+                if content is None:
+                    shas.append(None)
+                else:
+                    shas.append(hashlib.sha256(bytes(content)).hexdigest())
+                if final_url is None:
+                    names.append(None)
+                    continue
+                try:
+                    names.append(filename_from_url(final_url, ctype, cdisp))
+                except KeyError:
+                    names.append(FILENAME_KEYERROR)
+            yield pdf.assign(sha_hex=pd.Series(shas, index=pdf.index, dtype=object),
+                             filename_remote=pd.Series(names, index=pdf.index, dtype=object))
+
+    return fetch_and_derive
 
 
 def model_fetcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,17 +180,22 @@ def fetch_distinct(
     politeness runs, where co-locating (then rate-limiting) a host's
     URLs matters and the salt caps any one host's partition share.
     """
+    spark = links.sparkSession
     keys = links.select(F.col(key_col).alias('fetch_key')).where(F.col('fetch_key').isNotNull()).distinct()
-    p = parallelism or links.sparkSession.sparkContext.defaultParallelism
+    p = parallelism or spark.sparkContext.defaultParallelism
     if salt_by_host:
         host = F.regexp_extract('fetch_key', r'^[a-zA-Z]+://([^/]+)', 1)
         salt = F.pmod(F.xxhash64('fetch_key'), F.lit(4))
         keys = keys.repartition(p, F.xxhash64(host), salt)
-    else:
+    elif int(spark.conf.get('spark.sql.shuffle.partitions')) != p:
         # explicit width: the key list is tiny in bytes but each key
         # EXPANDS into a full fetch (network/CPU + content bytes), so
         # AQE's byte-based coalescing would starve this stage of
-        # parallelism; a round-robin repartition of the narrow keys is
-        # near-free and pins the fan-out to the cluster width
+        # parallelism; a repartition of the narrow keys pins the
+        # fan-out to the cluster width.  Skipped when distinct()'s own
+        # hash partitioning already lands at that width — a second
+        # shuffle of the same keys would be a pure waste
         keys = keys.repartition(p, F.xxhash64('fetch_key'))
-    return keys.mapInPandas(fetcher, schema=FETCH_SCHEMA)
+    # sha256 + filename derived inside the same python crossing as the
+    # fetch itself — no second Arrow operator, no JVM re-hash of bytes
+    return keys.mapInPandas(derive_fetched(fetcher), schema=FETCH_DERIVED_SCHEMA)

@@ -189,22 +189,15 @@ def extract_pass_links(
         )
         fetched = fetched.unionByName(local_fetched)
     # Image BYTES never ride through the link joins: the content hash
-    # AND the derived filename are computed once per distinct URL on the
-    # fetch side (F7 is a pure function of the response); only narrow
-    # metadata joins onto links.  The bytes themselves are joined
-    # exactly once, at the images sink, for the rows that actually get
-    # written.  At corpus scale this is the difference between
-    # shuffling TBs of binaries through every stage and 100-byte rows.
-    fetched = (
-        fetched.withColumn('sha_hex', F.sha2(F.col('content'), 256))
-        .withColumn(
-            'filename_remote',
-            udfs.remote_filename_udf(
-                F.col('final_url'), F.col('content_type'), F.col('content_disposition')
-            ),
-        )
-        .persist()
-    )
+    # AND the derived filename are computed once per distinct URL
+    # INSIDE the fetch's own python batch (operators.fetch.derive_fetched
+    # — F7 is a pure function of the response, and the bytes are already
+    # in that worker's memory); only narrow metadata joins onto links.
+    # The bytes themselves are joined exactly once, at the images sink,
+    # for the rows that actually get written.  At corpus scale this is
+    # the difference between shuffling TBs of binaries through every
+    # stage and 100-byte rows.
+    fetched = fetched.persist()
     fetched_meta = fetched.select('fetch_key', 'fetch_status', 'sha_hex', 'filename_remote')
     links = links.join(fetched_meta, on='fetch_key', how='left')
 
@@ -241,7 +234,11 @@ def extract_pass_links(
     # second materialization point: the dedup-winners branch and the
     # main branch both consume the joined+derived links — without this,
     # the meta join and its upstream UDFs execute once per branch
-    links = links.select(*LINKMETA_COLS).persist()
+    import os as _os
+
+    links = links.select(*LINKMETA_COLS)
+    if _os.environ.get('SPARK_GRAFT_NO_LINKMETA_PERSIST', '0') != '1':
+        links = links.persist()
     return links, fetched, (links_pre, links, fetched)
 
 

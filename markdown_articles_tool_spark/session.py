@@ -25,7 +25,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
-        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.enabled', 'false' if os.environ.get('SPARK_GRAFT_AQE') == '0' else 'true')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
         # AQE coalesces by shuffle-read BYTES; several of our stages are
@@ -34,7 +34,10 @@ def get_spark(
         # of parallelism on small-to-mid corpora
         .config('spark.sql.adaptive.coalescePartitions.minPartitionSize', '64k')
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
-        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '10000')
+        .config(
+            'spark.sql.execution.arrow.maxRecordsPerBatch',
+            os.environ.get('SPARK_GRAFT_ARROW_BATCH', '10000'),
+        )
         # keep the broadcast threshold at Spark's default 10MB: the
         # pipeline carries binary image content in several tables and an
         # over-eager broadcast of one of those kills the driver

@@ -57,10 +57,13 @@ class TestPlanQuality:
             'plan shows node + detail line)'
         )
 
-    def test_filename_udf_on_fetched_side_once(self, plan):
-        # remote_filename_udf must be evaluated once (fetched side), not
-        # re-run per consumer branch (3x regression caught 2026-08-16)
-        assert plan.count('remote_filename_udf') <= 2, plan.count('remote_filename_udf')
+    def test_filename_derived_inside_fetch(self, plan):
+        # sha256 + filename are derived INSIDE the fetch mapInPandas
+        # batch (operators.fetch.derive_fetched) — no separate python
+        # operator, no JVM sha2 re-hash of the content bytes
+        # (3x-per-branch regression caught 2026-08-16; operator fused r2)
+        assert plan.count('remote_filename_udf') == 0, plan.count('remote_filename_udf')
+        assert 'sha2(content' not in plan, 'JVM re-hash of fetched bytes crept back'
 
     def test_mime_gate_is_jvm_side(self, plan):
         assert 'mime_type_of' not in plan, 'MIME gate fell back to the python UDF'
