@@ -90,6 +90,17 @@ def q_media_metadata(spark, sf_dir):
     return extract_media_metadata(res.images_out).orderBy('path')
 
 
+def q_media_decode(spark, sf_dir):
+    """Multimodal decode stage over the images table (mapInPandas
+    plumbing; the decode kernel is the documented deterministic stub in
+    this container — PIL absent — so the oracle encodes stub dims)."""
+    from markdown_articles_tool_spark.pipeline import transform_documents
+    from markdown_articles_tool_spark.training.multimodal import decode_images
+
+    res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
+    return decode_images(res.images_out).orderBy('path')
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, 'lineitem')
     dec = lambda c: F.col(c).cast('decimal(18,2)')  # noqa: E731
@@ -270,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_links_corpus': q_extract_links_corpus,
         'corpus_images': q_corpus_images,
         'media_metadata': q_media_metadata,
+        'media_decode': q_media_decode,
         'pricing_summary': q_pricing_summary,
         'revenue_topk': q_revenue_topk,
         'events_sessionize': q_events_sessionize,
@@ -327,6 +339,15 @@ def oracle_sql() -> dict[str, str]:
         'media_metadata': _ref(
             'media_metadata', 'path, size_bytes, magic, media_type, fake_checksum',
             _DOC_SKEY, 'path'
+        ),
+        # stub-decode dims are a pure function of size_bytes
+        # (multimodal.decode_images fallback kernel; PIL absent here)
+        'media_decode': (
+            f"SELECT path, CAST(16 + size_bytes % 64 AS INT) AS width, "
+            f"CAST(16 + (size_bytes // 64) % 64 AS INT) AS height, "
+            f"CAST(3 AS INT) AS n_channels, 'stub' AS decoder "
+            f"FROM read_parquet('{_ORACLEREF}/media_metadata.parquet') "
+            f"WHERE skey = {_DOC_SKEY} ORDER BY path"
         ),
         'minhash_candidates': _ref(
             'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'
