@@ -152,23 +152,21 @@ def lsh_cosine_topk(
     """Approximate top-k: random-hyperplane signatures → 8-bit band
     buckets → exact cosine only within buckets."""
     sig = make_signature_udf(n_planes)
-    signed = emb.select('vec_id', 'embedding', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key'))
-    q = (
-        query_ids.join(signed, query_ids['query_id'] == signed['vec_id'])
-        .select('query_id', 'band', 'band_key')
-        .join(
-            emb.selectExpr('vec_id as query_id', 'embedding as q_emb').alias('qe'),
-            'query_id',
-        )
+    # banding on NARROW columns — the embedding arrays never ride
+    # through the exploded band join (×n_bands amplification); they
+    # join back once per distinct candidate pair
+    signed = emb.select('vec_id', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key'))
+    q = query_ids.join(signed, query_ids['query_id'] == signed['vec_id']).select(
+        'query_id', 'band', 'band_key'
     )
-    cand = signed.selectExpr('vec_id as neighbor_id', 'band', 'band_key').join(
-        emb.selectExpr('vec_id as neighbor_id', 'embedding as n_emb'), 'neighbor_id'
-    )
+    cand = signed.selectExpr('vec_id as neighbor_id', 'band', 'band_key')
     bucket_pairs = (
         q.join(cand, on=['band', 'band_key'])
         .where(F.col('query_id') != F.col('neighbor_id'))
-        .select('query_id', 'neighbor_id', 'q_emb', 'n_emb')
+        .select('query_id', 'neighbor_id')
         .distinct()
+        .join(emb.selectExpr('vec_id as query_id', 'embedding as q_emb'), 'query_id')
+        .join(emb.selectExpr('vec_id as neighbor_id', 'embedding as n_emb'), 'neighbor_id')
     )
     scored = bucket_pairs.select(
         'query_id',
