@@ -168,41 +168,47 @@ def _parse_inline_src(content: str) -> str:
 
 def _scan_inline_images(line: str, defs: Dict[str, str], out: List[str]) -> None:
     code_ranges = _code_span_ranges(line)
-    i = 0
     n = len(line)
-    while i < n - 1:
-        if line[i] == '\\':
-            i += 2
+    i = 0
+    # jump between '![' candidates with C-level find(); a candidate is
+    # live unless an odd run of backslashes immediately precedes it
+    # (equivalent to the sequential escape-consuming scan: a backslash
+    # pairs with the following char, so '!' is consumed iff the run of
+    # '\\' ending right before it has odd length)
+    while True:
+        p = line.find('![', i)
+        if p < 0:
+            return
+        b = p
+        while b > 0 and line[b - 1] == '\\':
+            b -= 1
+        if (p - b) % 2 == 1 or (code_ranges and _in_ranges(p, code_ranges)):
+            i = p + 1
             continue
-        if line[i] == '!' and line[i + 1] == '[' and not _in_ranges(i, code_ranges):
-            alt_end = _scan_balanced(line, i + 1, '[', ']')
-            if alt_end < 0:
-                i += 1
+        alt_end = _scan_balanced(line, p + 1, '[', ']')
+        if alt_end < 0:
+            i = p + 1
+            continue
+        alt = line[p + 2:alt_end - 1]
+        if alt_end < n and line[alt_end] == '(':
+            paren_end = _scan_balanced(line, alt_end, '(', ')')
+            if paren_end > 0:
+                out.append(_parse_inline_src(line[alt_end + 1:paren_end - 1]))
+                i = paren_end
                 continue
-            alt = line[i + 2:alt_end - 1]
-            if alt_end < n and line[alt_end] == '(':
-                paren_end = _scan_balanced(line, alt_end, '(', ')')
-                if paren_end > 0:
-                    out.append(_parse_inline_src(line[alt_end + 1:paren_end - 1]))
-                    i = paren_end
-                    continue
-            if alt_end < n and line[alt_end] == '[':
-                ref_end = _scan_balanced(line, alt_end, '[', ']')
-                if ref_end > 0:
-                    ref = line[alt_end + 1:ref_end - 1].strip().lower() or alt.strip().lower()
-                    if ref in defs:
-                        out.append(defs[ref])
-                        i = ref_end
-                        continue
-                    i = ref_end
-                    continue
-            # shortcut reference ![alt]
-            ref = alt.strip().lower()
-            if ref in defs:
-                out.append(defs[ref])
-            i = alt_end
-            continue
-        i += 1
+        if alt_end < n and line[alt_end] == '[':
+            ref_end = _scan_balanced(line, alt_end, '[', ']')
+            if ref_end > 0:
+                ref = line[alt_end + 1:ref_end - 1].strip().lower() or alt.strip().lower()
+                if ref in defs:
+                    out.append(defs[ref])
+                i = ref_end
+                continue
+        # shortcut reference ![alt]
+        ref = alt.strip().lower()
+        if ref in defs:
+            out.append(defs[ref])
+        i = alt_end
 
 
 def extract_md_img_srcs(text: str) -> List[str]:
