@@ -203,6 +203,14 @@ def q_minhash_candidates(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, 'documents')).orderBy('a_id', 'b_id')
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Corpus dedup decision: MinHash-LSH candidates → exact Jaccard
+    verify → connected components → deterministic representative."""
+    from markdown_articles_tool_spark.training.cluster import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf_dir, 'documents'), threshold=0.8).orderBy('doc_id')
+
+
 def q_simhash_neardup(spark, sf_dir):
     from markdown_articles_tool_spark.training.dedup import simhash_near_duplicates
 
@@ -289,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_adjacent': q_ngram_jaccard_adjacent,
         'minhash_candidates': q_minhash_candidates,
+        'neardup_clusters': q_neardup_clusters,
         'simhash_neardup': q_simhash_neardup,
         'token_stats': q_token_stats,
         'langid': q_langid,
@@ -352,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         'minhash_candidates': _ref(
             'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'
         ),
+        'neardup_clusters': _ref('neardup_clusters', 'doc_id, cluster_rep', _DOC_SKEY, 'doc_id'),
         'simhash_neardup': _ref('simhash_neardup', 'a_id, b_id, hamming', _DOC_SKEY, 'a_id, b_id'),
         'ann_lsh_topk': _ref(
             'ann_lsh_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'

@@ -66,6 +66,24 @@ def ngram_jaccard(a_grams, b_grams):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def word_ngrams_seq(text: str, n: int = 3) -> frozenset:
+    """Sequential twin of ``word_ngrams``: same trim (ASCII space only,
+    like ``F.trim``), same ``\\s+`` split with kept trailing empties
+    (Java split limit -1 == ``re.split``), same distinct-gram set."""
+    import re as _re
+
+    words = _re.split(r'\s+', (text or '').strip(' '))
+    if len(words) < n:
+        return frozenset()
+    return frozenset(' '.join(words[i:i + n]) for i in range(len(words) - n + 1))
+
+
+def ngram_jaccard_seq(a: frozenset, b: frozenset) -> float:
+    """Sequential twin of ``ngram_jaccard`` (same double division)."""
+    union = len(a | b)
+    return len(a & b) / union if union > 0 else 0.0
+
+
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
     """n-gram Jaccard for explicit (a_id, b_id) pairs."""
     g = df.select(F.col('doc_id'), word_ngrams(F.col('text'), n).alias('grams'))

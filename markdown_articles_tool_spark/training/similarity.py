@@ -58,12 +58,17 @@ def cosine_seq(a, b) -> float:
     return dot / d if d > 0 else 0.0
 
 
-def spark_round9(x: float) -> float:
-    """Twin of Spark's ``F.round(x, 9)`` on doubles (HALF_UP over the
-    shortest decimal representation, like java.math.BigDecimal.valueOf)."""
+def spark_round(x: float, digits: int) -> float:
+    """Twin of Spark's ``F.round(x, digits)`` on doubles (HALF_UP over
+    the shortest decimal representation, like
+    java.math.BigDecimal.valueOf)."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(repr(x)).quantize(Decimal('1e-9'), rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(x)).quantize(Decimal(f'1e-{digits}'), rounding=ROUND_HALF_UP))
+
+
+def spark_round9(x: float) -> float:
+    return spark_round(x, 9)
 
 
 def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5) -> DataFrame:

@@ -129,6 +129,32 @@ class TestLshRecall:
         assert got_pairs == want  # recall 1.0 on planted dups (and no false positives)
 
 
+class TestDedupClusters:
+    def test_planted_clusters(self, spark, docs):
+        from markdown_articles_tool_spark.training.cluster import neardup_clusters
+
+        reps = {r['doc_id']: r['cluster_rep'] for r in neardup_clusters(docs, threshold=0.8).collect()}
+        assert reps[100] == 100 and reps[101] == 100 and reps[102] == 100
+        assert reps[200] == 200 and reps[201] == 200
+        assert reps[0] == 0  # singleton maps to itself
+        # keeping doc_id == cluster_rep deduplicates: exactly one keeper
+        # per planted cluster
+        keepers = {d for d, r in reps.items() if d == r}
+        assert 100 in keepers and 101 not in keepers and 102 not in keepers
+
+    def test_chain_propagation(self, spark):
+        """Components must propagate across multi-hop chains, not just
+        direct pairs (min-label fixpoint, >1 iteration)."""
+        from markdown_articles_tool_spark.training.cluster import connected_components
+
+        pairs = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (10, 11), (7, 5)], 'a_id long, b_id long'
+        )
+        nodes = spark.createDataFrame([(i,) for i in (2, 3, 4, 5, 7, 10, 11, 99)], 'doc_id long')
+        reps = {r['doc_id']: r['cluster_rep'] for r in connected_components(pairs, nodes).collect()}
+        assert reps == {2: 2, 3: 2, 4: 2, 5: 2, 7: 2, 10: 10, 11: 10, 99: 99}
+
+
 class TestTextStats:
     def test_counts(self, spark):
         df = spark.createDataFrame([(1, 'Hello, world! The cat.'), (2, '')], 'doc_id long, text string')

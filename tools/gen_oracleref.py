@@ -131,6 +131,52 @@ def gen_minhash(sf_dir: str, skey: int, out: dict, k=64, bands=16, shingle=5) ->
         out['minhash_candidates'].append((skey, a, b, c))
 
 
+def gen_neardup_clusters(
+    sf_dir: str, skey: int, out: dict, threshold=0.8, k=64, bands=16, shingle=5, n=3
+) -> None:
+    """Sequential twin of training.cluster.neardup_clusters: MinHash
+    candidates → exact n-gram Jaccard ≥ threshold (rounded like
+    F.round(_, 6)) → union-find → min-id representative per node."""
+    from markdown_articles_tool_spark.training.dedup import (
+        ngram_jaccard_seq,
+        word_ngrams_seq,
+    )
+    from markdown_articles_tool_spark.training.similarity import spark_round
+
+    t = _read(sf_dir, 'documents')
+    ids = t['doc_id'].to_pylist()
+    texts = dict(zip(ids, t['text'].to_pylist()))
+    rows_per_band = k // bands
+    buckets = defaultdict(list)
+    for doc_id in ids:
+        sig = minhash_signature(texts[doc_id], k, shingle)
+        for b in range(bands):
+            buckets[(b, tuple(sig[b * rows_per_band:(b + 1) * rows_per_band]))].append(doc_id)
+    cand = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    grams = {d: word_ngrams_seq(texts[d], n) for d in ids}
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in sorted(cand):
+        if spark_round(ngram_jaccard_seq(grams[a], grams[b]), 6) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    for d in sorted(ids):
+        out['neardup_clusters'].append((skey, d, find(d)))
+
+
 def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
@@ -258,6 +304,9 @@ SCHEMAS = {
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
          ('n_bands_matched', pa.int64())]
     ),
+    'neardup_clusters': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()), ('cluster_rep', pa.int64())]
+    ),
     'simhash_neardup': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
          ('hamming', pa.int32())]
@@ -284,6 +333,7 @@ def main() -> None:
         print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
         gen_corpus(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
+        gen_neardup_clusters(sf_dir, dk, out)
         gen_simhash(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
