@@ -134,6 +134,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'exact_dedup',
         'ngram_jaccard_adjacent',
         'minhash_candidates',
+        'neardup_clusters',
         'token_stats',
         'langid',
         'fingerprint',
