@@ -195,6 +195,67 @@ REC_STRUCT = StructType(
 )
 
 
+MAPPING_STRUCT = ArrayType(
+    StructType([StructField('src', StringType()), StructField('dst', StringType())])
+)
+
+
+def make_mapping_udf(strict_duplicate_assert: bool, skip_all_errors: bool, path_cfg: PathConfig = None):
+    """A1/A5 fold ONLY: per-document insertion-ordered ``src → dst``
+    replacement pairs (core.docfold.fold_mapping) from the link records.
+
+    The document TEXT never enters this UDF — the ordered cascading
+    replace itself (R1) runs JVM-side as
+    ``F.aggregate(mapping, text, (acc, m) -> replace(acc, m.src, m.dst))``,
+    which is byte-identical to the reference's per-line loop
+    (string_tools.py:42-51) because src/dst can never contain a newline
+    (srcs come from single-line extraction; dsts are path strings) and a
+    mapping src can never be the empty string (an empty src yields an
+    empty derived filename → `no_filename` status → no mapping entry) —
+    the only two inputs where whole-text JVM replace and python's
+    per-line ``str.replace`` could diverge.  Cutting the text's
+    python round trip halves the Arrow traffic of the whole pipeline.
+
+    Failure semantics enforced here (they belong to record processing):
+    the duplicate-URL assert (image_downloader.py:116) and
+    fail-on-error when ``skip_all_errors`` is unset
+    (image_downloader.py:152-161).
+    """
+    from ..core import docfold
+
+    @pandas_udf(MAPPING_STRUCT)
+    def mapping_udf(recs: pd.Series) -> pd.Series:
+        out = []
+        for rs in recs:
+            if rs is None or len(rs) == 0:
+                out.append([])
+                continue
+            records = []
+            seen_ok = set()
+            for r in sorted(rs, key=lambda r: r['ord']):
+                if strict_duplicate_assert and r['src'] in seen_ok:
+                    raise AssertionError(f'BUG: already downloaded image "{r["src"]}"...')
+                if not skip_all_errors and r['status'] == docfold.ERROR:
+                    raise OSError(f'image fetch failed for "{r["src"]}" (skip_all_errors unset)')
+                if r['status'] == docfold.OK:
+                    seen_ok.add(r['src'])
+                records.append(
+                    docfold.LinkRecord(
+                        ord=r['ord'],
+                        src=r['src'],
+                        status=r['status'],
+                        dedup_path=r['dedup_path'],
+                        doc_path=r['doc_path'],
+                        doc_path_posix=r['doc_path_posix'],
+                        filename=r['filename'],
+                    )
+                )
+            out.append([{'src': s, 'dst': d} for s, d in docfold.fold_mapping(records, path_cfg)])
+        return pd.Series(out, dtype=object)
+
+    return mapping_udf
+
+
 def make_rewrite_udf(strict_duplicate_assert: bool, skip_all_errors: bool, path_cfg: PathConfig = None):
     """R1 + A1/A5: per-document fold + ordered cascading rewrite.
 

@@ -318,10 +318,23 @@ def finish_pass(
     ).alias('rec')
     per_doc = links.groupBy('url').agg(F.collect_list(rec).alias('recs'))
 
-    rewrite = udfs.make_rewrite_udf(cfg.strict_duplicate_assert, cfg.skip_all_errors, cfg.paths)
+    # R1 split: the per-doc FOLD (first-wins + collision repair) runs in
+    # python over the small record structs; the ordered cascading
+    # replace runs JVM-side over the text — the fat text column never
+    # crosses into python here (see udfs.make_mapping_udf for the
+    # byte-identity argument)
+    mapping = udfs.make_mapping_udf(cfg.strict_duplicate_assert, cfg.skip_all_errors, cfg.paths)
     docs_out = (
         docs.join(per_doc, on='url', how='left')
-        .withColumn('text_out', rewrite(F.col('text'), F.col('recs')))
+        .withColumn('_mapping', mapping(F.col('recs')))
+        .withColumn(
+            'text_out',
+            F.aggregate(
+                F.coalesce(F.col('_mapping'), F.array().cast(udfs.MAPPING_STRUCT)),
+                F.col('text'),
+                lambda acc, m: F.replace(acc, m['src'], m['dst']),
+            ),
+        )
         .select('url', 'text_out')
     )
 
