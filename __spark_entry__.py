@@ -66,11 +66,16 @@ def q_extract_links_corpus(spark, sf_dir):
     from markdown_articles_tool_spark.operators.udfs import extract_md_links
 
     docs = _corpus_docs(spark, sf_dir)
-    return docs.select(
+    exploded = docs.select(
         'url', F.posexplode(extract_md_links(F.col('text'))).alias('ord', 'lk')
     ).select(
         'url', 'ord', F.col('lk.link').alias('link'), F.col('lk.w').alias('w'), F.col('lk.h').alias('h')
-    ).orderBy('url', 'ord')
+    )
+    # the global sort exists only for oracle determinism; persist the
+    # exploded links first or RangePartitioning's sampling pass executes
+    # the whole extraction-UDF pipeline a second time (r2 regression:
+    # 0.68 s -> 4.83 s in BENCH_r02)
+    return exploded.persist().orderBy('url', 'ord')
 
 
 def q_corpus_images(spark, sf_dir):

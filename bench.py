@@ -135,6 +135,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'ngram_jaccard_adjacent',
         'minhash_candidates',
         'neardup_clusters',
+        'simhash_neardup',
         'token_stats',
         'langid',
         'fingerprint',
@@ -149,9 +150,13 @@ def run_bench(emit_json: bool = True) -> dict:
 
     def _timed(name: str) -> float:
         # two runs, report the min: excludes first-scan/JIT effects so
-        # numbers are comparable across parallelism levels
+        # numbers are comparable across parallelism levels.  Cache is
+        # cleared between runs so queries that persist() internally
+        # (extract_links, neardup_clusters, the transform family) pay
+        # their full cost every trial — each min is a complete cold run
         best = float('inf')
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -187,14 +187,18 @@ def fetch_distinct(
         host = F.regexp_extract('fetch_key', r'^[a-zA-Z]+://([^/]+)', 1)
         salt = F.pmod(F.xxhash64('fetch_key'), F.lit(4))
         keys = keys.repartition(p, F.xxhash64(host), salt)
-    elif int(spark.conf.get('spark.sql.shuffle.partitions')) != p:
-        # explicit width: the key list is tiny in bytes but each key
-        # EXPANDS into a full fetch (network/CPU + content bytes), so
-        # AQE's byte-based coalescing would starve this stage of
-        # parallelism; a repartition of the narrow keys pins the
-        # fan-out to the cluster width.  Skipped when distinct()'s own
-        # hash partitioning already lands at that width — a second
-        # shuffle of the same keys would be a pure waste
+    else:
+        # explicit width, UNCONDITIONALLY: the key list is tiny in
+        # bytes but each key EXPANDS into a full fetch (network/CPU +
+        # content bytes).  distinct()'s own exchange is subject to
+        # AQE byte-based coalescing (coalescePartitions is on by
+        # default in get_spark), which would collapse a
+        # small-in-bytes key set to a handful of tasks and serialize
+        # the fetch stage; an explicit user repartition is exempt
+        # from AQE coalescing and pins the fan-out to the cluster
+        # width.  (r2 skipped this when widths matched — wrong under
+        # AQE: the width of the *coalesced* exchange is what matters,
+        # not the configured shuffle width.)
         keys = keys.repartition(p, F.xxhash64('fetch_key'))
     # sha256 + filename derived inside the same python crossing as the
     # fetch itself — no second Arrow operator, no JVM re-hash of bytes

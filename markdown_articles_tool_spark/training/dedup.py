@@ -84,9 +84,15 @@ def ngram_jaccard_seq(a: frozenset, b: frozenset) -> float:
     return len(a & b) / union if union > 0 else 0.0
 
 
-def jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+) -> DataFrame:
     """n-gram Jaccard for explicit (a_id, b_id) pairs."""
-    g = df.select(F.col('doc_id'), word_ngrams(F.col('text'), n).alias('grams'))
+    g = df.select(F.col(id_col).alias('doc_id'), word_ngrams(F.col(text_col), n).alias('grams'))
     a = g.selectExpr('doc_id as a_id', 'grams as a_grams')
     b = g.selectExpr('doc_id as b_id', 'grams as b_grams')
     return (
@@ -216,10 +222,16 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_near_duplicates(df: DataFrame, threshold: float = 0.8, **kw) -> DataFrame:
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    **kw,
+) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard ≥ threshold."""
-    cand = minhash_lsh_candidates(df, **kw).select('a_id', 'b_id')
-    verified = jaccard_pairs(df, cand, n=3)
+    cand = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **kw).select('a_id', 'b_id')
+    verified = jaccard_pairs(df, cand, n=3, id_col=id_col, text_col=text_col)
     return verified.where(F.col('jaccard') >= threshold)
 
 
@@ -242,12 +254,46 @@ def simhash64(t: str) -> int:
     return _struct.unpack('<q', _struct.pack('<Q', v))[0]
 
 
+def _simhash_batch(texts) -> List[int]:
+    """Numpy-vectorized twin of ``simhash64`` over a batch of documents
+    — identical output bit-for-bit (same blake2b word hashes), but the
+    64-tests-per-word Python inner loop is replaced with one
+    bit-unpack matrix per document, and word hashes are memoized
+    across the batch (natural-language batches repeat most words).
+    Equivalence is pinned by tests/test_kernel_equivalence.py."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+    memo: dict = {}
+    out: List[int] = []
+    for t in texts:
+        words = (t or '').lower().split()
+        if not words:
+            out.append(0)
+            continue
+        hs = np.empty(len(words), dtype=np.uint64)
+        for j, w in enumerate(words):
+            h = memo.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), 'big')
+                memo[w] = h
+            hs[j] = h
+        # acc[bit] = (#words with bit set) - (#words with bit unset)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+        v = int(weights[acc > 0].sum(dtype=np.uint64))
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
 def make_simhash_udf():
-    """64-bit SimHash over word unigrams (blake2b word hashes)."""
+    """64-bit SimHash over word unigrams (blake2b word hashes),
+    numpy-vectorized per batch."""
 
     @pandas_udf(LongType())
     def simhash_udf(text: pd.Series) -> pd.Series:
-        return text.map(simhash64)
+        return pd.Series(_simhash_batch(text), index=text.index, dtype='int64')
 
     return simhash_udf
 

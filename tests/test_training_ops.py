@@ -154,6 +154,40 @@ class TestDedupClusters:
         reps = {r['doc_id']: r['cluster_rep'] for r in connected_components(pairs, nodes).collect()}
         assert reps == {2: 2, 3: 2, 4: 2, 5: 2, 7: 2, 10: 10, 11: 10, 99: 99}
 
+    def test_long_chain_shortcut_logarithmic(self, spark):
+        """A 300-hop path graph: plain min-label propagation needs ~300
+        rounds; the pointer-shortcut variant must resolve it well within
+        a logarithmic budget (2**14 >> 300), and plain propagation with
+        the same tight budget must raise instead of silently returning
+        wrong labels."""
+        import pytest
+
+        from markdown_articles_tool_spark.training.cluster import connected_components
+
+        n = 300
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], 'a_id long, b_id long')
+        nodes = spark.createDataFrame([(i,) for i in range(n + 1)], 'doc_id long')
+        reps = connected_components(pairs, nodes, max_iter=14, shortcut=True).collect()
+        assert {r['cluster_rep'] for r in reps} == {0} and len(reps) == n + 1
+        with pytest.raises(RuntimeError, match='did not converge'):
+            connected_components(pairs, nodes, max_iter=14, shortcut=False)
+
+    def test_custom_column_names(self, spark):
+        """id_col/text_col thread through the whole candidate → verify →
+        cluster path (r2 advice: they used to be silently dropped)."""
+        from markdown_articles_tool_spark.training.cluster import neardup_clusters
+
+        base = 'the quick brown fox jumps over the lazy dog and runs far away ' * 12
+        rows = [(1000 + i, base + f'tail {i}') for i in range(3)]
+        rows += [(2000 + i, f'completely different document number {i} with unique words '
+                  + ' '.join(f'tok{i}x{j}' for j in range(60))) for i in range(3)]
+        df = spark.createDataFrame(rows, 'page_id long, body string')
+        reps = {r['page_id']: r['cluster_rep']
+                for r in neardup_clusters(df, id_col='page_id', text_col='body',
+                                          threshold=0.8).collect()}
+        assert reps[1000] == 1000 and reps[1001] == 1000 and reps[1002] == 1000
+        assert all(reps[2000 + i] == 2000 + i for i in range(3))
+
 
 class TestTextStats:
     def test_counts(self, spark):
