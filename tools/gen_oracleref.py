@@ -38,17 +38,25 @@ from markdown_articles_tool_spark import corpus  # noqa: E402
 from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig  # noqa: E402
 from markdown_articles_tool_spark.core.mdparse import extract_image_links  # noqa: E402
 from markdown_articles_tool_spark.oracle import ReferenceOracle  # noqa: E402
-from markdown_articles_tool_spark.training.dedup import (  # noqa: E402
-    minhash_signature,
-    simhash64,
-)
-from markdown_articles_tool_spark.training.multimodal import _sniff  # noqa: E402
-from markdown_articles_tool_spark.training.similarity import (  # noqa: E402
-    _pack_band_keys,
-    cosine_seq,
+
+# Sketch/similarity kernels come from the INDEPENDENT second
+# implementation (tools/oracle_kernels.py) — deliberately NOT from
+# markdown_articles_tool_spark.training, so the driver's DuckDB gate
+# checks two implementations against each other, not one against
+# itself.  tests/test_kernel_equivalence.py pins the pairing.
+# (corpus/mdparse/oracle.py imports above remain shared by design:
+# their semantics are locked by golden fixtures + the reference tool's
+# own pytest suite — see VERDICT r2 copy-paste adjudication.)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_kernels import (  # noqa: E402
+    cosine as cosine_seq,
     ivf_assign,
-    kmeans_centroids_from_matrix,
-    spark_round9,
+    kmeans_centroids as kmeans_centroids_from_matrix,
+    minhash_signature,
+    pack_band_keys as _pack_band_keys,
+    round9 as spark_round9,
+    simhash64,
+    sniff_magic as _sniff,
 )
 
 SF_DIRS = ['/root/testdata/sf0.001', '/root/testdata/sf0.01', '/root/testdata/sf0.1']
@@ -137,11 +145,9 @@ def gen_neardup_clusters(
     """Sequential twin of training.cluster.neardup_clusters: MinHash
     candidates → exact n-gram Jaccard ≥ threshold (rounded like
     F.round(_, 6)) → union-find → min-id representative per node."""
-    from markdown_articles_tool_spark.training.dedup import (
-        ngram_jaccard_seq,
-        word_ngrams_seq,
-    )
-    from markdown_articles_tool_spark.training.similarity import spark_round
+    from oracle_kernels import jaccard as ngram_jaccard_seq
+    from oracle_kernels import round_half_up as spark_round
+    from oracle_kernels import word_ngram_set as word_ngrams_seq
 
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
