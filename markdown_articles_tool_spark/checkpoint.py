@@ -111,10 +111,19 @@ def run_with_resume(
         sharded = cur_docs.withColumn('shard', F.pmod(F.xxhash64('url'), F.lit(n_shards)))
 
         # ---------------------------------------------- phase A (sharded)
-        for k in range(n_shards):
-            if _committed(out_dir, f'pass={i}_shard={k}'):
-                skipped.add(k)
-                continue
+        todo = [k for k in range(n_shards) if not _committed(out_dir, f'pass={i}_shard={k}')]
+        skipped.update(k for k in range(n_shards) if k not in todo)
+
+        # per-shard doc counts for lineage in ONE column-pruned job
+        # (r2 re-ran a full input scan per shard just for this number)
+        n_docs_by_shard = {}
+        if todo:
+            n_docs_by_shard = {
+                r['shard']: r['count']
+                for r in sharded.select('shard').groupBy('shard').count().collect()
+            }
+
+        def _run_shard(k: int) -> None:
             t0 = time.time()
             shard_docs = sharded.where(F.col('shard') == k).select('url', 'text')
             links, fetched, cached = extract_pass_links(
@@ -123,7 +132,11 @@ def run_with_resume(
             links_path = os.path.join(out_dir, 'stage', f'pass={i}', 'links', f'shard={k}')
             fetched_path = os.path.join(out_dir, 'stage', f'pass={i}', 'fetched', f'shard={k}')
             links.write.mode('overwrite').parquet(links_path)
-            fetched.select('fetch_key', 'content').write.mode('overwrite').parquet(fetched_path)
+            # sha_hex staged WITH the content so phase B can pick a
+            # consistent deterministic winner per fetch_key
+            fetched.select('fetch_key', 'sha_hex', 'content').write.mode('overwrite').parquet(
+                fetched_path
+            )
             status_counts = {
                 r['status']: r['count'] for r in links.groupBy('status').count().collect()
             }
@@ -132,14 +145,31 @@ def run_with_resume(
                 'shard': k,
                 # footer-count of the staged parquet, not a recompute
                 'n_links': spark.read.parquet(links_path).count(),
-                'n_docs': shard_docs.count(),
+                'n_docs': n_docs_by_shard.get(k, 0),
                 'status_counts': status_counts,
                 'wall_sec': round(time.time() - t0, 3),
             })
             _commit(out_dir, f'pass={i}_shard={k}')
-            ran.add(k)
             for df in cached:
                 df.unpersist()
+
+        # shards are independent by construction — submit their jobs
+        # from a bounded thread pool (Spark's scheduler runs concurrent
+        # jobs fine; at n_shards=64 a strictly sequential driver loop
+        # would leave scheduling bubbles between every pair of shards).
+        # Markers stay per-shard: a crash mid-pool commits exactly the
+        # shards that finished, resume picks up the rest.
+        workers = int(os.environ.get('SPARK_GRAFT_SHARD_WORKERS', '4'))
+        if len(todo) <= 1 or workers <= 1:
+            for k in todo:
+                _run_shard(k)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(workers, len(todo))) as pool:
+                for _ in pool.map(_run_shard, todo):
+                    pass
+        ran.update(todo)
 
         # ---------------------------------------------- phase B (global)
         t0 = time.time()
@@ -149,9 +179,22 @@ def run_with_resume(
         links_all = spark.read.parquet(
             os.path.join(out_dir, 'stage', f'pass={i}', 'links')
         ).select(*LINKMETA_COLS)
-        fetched_all = spark.read.parquet(
-            os.path.join(out_dir, 'stage', f'pass={i}', 'fetched')
-        ).dropDuplicates(['fetch_key'])
+        # the same URL fetched independently in multiple shards: pick a
+        # DETERMINISTIC winner (min shard id) so repeated/resumed runs
+        # choose the same bytes.  For a deterministic fetcher (modeled /
+        # content-addressed) every shard staged identical bytes and the
+        # choice is vacuous; for a live fetcher whose responses vary
+        # between shards, the byte-identity-to-uninterrupted-run
+        # guarantee necessarily weakens to "deterministic winner per
+        # key" — sha_hex is staged alongside the content so the picked
+        # row stays internally consistent (bytes + hash from the SAME
+        # shard's fetch)
+        staged_fetch = spark.read.parquet(os.path.join(out_dir, 'stage', f'pass={i}', 'fetched'))
+        fetched_all = (
+            staged_fetch.groupBy('fetch_key')
+            .agg(F.min_by(F.struct('sha_hex', 'content'), 'shard').alias('w'))
+            .select('fetch_key', 'w.sha_hex', 'w.content')
+        )
         dedup_state = None
         if i > 0 and cfg.deduplication == DedupVariant.CONTENT_HASH:
             dedup_state = spark.read.parquet(

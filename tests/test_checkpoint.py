@@ -101,6 +101,36 @@ def test_sharded_equals_global_on_dup_heavy_corpus(spark, tmp_path):
     assert got_images == want_images
 
 
+def test_sharded_wall_time_near_global(spark, tmp_path):
+    """Phase A submits shard jobs from a thread pool (r2 ran them
+    strictly sequentially, leaving a scheduling bubble per shard).
+    Gate: an 8-shard checkpointed run stays within ~1.5x of the
+    non-sharded run on the same corpus — the sharded run pays parquet
+    staging + 8 sets of job commits, so parity is not expected, but
+    serialized shards used to cost several times more."""
+    import time
+
+    cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+    docs_df = spark.createDataFrame(corpus.docs_list(240), 'url string, text string')
+
+    t0 = time.perf_counter()
+    res = transform_documents(docs_df, cfg)
+    res.docs_out.count()
+    res.images_out.count()
+    t_global = time.perf_counter() - t0
+
+    out = str(tmp_path / 'out')
+    t0 = time.perf_counter()
+    run_with_resume(spark, docs_df, cfg, out, n_shards=8)
+    t_sharded = time.perf_counter() - t0
+
+    # generous floor keeps the gate meaningful but not flaky on a
+    # noisy shared box: small corpora have a constant staging cost
+    assert t_sharded <= max(1.5 * t_global, t_global + 8.0), (
+        f'sharded {t_sharded:.1f}s vs global {t_global:.1f}s'
+    )
+
+
 def test_sharded_equals_global_multipass_chain(spark, tmp_path):
     """Same gate for a chained md+html run with shared dedup state."""
     out = str(tmp_path / 'out')
