@@ -46,6 +46,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .core.linkflow import DedupVariant, TransformConfig
+from .io_sinks import ParquetMarkerSink, TableSink
 from .pipeline import LINKMETA_COLS, extract_pass_links, finish_pass
 
 
@@ -54,21 +55,6 @@ class RunReport:
     n_shards: int
     shards_run: List[int]       # shards whose phase A ran in ANY pass
     shards_skipped: List[int]   # shards skipped (already committed) in every pass
-
-
-def _marker(out_dir: str, name: str) -> str:
-    return os.path.join(out_dir, 'commits', name)
-
-
-def _commit(out_dir: str, name: str) -> None:
-    # marker LAST: a crash before this line leaves the unit uncommitted
-    # → fully re-run on restart (idempotent overwrite)
-    with open(_marker(out_dir, name), 'w') as f:
-        f.write('ok')
-
-
-def _committed(out_dir: str, name: str) -> bool:
-    return os.path.exists(_marker(out_dir, name))
 
 
 def _write_lineage(out_dir: str, name: str, row: dict) -> None:
@@ -86,32 +72,38 @@ def run_with_resume(
     n_shards: int = 8,
     fetcher=None,
     local_assets: Optional[dict] = None,
+    sink: Optional[TableSink] = None,
 ) -> RunReport:
     """Transform ``docs`` (url, text) with checkpointed resume.
 
     Re-running after a crash skips committed shard stages and
     re-executes only missing work; the final tables are byte-identical
     to an uninterrupted (and to a non-sharded) run.
+
+    ``sink`` is the storage seam (io_sinks.TableSink): parquet dirs +
+    commit markers by default; pass ``IcebergTableSink`` on a real
+    cluster for atomic snapshot commits (env-gated here — no Iceberg
+    runtime in this sandbox).
     """
-    os.makedirs(os.path.join(out_dir, 'commits'), exist_ok=True)
+    sink = sink or ParquetMarkerSink(out_dir)
     ran, skipped = set(), set()
     finals_ran = False
 
     for i, fmt in enumerate(cfg.input_formats):
         last = i == len(cfg.input_formats) - 1
-        if _committed(out_dir, f'pass={i}_final'):
+        if sink.is_committed(f'pass={i}_final'):
             skipped.update(range(n_shards))
             continue
 
         cur_docs = (
             docs.select('url', 'text')
             if i == 0
-            else spark.read.parquet(os.path.join(out_dir, f'docs_pass={i - 1}'))
+            else sink.read(spark, f'docs_pass/pass={i - 1}')
         )
         sharded = cur_docs.withColumn('shard', F.pmod(F.xxhash64('url'), F.lit(n_shards)))
 
         # ---------------------------------------------- phase A (sharded)
-        todo = [k for k in range(n_shards) if not _committed(out_dir, f'pass={i}_shard={k}')]
+        todo = [k for k in range(n_shards) if not sink.is_committed(f'pass={i}_shard={k}')]
         skipped.update(k for k in range(n_shards) if k not in todo)
 
         # per-shard doc counts for lineage in ONE column-pruned job
@@ -129,14 +121,12 @@ def run_with_resume(
             links, fetched, cached = extract_pass_links(
                 shard_docs, cfg, fmt=fmt, fetcher=fetcher, local_assets=local_assets
             )
-            links_path = os.path.join(out_dir, 'stage', f'pass={i}', 'links', f'shard={k}')
-            fetched_path = os.path.join(out_dir, 'stage', f'pass={i}', 'fetched', f'shard={k}')
-            links.write.mode('overwrite').parquet(links_path)
+            links_name = f'stage/pass={i}/links/shard={k}'
+            sink.write(links, links_name)
             # sha_hex staged WITH the content so phase B can pick a
             # consistent deterministic winner per fetch_key
-            fetched.select('fetch_key', 'sha_hex', 'content').write.mode('overwrite').parquet(
-                fetched_path
-            )
+            sink.write(fetched.select('fetch_key', 'sha_hex', 'content'),
+                       f'stage/pass={i}/fetched/shard={k}')
             status_counts = {
                 r['status']: r['count'] for r in links.groupBy('status').count().collect()
             }
@@ -144,12 +134,12 @@ def run_with_resume(
                 'pass': i,
                 'shard': k,
                 # footer-count of the staged parquet, not a recompute
-                'n_links': spark.read.parquet(links_path).count(),
+                'n_links': sink.read(spark, links_name).count(),
                 'n_docs': n_docs_by_shard.get(k, 0),
                 'status_counts': status_counts,
                 'wall_sec': round(time.time() - t0, 3),
             })
-            _commit(out_dir, f'pass={i}_shard={k}')
+            sink.mark_committed(f'pass={i}_shard={k}')
             for df in cached:
                 df.unpersist()
 
@@ -176,9 +166,7 @@ def run_with_resume(
         finals_ran = True
         # the shard=K dirs read back as a discovered partition column —
         # project it away so finish_pass sees exactly the linkmeta shape
-        links_all = spark.read.parquet(
-            os.path.join(out_dir, 'stage', f'pass={i}', 'links')
-        ).select(*LINKMETA_COLS)
+        links_all = sink.read(spark, f'stage/pass={i}/links').select(*LINKMETA_COLS)
         # the same URL fetched independently in multiple shards: pick a
         # DETERMINISTIC winner (min shard id) so repeated/resumed runs
         # choose the same bytes.  For a deterministic fetcher (modeled /
@@ -189,7 +177,7 @@ def run_with_resume(
         # key" — sha_hex is staged alongside the content so the picked
         # row stays internally consistent (bytes + hash from the SAME
         # shard's fetch)
-        staged_fetch = spark.read.parquet(os.path.join(out_dir, 'stage', f'pass={i}', 'fetched'))
+        staged_fetch = sink.read(spark, f'stage/pass={i}/fetched')
         fetched_all = (
             staged_fetch.groupBy('fetch_key')
             .agg(F.min_by(F.struct('sha_hex', 'content'), 'shard').alias('w'))
@@ -197,52 +185,45 @@ def run_with_resume(
         )
         dedup_state = None
         if i > 0 and cfg.deduplication == DedupVariant.CONTENT_HASH:
-            dedup_state = spark.read.parquet(
-                os.path.join(out_dir, 'stage', f'pass={i - 1}', 'registrations')
-            )
+            dedup_state = sink.read(spark, f'stage/pass={i - 1}/registrations')
         res = finish_pass(cur_docs, links_all, fetched_all, cfg, pass_idx=i, dedup_state=dedup_state)
 
         if last:
-            res.docs_out.write.mode('overwrite').parquet(os.path.join(out_dir, 'docs'))
+            sink.write(res.docs_out, 'docs')
         else:
-            res.docs_out.withColumnRenamed('text_out', 'text').write.mode('overwrite').parquet(
-                os.path.join(out_dir, f'docs_pass={i}')
-            )
-        res.images_out.withColumn('_pass', F.lit(i)).write.mode('overwrite').parquet(
-            os.path.join(out_dir, 'stage', f'pass={i}', 'images')
-        )
+            sink.write(res.docs_out.withColumnRenamed('text_out', 'text'), f'docs_pass/pass={i}')
+        sink.write(res.images_out.withColumn('_pass', F.lit(i)), f'stage/pass={i}/images')
         if res.dedup_registrations is not None:
-            res.dedup_registrations.write.mode('overwrite').parquet(
-                os.path.join(out_dir, 'stage', f'pass={i}', 'registrations')
-            )
+            sink.write(res.dedup_registrations, f'stage/pass={i}/registrations')
         _write_lineage(out_dir, f'pass-{i}.json', {
             'pass': i,
-            'n_docs_out': spark.read.parquet(
-                os.path.join(out_dir, 'docs' if last else f'docs_pass={i}')
+            'n_docs_out': sink.read(
+                spark, 'docs' if last else f'docs_pass/pass={i}'
             ).count(),
             'wall_sec': round(time.time() - t0, 3),
         })
-        _commit(out_dir, f'pass={i}_final')
+        sink.mark_committed(f'pass={i}_final')
 
     # ------------------------------------- final images (cross-pass wins)
-    if finals_ran or not _committed(out_dir, 'images_final'):
-        imgs = spark.read.parquet(os.path.join(out_dir, 'stage', 'pass=*', 'images'))
+    if finals_ran or not sink.is_committed('images_final'):
+        imgs = sink.read(spark, 'stage/pass=*/images')
         # first write wins across passes (skip-if-exists,
         # image_downloader.py:287-289) — same fold as transform_documents
-        imgs.groupBy('real_path').agg(F.min_by('content', '_pass').alias('content')).write.mode(
-            'overwrite'
-        ).parquet(os.path.join(out_dir, 'images'))
-        _commit(out_dir, 'images_final')
+        sink.write(
+            imgs.groupBy('real_path').agg(F.min_by('content', '_pass').alias('content')),
+            'images',
+        )
+        sink.mark_committed('images_final')
 
     return RunReport(n_shards, sorted(ran), sorted(skipped - ran))
 
 
-def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, 'docs'))
+def read_output(spark: SparkSession, out_dir: str, sink: Optional[TableSink] = None) -> DataFrame:
+    return (sink or ParquetMarkerSink(out_dir)).read(spark, 'docs')
 
 
-def read_images(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, 'images'))
+def read_images(spark: SparkSession, out_dir: str, sink: Optional[TableSink] = None) -> DataFrame:
+    return (sink or ParquetMarkerSink(out_dir)).read(spark, 'images')
 
 
 def lineage(out_dir: str) -> List[dict]:

@@ -120,12 +120,26 @@ def local_store_fetcher(local_assets: dict) -> Fetcher:
     return fetch
 
 
-def live_fetcher(timeout: float | None = None) -> Fetcher:
+def live_fetcher(timeout: float | None = None, per_host_interval: float = 0.0) -> Fetcher:
     """Real HTTP fetcher for production runs (www_tools.py:41-65
     semantics: UA header, redirects, SSL-retry-without-verify, >=400 →
-    error).  Import-guarded; not exercisable in this sandbox."""
+    error).  Import-guarded; not exercisable in this sandbox.
+
+    ``per_host_interval``: politeness floor in seconds between
+    consecutive GETs to the SAME host within this worker.  Combined
+    with ``fetch_distinct(salt_by_host=True)`` (which co-locates a
+    host's URLs into at most a handful of partitions), this bounds the
+    cluster-wide request rate against any one host to roughly
+    ``salt_buckets / per_host_interval`` req/s — without it, a 100-TB
+    run with a hot image host would hammer that host from every
+    executor at once.  Different hosts are not throttled against each
+    other (the batch is grouped by host, so the sleeps also do not
+    serialize cross-host throughput within a partition more than the
+    grouping already does)."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
         import requests
 
         headers = {
@@ -133,12 +147,19 @@ def live_fetcher(timeout: float | None = None) -> Fetcher:
             'Gecko/20100101 Firefox/96.0'
         }
         session = requests.Session()
+        last_hit: dict = {}  # host -> monotonic time of last GET (across batches)
         for pdf in batches:
             # group by host for connection reuse / politeness
             pdf = pdf.assign(_host=pdf['fetch_key'].str.extract(r'^[a-zA-Z]+://([^/]+)')[0])
             rows = []
             for _host, grp in pdf.groupby('_host', dropna=False, sort=True):
                 for key in grp['fetch_key']:
+                    if per_host_interval > 0:
+                        prev = last_hit.get(_host)
+                        now = time.monotonic()
+                        if prev is not None and now - prev < per_host_interval:
+                            time.sleep(per_host_interval - (now - prev))
+                        last_hit[_host] = time.monotonic()
                     try:
                         try:
                             resp = session.get(key, allow_redirects=True, timeout=timeout, headers=headers)

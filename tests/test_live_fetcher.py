@@ -90,3 +90,69 @@ def test_live_fetcher_captures_content_disposition(monkeypatch):
     # SSL error retried without verify (www_tools.py:49-53)
     assert rows['https://ssl.h/a.png'].fetch_status == 200
     assert bytes(rows['https://ssl.h/a.png'].content) == b'SSL'
+
+
+def test_live_fetcher_per_host_politeness(monkeypatch):
+    """Per-host min-interval contract: consecutive GETs to the same
+    host are spaced >= per_host_interval apart (enforced by sleeping
+    the remaining interval); different hosts are not throttled against
+    each other."""
+    import time as time_mod
+
+    urls = [f'https://a.example/p{i}.png' for i in range(3)] + [
+        f'https://b.example/q{i}.png' for i in range(2)
+    ]
+    responses = {
+        u: _Resp(u, content=b'X', headers={'content-type': 'image/png'}) for u in urls
+    }
+
+    clock = {'t': 100.0}
+    events = []  # ('get', host, t) / ('sleep', seconds)
+
+    def fake_monotonic():
+        return clock['t']
+
+    def fake_sleep(sec):
+        events.append(('sleep', round(sec, 6)))
+        clock['t'] += sec
+
+    monkeypatch.setattr(time_mod, 'monotonic', fake_monotonic)
+    monkeypatch.setattr(time_mod, 'sleep', fake_sleep)
+
+    base = _fake_requests(responses)
+    orig_session = base.Session
+
+    class Session(orig_session):
+        def get(self, url, **kw):
+            host = url.split('/')[2]
+            events.append(('get', host, clock['t']))
+            clock['t'] += 0.1  # each request takes 100 ms
+            return super().get(url, **kw)
+
+    base.Session = Session
+    monkeypatch.setitem(sys.modules, 'requests', base)
+
+    rows = _run(live_fetcher(timeout=1.0, per_host_interval=0.5), urls)
+    assert all(rows[u].fetch_status == 200 for u in urls)
+
+    # rebuild per-host GET times
+    per_host = {}
+    for e in events:
+        if e[0] == 'get':
+            per_host.setdefault(e[1], []).append(e[2])
+    # hosts grouped alphabetically: all of a.example before b.example
+    order = [e[1] for e in events if e[0] == 'get']
+    assert order == ['a.example'] * 3 + ['b.example'] * 2
+    # same-host spacing >= interval
+    for host, times in per_host.items():
+        for t0, t1 in zip(times, times[1:]):
+            assert t1 - t0 >= 0.5 - 1e-9, (host, times)
+    # sleeps fired only for same-host gaps (request takes 0.1s of the
+    # 0.5s budget -> 0.4s sleeps), and the first GET of each host is
+    # never delayed
+    sleeps = [e[1] for e in events if e[0] == 'sleep']
+    assert sleeps == [0.4, 0.4, 0.4]  # 2 gaps on host a + 1 gap on host b
+    # b.example's first GET was not throttled against a.example's last
+    b_first = per_host['b.example'][0]
+    a_last = per_host['a.example'][-1]
+    assert b_first - a_last < 0.5
