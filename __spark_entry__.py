@@ -78,6 +78,29 @@ def q_extract_links_corpus(spark, sf_dir):
     return exploded.persist().orderBy('url', 'ord')
 
 
+def q_main_content(spark, sf_dir):
+    """North-rule boilerplate strip over the CC-style pages table:
+    one mapInPandas pass over (url, html), narrow columns out."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.maincontent import extract_main_content
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    return extract_main_content(pages).select(
+        'url', F.sha2(F.encode('main_text', 'utf-8'), 256).alias('main_sha'),
+        'n_blocks', 'n_kept'
+    ).orderBy('url')
+
+
+def q_content_spans(spark, sf_dir):
+    """Per-block span rows of the main-content extraction (tag, length,
+    link density, kept flag, offsets into main_text)."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.maincontent import extract_content_spans
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    return extract_content_spans(pages).orderBy('url', 'ord')
+
+
 def q_corpus_images(spark, sf_dir):
     from markdown_articles_tool_spark.pipeline import transform_documents
 
@@ -292,6 +315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'transform_corpus': q_transform_corpus,
         'extract_links_corpus': q_extract_links_corpus,
+        'main_content': q_main_content,
+        'content_spans': q_content_spans,
         'corpus_images': q_corpus_images,
         'media_metadata': q_media_metadata,
         'media_decode': q_media_decode,
@@ -350,6 +375,14 @@ def oracle_sql() -> dict[str, str]:
             'extract_links_corpus', 'url, ord, link, w, h', _DOC_SKEY, 'url, ord'
         ),
         'corpus_images': _ref('corpus_images', 'real_path, content_sha', _DOC_SKEY, 'real_path'),
+        'main_content': _ref(
+            'main_content', 'url, main_sha, n_blocks, n_kept', _DOC_SKEY, 'url'
+        ),
+        'content_spans': _ref(
+            'content_spans',
+            'url, ord, tag, n_chars, link_density, kept, start, "end"',
+            _DOC_SKEY, 'url, ord',
+        ),
         'media_metadata': _ref(
             'media_metadata', 'path, size_bytes, magic, media_type, fake_checksum',
             _DOC_SKEY, 'path'

@@ -147,15 +147,40 @@ def doc_text(i: int, fat: bool = False) -> str:
 
 
 def doc_html(i: int) -> bytes:
-    """HTML body column: 0-5 <img> tags incl. src-less and valueless-src
-    edge cases (transformers/html/transformer.py:22-27)."""
+    """HTML body column: a CC-style page with realistic boilerplate —
+    head script/style, nav/footer link farms, cookie-banner aside, a
+    link-dense related-posts div — around a main article of substantive
+    paragraphs, plus 0-5 <img> tags incl. src-less and valueless-src
+    edge cases (transformers/html/transformer.py:22-27).  Exercises the
+    main-content extraction operators: the boilerplate must be
+    stripped, the article kept."""
     n = _h(f'himg:{i}') % 6
     imgs = '\n'.join(
         f'<img src="https://{host_for(i, 10 + k)}/himg/h{i}_{k}.png" alt="k{k}">' for k in range(n)
     )
+    nav = ' '.join(f'<a href="/cat/{j}">Category {j}</a>' for j in range(1 + _h(f'nav:{i}') % 8))
+    n_par = 2 + _h(f'hpar:{i}') % 4
+    paras = []
+    for p in range(n_par):
+        s0 = _FILLER_SENTENCES[(i + p) % len(_FILLER_SENTENCES)]
+        s1 = _FILLER_SENTENCES[(i * 5 + p * 3) % len(_FILLER_SENTENCES)]
+        inline = f' Compare <a href="/see/{i}/{p}">this note</a> for details.' if p % 2 else ''
+        paras.append(f'<p>{s0}{inline} {s1}</p>')
+    related = ' '.join(
+        f'<a href="/post/{i}-{j}">Related post number {j}</a>' for j in range(4)
+    )
     return (
-        f'<html><body><h1>Doc {i}</h1>\n<img alt="no-src">\n<img src>\n{imgs}\n'
-        f'<p>text {i}</p></body></html>'
+        f'<html><head><title>Doc {i}</title><script>var t={i};track(t);</script>'
+        f'<style>.x{{color:red}}</style></head>\n'
+        f'<body><nav>{nav}</nav>\n'
+        f'<header><a href="/">Home</a> &gt; <a href="/a">Articles</a></header>\n'
+        f'<aside>We use cookies. <a href="/consent">Accept all cookies now</a></aside>\n'
+        f'<article><h1>Doc {i}</h1>\n<img alt="no-src">\n<img src>\n{imgs}\n'
+        + '\n'.join(paras)
+        + f'\n<p>text {i}</p></article>\n'
+        f'<div class="related">{related}</div>\n'
+        f'<footer>{nav} <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>'
+        f'</body></html>'
     ).encode()
 
 

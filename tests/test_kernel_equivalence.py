@@ -107,6 +107,66 @@ class TestEmbeddingKernels:
         assert ok.round_half_up(2.675, 2) == S.spark_round(2.675, 2)
 
 
+class TestMainContent:
+    """Engine kernel (core/maincontent.py) vs independent oracle kernel
+    (oracle_kernels.main_content_*) — born de-shared; any drift fails
+    here."""
+
+    FRAGS = [
+        None, b'', b'plain text no tags at all but long enough to keep here ok',
+        b'<p>short</p>',
+        b'<div><p>nested paragraph with enough characters to be kept</p>trailing</div>',
+        b'<ul><li><a href="/x">all link text in this list item block</a></li></ul>',
+        b'</p>unbalanced close<p>opened but never closed with sufficient length here',
+        b'<script>drop<p>this too</p></script><p>kept paragraph of ample length indeed</p>',
+        b'<br/><hr><p>void elements<br>split this rather long paragraph into parts</p>',
+        b'<P>UPPERCASE tags folded to lower by the parser with enough text to keep</P>',
+        '<p>entités &amp; caract&egrave;res unicodés résolus correctement ici même</p>'.encode(),
+        b'\xff\xfe broken utf8 <p>still parsed with replacement chars and kept if long</p>',
+        b'<table><tr><td>cell one has plenty of textual content to keep</td>'
+        b'<td><a href="/y">link</a></td></tr></table>',
+        b'<noscript><p>dropped</p></noscript><aside>cookie</aside>'
+        b'<main><p>the real main content sentence lives here</p></main>',
+        b'<nav><a href="/1">one</a><a href="/2">two</a></nav><article><h1>A headline '
+        b'that is long enough to keep</h1><p>body text of suitable length right here'
+        b'</p></article><footer><a href="/t">terms</a></footer>',
+    ]
+
+    def test_kernels_agree_on_fragments_and_corpus(self):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core import maincontent as mc
+
+        for f in self.FRAGS + [corpus.doc_html(i) for i in range(80)]:
+            eng = mc.extract_blocks(f)
+            ora = ok.main_content_blocks(f)
+            assert [(b.ord, b.tag, b.text, b.total_raw, b.link_raw, b.kept) for b in eng] == ora
+            assert mc.main_text(eng) == ok.main_content_text(ora)
+            assert mc.spans(eng) == ok.main_content_spans(ora)
+
+    def test_boilerplate_actually_stripped(self):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core import maincontent as mc
+
+        text = mc.main_text(mc.extract_blocks(corpus.doc_html(3)))
+        assert 'cookies' not in text          # aside dropped
+        assert 'Category' not in text         # nav link farm dropped
+        assert 'Related post' not in text     # link-dense div dropped
+        assert 'Privacy' not in text          # footer dropped
+        assert len(text) > 100                # article prose kept
+
+    def test_span_offsets_index_main_text(self):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core import maincontent as mc
+
+        blocks = mc.extract_blocks(corpus.doc_html(7))
+        text = mc.main_text(blocks)
+        for (ordi, tag, n_chars, dens, kept, start, end), b in zip(mc.spans(blocks), blocks):
+            if kept:
+                assert text[start:end] == b.text
+            else:
+                assert (start, end) == (-1, -1)
+
+
 class TestSniff:
     def test_magic(self):
         from markdown_articles_tool_spark.training.multimodal import _sniff

@@ -75,3 +75,50 @@ class TestPlanQuality:
         # nothing in the transform may degenerate to an all-pairs join
         assert 'CartesianProduct' not in plan
         assert 'BroadcastNestedLoopJoin' not in plan
+
+
+class TestMainContentPlan:
+    def test_scan_pruned_to_url_html(self, spark, tmp_path_factory):
+        """The main-content operator must read ONLY (url, html) from the
+        5-column pages table — the fat text column and warc_ts stay out
+        of the scan."""
+        from markdown_articles_tool_spark.operators.maincontent import extract_main_content
+
+        tmp = str(tmp_path_factory.mktemp('mcplan') / 'pages')
+        rows = [corpus.doc_row(i) for i in range(20)]
+        spark.createDataFrame(rows, corpus.PAGES_SCHEMA).write.parquet(tmp)
+        df = extract_main_content(spark.read.parquet(tmp))
+        jdf = df._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        scans = re.findall(r'ReadSchema: struct<([^>]*)>', plan_str)
+        assert scans
+        for cols in scans:
+            names = {c.split(':')[0] for c in cols.split(',')}
+            assert names == {'url', 'html'}, names
+        assert 'MapInPandas' in plan_str
+        assert 'Exchange' not in plan_str, 'main-content extraction must not shuffle'
+
+    def test_operator_matches_kernel(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.core import maincontent as mc
+        from markdown_articles_tool_spark.operators.maincontent import (
+            extract_content_spans,
+            extract_main_content,
+        )
+
+        rows = [corpus.doc_row(i) for i in range(30)]
+        pages = spark.createDataFrame(rows, corpus.PAGES_SCHEMA)
+        got = {r['url']: r for r in extract_main_content(pages).collect()}
+        for i in range(30):
+            blocks = mc.extract_blocks(corpus.doc_html(i))
+            r = got[corpus.doc_url(i)]
+            assert r['main_text'] == mc.main_text(blocks)
+            assert r['n_blocks'] == len(blocks)
+            assert r['n_kept'] == sum(1 for b in blocks if b.kept)
+        span_rows = extract_content_spans(pages).where(F.col('url') == corpus.doc_url(5))
+        want = mc.spans(mc.extract_blocks(corpus.doc_html(5)))
+        got_spans = [
+            (r['ord'], r['tag'], r['n_chars'], r['link_density'], r['kept'], r['start'], r['end'])
+            for r in span_rows.orderBy('ord').collect()
+        ]
+        assert got_spans == want

@@ -115,6 +115,29 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
         )
 
 
+def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
+    """Sequential twin of operators/maincontent.py over the pages
+    table — computed with the INDEPENDENT kernel (oracle_kernels
+    main_content_* — born de-shared from the engine's
+    core/maincontent.py; equivalence pinned by
+    tests/test_kernel_equivalence.py)."""
+    import hashlib as _hl
+
+    from oracle_kernels import main_content_blocks, main_content_spans, main_content_text
+
+    n = _corpus_n(sf_dir)
+    for i in range(n):
+        url = corpus.doc_url(i)
+        blocks = main_content_blocks(corpus.doc_html(i))
+        text = main_content_text(blocks)
+        out['main_content'].append(
+            (skey, url, _hl.sha256(text.encode('utf-8')).hexdigest(),
+             len(blocks), sum(1 for b in blocks if b[5]))
+        )
+        for row in main_content_spans(blocks):
+            out['content_spans'].append((skey, url, *row))
+
+
 # ----------------------------------------------------------- text sketches
 
 
@@ -306,6 +329,15 @@ SCHEMAS = {
         [('skey', pa.int64()), ('path', pa.string()), ('size_bytes', pa.int64()),
          ('magic', pa.string()), ('media_type', pa.string()), ('fake_checksum', pa.string())]
     ),
+    'main_content': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('main_sha', pa.string()),
+         ('n_blocks', pa.int32()), ('n_kept', pa.int32())]
+    ),
+    'content_spans': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('ord', pa.int32()),
+         ('tag', pa.string()), ('n_chars', pa.int32()), ('link_density', pa.float64()),
+         ('kept', pa.bool_()), ('start', pa.int64()), ('end', pa.int64())]
+    ),
     'minhash_candidates': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
          ('n_bands_matched', pa.int64())]
@@ -338,6 +370,7 @@ def main() -> None:
         dk, ek = doc_skey(sf_dir), emb_skey(sf_dir)
         print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
         gen_corpus(sf_dir, dk, out)
+        gen_main_content(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
         gen_neardup_clusters(sf_dir, dk, out)
         gen_simhash(sf_dir, dk, out)

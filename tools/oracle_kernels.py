@@ -239,6 +239,133 @@ def ivf_assign(mat, centroids, nprobe: int = 1):
     return np.argsort(-sims, axis=1)[:, :nprobe]
 
 
+# ------------------------------------------------- main-content extract
+#
+# Independent twin of markdown_articles_tool_spark/core/maincontent.py
+# (spec in that module's docstring).  Different machinery: the parser
+# only RECORDS events; segmentation/scoring happens in a separate fold
+# over the event list.
+
+_MC_DROP = frozenset(
+    'script style noscript template svg head nav header footer aside form '
+    'iframe button select option'.split()
+)
+_MC_BLOCK = frozenset(
+    'p div li h1 h2 h3 h4 h5 h6 td th article section blockquote pre main '
+    'figcaption dd dt ul ol table tr body'.split()
+)
+_MC_MIN_CHARS = 25
+
+
+def _mc_events(html: str):
+    from html.parser import HTMLParser
+
+    events = []
+
+    class P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            events.append(('open', tag))
+
+        def handle_endtag(self, tag):
+            events.append(('close', tag))
+
+        def handle_startendtag(self, tag, attrs):
+            events.append(('void', tag))
+
+        def handle_data(self, data):
+            events.append(('data', data))
+
+    p = P(convert_charrefs=True)
+    p.feed(html)
+    p.close()
+    return events
+
+
+def main_content_blocks(html) -> list:
+    """[(ord, tag, norm_text, total_raw, link_raw, kept)] per document."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode('utf-8', errors='replace')
+
+    blocks = []
+    stack: list = []
+    pieces: list = []
+    drop = 0
+    link = 0
+
+    def flush(tag):
+        nonlocal pieces
+        if not pieces:
+            return
+        total = sum(len(t) for t, _l in pieces)
+        link_raw = sum(len(t) for t, in_l in pieces if in_l)
+        norm = ' '.join(''.join(t for t, _l in pieces).split())
+        pieces = []
+        if norm:
+            kept = len(norm) >= _MC_MIN_CHARS and 3 * link_raw <= total
+            blocks.append((len(blocks), tag, norm, total, link_raw, kept))
+
+    for kind, payload in _mc_events(html):
+        if kind == 'data':
+            if not drop and payload:
+                pieces.append((payload, link > 0))
+        elif kind == 'open':
+            tag = payload
+            if tag in _MC_DROP:
+                drop += 1
+            elif drop:
+                pass
+            elif tag == 'a':
+                link += 1
+            elif tag in ('br', 'hr'):
+                flush(stack[-1] if stack else 'body')
+            elif tag in _MC_BLOCK:
+                flush(stack[-1] if stack else 'body')
+                stack.append(tag)
+        elif kind == 'close':
+            tag = payload
+            if tag in _MC_DROP:
+                if drop:
+                    drop -= 1
+            elif drop:
+                pass
+            elif tag == 'a':
+                if link:
+                    link -= 1
+            elif tag in _MC_BLOCK and tag in stack:
+                flush(tag)
+                while stack.pop() != tag:
+                    pass
+        else:  # void <t/>
+            tag = payload
+            if tag in _MC_DROP or drop:
+                pass
+            elif tag in ('br', 'hr') or tag in _MC_BLOCK:
+                flush(stack[-1] if stack else 'body')
+    flush(stack[-1] if stack else 'body')
+    return blocks
+
+
+def main_content_text(blocks) -> str:
+    return '\n'.join(b[2] for b in blocks if b[5])
+
+
+def main_content_spans(blocks) -> list:
+    """(ord, tag, n_chars, link_density, kept, start, end) rows."""
+    rows = []
+    off = 0
+    for ordi, tag, norm, total, link_raw, kept in blocks:
+        if kept:
+            start, end = off, off + len(norm)
+            off = end + 1
+        else:
+            start, end = -1, -1
+        density = round(link_raw / total, 6) if total else 0.0
+        rows.append((ordi, tag, len(norm), density, kept, start, end))
+    return rows
+
+
 # --------------------------------------------------------- media sniff
 
 _MAGIC = [
