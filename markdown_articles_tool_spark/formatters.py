@@ -120,6 +120,9 @@ _FENCE_RE = re.compile(r'^ {0,3}(`{3,}|~{3,})\s*(\S*)\s*$')
 _HEADING_RE = re.compile(r'^(#{1,6})\s+(.*?)\s*#*\s*$')
 _ULIST_RE = re.compile(r'^\s{0,3}[-*+]\s+(.*)$')
 _OLIST_RE = re.compile(r'^\s{0,3}\d+\.\s+(.*)$')
+_ANYLIST_RE = re.compile(r'^(\s*)([-*+]|\d+\.)\s+(.*)$')
+_HR_RE = re.compile(r'^ {0,3}((\*[ \t]*){3,}|(-[ \t]*){3,}|(_[ \t]*){3,})$')
+_BLOCKQUOTE_RE = re.compile(r'^ {0,3}> ?(.*)$')
 _IMG_RE = re.compile(r'!\[([^\]]*)\]\(([^)\s]*)(?:\s+"[^"]*")?\)')
 _LINK_RE = re.compile(r'(?<!!)\[([^\]]+)\]\(([^)\s]*)(?:\s+"[^"]*")?\)')
 _BOLD_RE = re.compile(r'\*\*(.+?)\*\*')
@@ -135,6 +138,42 @@ def _inline(text: str) -> str:
     text = _BOLD_RE.sub(lambda m: f'<strong>{m.group(1)}</strong>', text)
     text = _EM_RE.sub(lambda m: f'<em>{m.group(1)}</em>', text)
     return text
+
+
+def _slug_source(text: str) -> str:
+    """Heading text as the toc extension sees it: rendered content, not
+    raw markdown — links/images collapse to their labels, emphasis and
+    code markers drop."""
+    t = _IMG_RE.sub(lambda m: m.group(1), text)
+    t = _LINK_RE.sub(lambda m: m.group(1), t)
+    t = _CODE_RE.sub(lambda m: m.group(1), t)
+    t = _BOLD_RE.sub(lambda m: m.group(1), t)
+    return _EM_RE.sub(lambda m: m.group(1), t)
+
+
+def _render_list_items(items: List[tuple]) -> str:
+    """Render [(indent, tag, text)] item runs as (possibly nested)
+    lists.  A deeper-indented item (any increase >= 2 spaces) nests
+    inside the preceding item's ``<li>``; a tag switch among siblings
+    closes the list and opens the other kind."""
+    out: List[str] = []
+    i = 0
+    while i < len(items):
+        tag = items[i][1]
+        out.append(f'<{tag}>')
+        while i < len(items) and items[i][1] == tag:
+            ind, _t, txt = items[i]
+            j = i + 1
+            while j < len(items) and items[j][0] >= ind + 2:
+                j += 1
+            children = items[i + 1:j]
+            if children:
+                out.append(f'<li>{_inline(txt)}\n{_render_list_items(children)}\n</li>')
+            else:
+                out.append(f'<li>{_inline(txt)}</li>')
+            i = j
+        out.append(f'</{tag}>')
+    return '\n'.join(out)
 
 
 _TABLE_SEP_CELL_RE = re.compile(r':?-+:?')
@@ -170,7 +209,6 @@ def render_markdown_html(text: str) -> str:
     out: List[str] = []
     lines = text.split('\n')
     para: List[str] = []
-    list_tag = None
     fence = None
     fence_lang = ''
     code_buf: List[str] = []
@@ -180,12 +218,6 @@ def render_markdown_html(text: str) -> str:
         if para:
             out.append(f'<p>{_inline(" ".join(para))}</p>')
             para.clear()
-
-    def close_list():
-        nonlocal list_tag
-        if list_tag:
-            out.append(f'</{list_tag}>')
-            list_tag = None
 
     i = 0
     while i < len(lines):
@@ -203,23 +235,40 @@ def render_markdown_html(text: str) -> str:
         m = _FENCE_RE.match(line)
         if m and not para:
             flush_para()
-            close_list()
             fence, fence_lang = m.group(1), m.group(2)
             i += 1
             continue
         if not line.strip():
             flush_para()
-            close_list()
+            i += 1
+            continue
+        # thematic break — BEFORE the list check ('- - -' matches both)
+        if _HR_RE.match(line):
+            flush_para()
+            out.append('<hr />')
             i += 1
             continue
         h = _HEADING_RE.match(line)
         if h:
             flush_para()
-            close_list()
-            hid = _toc_slugify(h.group(2), slugs_seen)
+            hid = _toc_slugify(_slug_source(h.group(2)), slugs_seen)
             lvl = len(h.group(1))
             out.append(f'<h{lvl} id="{hid}">{_inline(h.group(2))}</h{lvl}>')
             i += 1
+            continue
+        # blockquote run: strip one '>' level, render inner markdown
+        # recursively (nested quotes fall out of the recursion; lazy
+        # continuation lines are NOT joined — DIVERGENCES #11)
+        if _BLOCKQUOTE_RE.match(line) and not para:
+            inner: List[str] = []
+            while i < len(lines):
+                bm = _BLOCKQUOTE_RE.match(lines[i])
+                if not bm:
+                    break
+                inner.append(bm.group(1))
+                i += 1
+            inner_html = render_markdown_html('\n'.join(inner))
+            out.append(f'<blockquote>\n{inner_html}\n</blockquote>')
             continue
         # pipe table: header row + delimiter row ('tables' extension shape)
         if (
@@ -228,7 +277,6 @@ def render_markdown_html(text: str) -> str:
             and i + 1 < len(lines)
             and _is_table_sep(lines[i + 1])
         ):
-            close_list()
             header = _split_row(line)
             align = _table_align(_split_row(lines[i + 1]))
             align += [''] * (len(header) - len(align))
@@ -250,24 +298,24 @@ def render_markdown_html(text: str) -> str:
                 i += 1
             out.append('</tbody>\n</table>')
             continue
-        ul = _ULIST_RE.match(line)
-        ol = _OLIST_RE.match(line)
-        if ul or ol:
-            flush_para()
-            tag = 'ul' if ul else 'ol'
-            if list_tag != tag:
-                close_list()
-                out.append(f'<{tag}>')
-                list_tag = tag
-            out.append(f'<li>{_inline((ul or ol).group(1))}</li>')
-            i += 1
+        if (_ULIST_RE.match(line) or _OLIST_RE.match(line)) and not para:
+            # list run: consecutive item lines (any indent); nesting by
+            # indentation handled in _render_list_items
+            items: List[tuple] = []
+            while i < len(lines):
+                lm = _ANYLIST_RE.match(lines[i])
+                if not lm or _HR_RE.match(lines[i]):
+                    break
+                tag = 'ol' if lm.group(2)[0].isdigit() else 'ul'
+                items.append((len(lm.group(1)), tag, lm.group(3)))
+                i += 1
+            out.append(_render_list_items(items))
             continue
         para.append(line.strip())
         i += 1
     if fence is not None:
         out.append(_render_fence('\n'.join(code_buf), fence_lang))
     flush_para()
-    close_list()
     return '\n'.join(out)
 
 
