@@ -52,3 +52,38 @@ def start_incremental_transform(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_main_content(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming main-content extraction: pages land as parquet files →
+    boilerplate-stripped (url, main_text, n_blocks, n_kept) rows append
+    to the output table, exactly-once per file via the stream
+    checkpoint.
+
+    Unlike the full transform (multi-join/agg → foreachBatch), the
+    extraction operator is a stateless mapInPandas, so it runs as a
+    NATIVE streaming transformation — the streaming planner handles it
+    incrementally with no batch bridge, and it scales to a continuous
+    CC-crawl feed (per-file units, no shuffle, no state store)."""
+    from ..operators.maincontent import extract_main_content
+
+    stream = (
+        spark.readStream.schema(corpus.PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select('url', 'html')
+    )
+    writer = (
+        extract_main_content(stream)
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'main_content'))
+        .option('checkpointLocation', os.path.join(output_dir, '_mc_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

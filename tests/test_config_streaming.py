@@ -73,3 +73,35 @@ class TestStreamingIngest:
         q2 = start_incremental_transform(spark, in_dir, out_dir)
         q2.awaitTermination(240)
         assert spark.read.parquet(os.path.join(out_dir, 'docs')).count() == 18
+
+    def test_streaming_main_content_native_and_delta_only(self, spark, tmp_path):
+        """Main-content extraction runs as a NATIVE streaming transform
+        (no foreachBatch): availableNow drains the backlog exactly
+        once, a second start processes only new files, and rows match
+        the batch kernel byte-for-byte."""
+        from markdown_articles_tool_spark.core import maincontent as mc
+        from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_main_content,
+        )
+
+        in_dir = str(tmp_path / 'in')
+        out_dir = str(tmp_path / 'out')
+        spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(10)], corpus.PAGES_SCHEMA
+        ).write.mode('overwrite').parquet(in_dir)
+
+        q = start_incremental_main_content(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        got = spark.read.parquet(os.path.join(out_dir, 'main_content'))
+        assert got.count() == 10
+        rows = {r['url']: r['main_text'] for r in got.collect()}
+        for i in range(10):
+            want = mc.main_text(mc.extract_blocks(corpus.doc_html(i)))
+            assert rows[corpus.doc_url(i)] == want
+
+        spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(10, 14)], corpus.PAGES_SCHEMA
+        ).write.mode('append').parquet(in_dir)
+        q2 = start_incremental_main_content(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        assert spark.read.parquet(os.path.join(out_dir, 'main_content')).count() == 14
