@@ -33,6 +33,15 @@ def get_spark(
         # fetch fan-out, rewrite), so the 1MB default floor starves them
         # of parallelism on small-to-mid corpora
         .config('spark.sql.adaptive.coalescePartitions.minPartitionSize', '64k')
+        # advisory stays at Spark's 64MB default: an 8MB A/B on the
+        # 8-core corpus transform LOST 40% (21.0s vs 12.5s) — finer
+        # post-shuffle partitions pay more in pandas-UDF batch setup
+        # and scheduling than they win back in tail smoothing, same
+        # verdict as the shuffle-mult and input-file-count A/Bs
+        .config(
+            'spark.sql.adaptive.advisoryPartitionSizeInBytes',
+            os.environ.get('SPARK_GRAFT_AQE_ADVISORY', '64m'),
+        )
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
         .config(
             'spark.sql.execution.arrow.maxRecordsPerBatch',
