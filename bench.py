@@ -346,14 +346,12 @@ def run_dual() -> None:
                 for name in results[lo]['queries']
             )
             + '\n'
-            + ('\n## Run-to-run variance\n\n'
+            + ('\n## Run-to-run variance & pair survey\n\n'
                'Raw efficiency varies with external tenant load on this shared box\n'
                '(see calibration rows); compare repeated --dual invocations and\n'
                'prefer the per-delivered-core number, which is load-robust.\n'
-               'Measured r2 progression on near-idle windows: 0.672 raw @48k docs\n'
-               '(pre-optimization), 0.752 raw @48k after the fetch-batch fusion,\n'
-               '0.93-0.95 raw @144k (compute-dominated regime); hardware-normalized\n'
-               '0.88-0.92 across all of those windows.\n')
+               'Full pair survey (1->4, 2->8, 8->32, 216k-doc memory cliff) and\n'
+               'every tried-and-rejected hi-side optimization: BENCH/SCALING_NOTES.md.\n')
         )
     print(json.dumps({'efficiency': round(eff, 4), 'efficiency_hw_normalized': round(eff_hw, 4),
                       f'tput{lo}': round(tput8, 2), f'tput{hi}': round(tput32, 2),
