@@ -10,11 +10,12 @@ print ONE JSON line::
 
 ``--dual`` mode: evidence for the north_rule's two-cluster-size scaling
 criterion — run the same corpus transform in two subprocesses at N and
-4N cores (default local[2] vs local[8]; SPARK_GRAFT_SCALE_LEVELS
-overrides — standing in for N vs 4N executors; no real cluster in this
-sandbox), compute throughput at both plus scaling efficiency =
-tput(4N) / (4 x tput(N)), and write BENCH/BASELINE.md with a parallel-
-burn CPU calibration recording what this shared box actually delivered.
+4N cores (default local[1] vs local[4], modeling 1-core executors
+scaled to 4-core; SPARK_GRAFT_SCALE_LEVELS overrides; no real cluster
+in this sandbox — pair survey in BENCH/SCALING_NOTES.md), compute
+throughput at both plus scaling efficiency = tput(4N) / (4 x tput(N)),
+and write BENCH/BASELINE.md with a parallel-burn CPU calibration
+recording what this shared box actually delivered.
 """
 
 from __future__ import annotations
