@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument('--shards', type=int, default=0, help='>0 → resumable sharded run')
     ap.add_argument('--live-fetch', action='store_true', help='real HTTP fetch (default: modeled)')
     ap.add_argument('--timeout', type=float, default=-1)
+    ap.add_argument('--per-host-interval', type=float, default=0.0,
+                    help='politeness: min seconds between GETs to the same host per worker '
+                         '(live fetch only; combine with host-salted partitioning)')
     ap.add_argument('--run-date', default='19700101')
     ap.add_argument('--run-time', default='000000')
     args = ap.parse_args()
@@ -66,7 +69,11 @@ def main() -> None:
         replace_image_names=args.replace_image_names,
         input_formats=tuple(args.input_formats.split(',')),
     )
-    fetcher = live_fetcher(args.timeout if args.timeout > 0 else None) if args.live_fetch else model_fetcher
+    fetcher = (
+        live_fetcher(args.timeout if args.timeout > 0 else None,
+                     per_host_interval=args.per_host_interval)
+        if args.live_fetch else model_fetcher
+    )
 
     docs = spark.read.parquet(args.input).select('url', 'text')
     if args.shards > 0:
