@@ -2,15 +2,17 @@
 """Generate the sequential-oracle reference tables (oracleref/*.parquet).
 
 The driver's correctness gate compares every ``queries()`` entry
-against DuckDB SQL.  Eight of our operators are not expressible in
-DuckDB (pandas-UDF pipelines, sketch kernels) — for those the oracle
-SQL SELECTs from a parquet written by THIS script, which computes the
-expected output **sequentially, with no Spark** (plain Python/numpy
-over the raw parquet), exercising the shared semantic kernels in the
-order the reference tool would.  The distributed pipeline is therefore
-checked against an independent single-threaded execution — the same
-differential-oracle discipline as tests/test_pipeline_spark.py, made
-visible to the driver's hard gate.
+against DuckDB SQL.  A dozen of our operators are not expressible
+in DuckDB (pandas-UDF pipelines, sketch kernels) — for those the
+oracle SQL SELECTs from a parquet written by THIS script, which
+computes the expected output **sequentially, with no Spark** (plain
+Python/numpy over the raw parquet) using the INDEPENDENT second kernel
+implementation in tools/oracle_kernels.py (r3: no sketch/similarity
+imports from the package under test — two implementations check each
+other; equivalence pinned by tests/test_kernel_equivalence.py).  The
+distributed pipeline is therefore checked against an independent
+single-threaded execution — the same differential-oracle discipline as
+tests/test_pipeline_spark.py, made visible to the driver's hard gate.
 
 Each output row carries ``skey``: a fingerprint of the input table
 (sum(n_chars) over documents / count+sum(label) over embeddings) so
