@@ -101,6 +101,29 @@ def q_content_spans(spark, sf_dir):
     return extract_content_spans(pages).orderBy('url', 'ord')
 
 
+def q_pdf_text(spark, sf_dir):
+    """North-rule PDF/layout-parse tier: from-scratch content-stream
+    text extraction (raw + FlateDecode, Tj/'/TJ operators) over a
+    synthetic (url, pdf) table."""
+    from markdown_articles_tool_spark.corpus import pdfs_df
+    from markdown_articles_tool_spark.operators.pdfextract import extract_pdf_text
+
+    pdfs = pdfs_df(spark, _corpus_n(sf_dir))
+    return extract_pdf_text(pdfs).select(
+        'url', F.sha2(F.encode('text', 'utf-8'), 256).alias('text_sha'),
+        'n_streams', 'n_blocks'
+    ).orderBy('url')
+
+
+def q_pdf_spans(spark, sf_dir):
+    """Per-block layout rows of the PDF extraction."""
+    from markdown_articles_tool_spark.corpus import pdfs_df
+    from markdown_articles_tool_spark.operators.pdfextract import extract_pdf_spans
+
+    pdfs = pdfs_df(spark, _corpus_n(sf_dir))
+    return extract_pdf_spans(pdfs).orderBy('url', 'stream_idx', 'block_idx')
+
+
 def q_corpus_images(spark, sf_dir):
     from markdown_articles_tool_spark.pipeline import transform_documents
 
@@ -317,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_links_corpus': q_extract_links_corpus,
         'main_content': q_main_content,
         'content_spans': q_content_spans,
+        'pdf_text': q_pdf_text,
+        'pdf_spans': q_pdf_spans,
         'corpus_images': q_corpus_images,
         'media_metadata': q_media_metadata,
         'media_decode': q_media_decode,
@@ -382,6 +407,13 @@ def oracle_sql() -> dict[str, str]:
             'content_spans',
             'url, ord, tag, n_chars, link_density, kept, start, "end"',
             _DOC_SKEY, 'url, ord',
+        ),
+        'pdf_text': _ref(
+            'pdf_text', 'url, text_sha, n_streams, n_blocks', _DOC_SKEY, 'url'
+        ),
+        'pdf_spans': _ref(
+            'pdf_spans', 'url, stream_idx, block_idx, n_chars', _DOC_SKEY,
+            'url, stream_idx, block_idx',
         ),
         'media_metadata': _ref(
             'media_metadata', 'path, size_bytes, magic, media_type, fake_checksum',

@@ -141,6 +141,7 @@ def run_bench(emit_json: bool = True) -> dict:
     headline = [] if os.environ.get('SPARK_GRAFT_HEADLINE', '1') == '0' else [
         'extract_links_corpus',
         'main_content',
+        'pdf_text',
         'pricing_summary',
         'revenue_topk',
         'events_sessionize',

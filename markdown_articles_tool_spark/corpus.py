@@ -241,6 +241,47 @@ def pages_pdf_iter(indices) -> Iterator[Tuple[str, datetime, bytes, str, str]]:
         yield doc_row(int(i))
 
 
+def doc_pdf(i: int) -> bytes:
+    """Deterministic minimal PDF for document ``i``: 1-3 content
+    streams (alternating raw / FlateDecode-compressed), each with a
+    ``(s) Tj`` text object and a ``[...] TJ`` array with escaped
+    parens — the operator subset core/pdftext.py parses."""
+    import zlib as _zlib
+
+    n_streams = 1 + _h(f'pdfs:{i}') % 3
+    body = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n'
+    for s in range(n_streams):
+        s0 = _FILLER_SENTENCES[(i + s) % len(_FILLER_SENTENCES)]
+        s1 = _FILLER_SENTENCES[(i * 3 + s * 7) % len(_FILLER_SENTENCES)]
+        content = (
+            f'BT /F1 12 Tf 72 720 Td ({s0}) Tj ET\n'
+            f'BT 72 700 Td [ ({s1[:40]}) -250 (tail \\({i}-{s}\\)) ] TJ ET\n'
+        ).encode('latin-1', errors='replace')  # PDF simple strings are 8-bit
+        if (i + s) % 2:
+            content = _zlib.compress(content)
+        body += (
+            f'{4 + s} 0 obj\n<< /Length {len(content)} >>\nstream\n'.encode('latin-1')
+            + content + b'\nendstream\nendobj\n'
+        )
+    return body + b'%%EOF\n'
+
+
+PDFS_SCHEMA = 'url string, pdf binary'
+
+
+def pdfs_df(spark, n: int, partitions: int | None = None):
+    """Distributed generation of a (url, pdf) table of synthetic PDFs."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(doc_url(int(i)), doc_pdf(int(i))) for i in pdf['id']]
+            yield pd.DataFrame(rows, columns=['url', 'pdf'])
+
+    rng = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=PDFS_SCHEMA)
+
+
 PAGES_SCHEMA = 'url string, warc_ts timestamp, html binary, text string, lang string'
 
 

@@ -105,3 +105,44 @@ class TestStreamingIngest:
         q2 = start_incremental_main_content(spark, in_dir, out_dir)
         q2.awaitTermination(240)
         assert spark.read.parquet(os.path.join(out_dir, 'main_content')).count() == 14
+
+    def test_watermarked_window_stats_append_finalized_only(self, spark, tmp_path):
+        """Watermark + windowed agg in append mode: a (window, lang) row
+        emits exactly once, only after the watermark (2h) passes the
+        window end; later files finalize more windows without
+        re-emitting old ones."""
+        from datetime import datetime, timezone
+
+        from markdown_articles_tool_spark.streaming.stats import start_crawl_window_stats
+
+        def rows(hours):
+            out = []
+            for h in hours:
+                r = list(corpus.doc_row(h))
+                r[1] = datetime.fromtimestamp(1_600_000_000 + h * 3600, tz=timezone.utc)
+                out.append(tuple(r))
+            return out
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        spark.createDataFrame(rows(range(10)), corpus.PAGES_SCHEMA).write.mode(
+            'overwrite'
+        ).parquet(in_dir)
+        q = start_crawl_window_stats(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        got1 = spark.read.parquet(out_dir + '/crawl_stats').collect()
+        # watermark = h9 - 2h = h7: hour-windows [0,1)..[6,7) are final
+        assert len(got1) == 7
+        assert all(r['n_pages'] == 1 for r in got1)
+        # base epoch is 12:26:40 UTC, so hour windows are [12:00,13:00)…
+        ends1 = {r['window_end'].hour for r in got1}
+        assert ends1 == set(range(13, 20))
+
+        spark.createDataFrame(rows(range(10, 14)), corpus.PAGES_SCHEMA).write.mode(
+            'append'
+        ).parquet(in_dir)
+        q2 = start_crawl_window_stats(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        got2 = spark.read.parquet(out_dir + '/crawl_stats').collect()
+        # watermark now h13-2h = h11: windows through [10,11) final; no re-emits
+        assert len(got2) == 11
+        assert sorted(r['window_end'].hour for r in got2)[:7] == sorted(ends1)

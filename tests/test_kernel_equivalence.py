@@ -167,6 +167,58 @@ class TestMainContent:
                 assert (start, end) == (-1, -1)
 
 
+class TestPdfText:
+    """Engine kernel (core/pdftext.py) vs independent oracle kernel
+    (oracle_kernels.pdf_blocks) — regex-based vs manual scanners."""
+
+    def frags(self):
+        import zlib
+
+        from markdown_articles_tool_spark import corpus
+
+        return [corpus.doc_pdf(i) for i in range(80)] + [
+            None, b'', b'not a pdf at all',
+            b'%PDF-1.4\nstream\nBT (plain) Tj ET\nendstream\n',
+            b'stream\nBT (no eol before endstream) Tj ETendstream',
+            b'stream\nBT (esc \\(x\\) \\n \\101 \\8) Tj ET\nendstream\n',
+            b'stream\nBT [ (arr1) -3 (arr2) ] TJ (solo) Tj (dropped) Td ET\nendstream\n',
+            b'stream\nBT (nested (parens) ok) Tj ET\nendstream\n',
+            b"stream\nBT (quote op) ' ET\nendstream\n",
+            b'stream\r\nBT (crlf stream) Tj ET\r\nendstream\n',
+            b'stream\n' + zlib.compress(b'BT (deflated text here) Tj ET') + b'\nendstream\n',
+            b'stream\nBT ET\nendstream\nstream\nBT (second stream) Tj ET\nendstream\n',
+            b'endstream stream\nBT (tricky) Tj ET\nendstream',
+            b'stream\nBT [ (unclosed array TJ (x) Tj ET\nendstream\n',
+        ]
+
+    def test_kernels_agree(self):
+        from markdown_articles_tool_spark.core import pdftext as P
+
+        for f in self.frags():
+            eng = P.extract_pdf_blocks(f)
+            assert eng == ok.pdf_blocks(f), (f[:60] if f else f)
+            assert P.pdf_text(eng) == ok.pdf_text(ok.pdf_blocks(f))
+            assert P.pdf_spans(eng) == ok.pdf_spans(ok.pdf_blocks(f))
+
+    def test_semantics_golden(self):
+        from markdown_articles_tool_spark.core import pdftext as P
+
+        blocks = P.extract_pdf_blocks(
+            b'stream\nBT [ (a) -3 (b) ] TJ (c) Tj (skip) Td ET\nendstream\n'
+            b'stream\n' + __import__('zlib').compress(b"BT (d) ' ET") + b'\nendstream\n'
+        )
+        assert blocks == [(0, 0, 'abc'), (1, 0, 'd')]
+        assert P.pdf_text(blocks) == 'abc\nd'
+
+    def test_escapes_golden(self):
+        from markdown_articles_tool_spark.core import pdftext as P
+
+        blocks = P.extract_pdf_blocks(
+            b'stream\nBT (x\\(1\\) \\n\\t \\101\\102 y\\\n z) Tj ET\nendstream\n'
+        )
+        assert blocks == [(0, 0, 'x(1) \n\t AB y z')]
+
+
 class TestSniff:
     def test_magic(self):
         from markdown_articles_tool_spark.training.multimodal import _sniff

@@ -122,3 +122,28 @@ class TestMainContentPlan:
             for r in span_rows.orderBy('ord').collect()
         ]
         assert got_spans == want
+
+
+class TestPdfExtractPlan:
+    def test_pruned_scan_no_shuffle_and_kernel_match(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.core import pdftext as P
+        from markdown_articles_tool_spark.operators.pdfextract import extract_pdf_text
+
+        tmp = str(tmp_path_factory.mktemp('pdfplan') / 'pdfs')
+        rows = [(corpus.doc_url(i), corpus.doc_pdf(i), i) for i in range(25)]
+        spark.createDataFrame(rows, 'url string, pdf binary, extra long').write.parquet(tmp)
+        df = extract_pdf_text(spark.read.parquet(tmp))
+        jdf = df._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        scans = re.findall(r'ReadSchema: struct<([^>]*)>', plan_str)
+        assert scans
+        for cols in scans:
+            assert {c.split(':')[0] for c in cols.split(',')} == {'url', 'pdf'}
+        assert 'Exchange' not in plan_str
+        got = {r['url']: r for r in df.collect()}
+        for i in range(25):
+            blocks = P.extract_pdf_blocks(corpus.doc_pdf(i))
+            r = got[corpus.doc_url(i)]
+            assert r['text'] == P.pdf_text(blocks)
+            assert r['n_blocks'] == len(blocks)

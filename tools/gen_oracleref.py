@@ -140,6 +140,28 @@ def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
             out['content_spans'].append((skey, url, *row))
 
 
+def gen_pdf(sf_dir: str, skey: int, out: dict) -> None:
+    """Sequential twin of operators/pdfextract.py over the synthetic
+    (url, pdf) table — computed with the INDEPENDENT kernel
+    (oracle_kernels.pdf_blocks; manual scanners vs the engine's
+    regexes; equivalence pinned by tests/test_kernel_equivalence.py)."""
+    import hashlib as _hl
+
+    from oracle_kernels import pdf_blocks, pdf_spans, pdf_text
+
+    n = _corpus_n(sf_dir)
+    for i in range(n):
+        url = corpus.doc_url(i)
+        blocks = pdf_blocks(corpus.doc_pdf(i))
+        text = pdf_text(blocks)
+        out['pdf_text'].append(
+            (skey, url, _hl.sha256(text.encode('utf-8')).hexdigest(),
+             len({b[0] for b in blocks}), len(blocks))
+        )
+        for si, bi, nc in pdf_spans(blocks):
+            out['pdf_spans'].append((skey, url, si, bi, nc))
+
+
 # ----------------------------------------------------------- text sketches
 
 
@@ -340,6 +362,14 @@ SCHEMAS = {
          ('tag', pa.string()), ('n_chars', pa.int32()), ('link_density', pa.float64()),
          ('kept', pa.bool_()), ('start', pa.int64()), ('end', pa.int64())]
     ),
+    'pdf_text': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('text_sha', pa.string()),
+         ('n_streams', pa.int32()), ('n_blocks', pa.int32())]
+    ),
+    'pdf_spans': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('stream_idx', pa.int32()),
+         ('block_idx', pa.int32()), ('n_chars', pa.int32())]
+    ),
     'minhash_candidates': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
          ('n_bands_matched', pa.int64())]
@@ -373,6 +403,7 @@ def main() -> None:
         print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
         gen_corpus(sf_dir, dk, out)
         gen_main_content(sf_dir, dk, out)
+        gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
         gen_neardup_clusters(sf_dir, dk, out)
         gen_simhash(sf_dir, dk, out)

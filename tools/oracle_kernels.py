@@ -366,6 +366,194 @@ def main_content_spans(blocks) -> list:
     return rows
 
 
+# ------------------------------------------------------ pdf text extract
+#
+# Independent twin of markdown_articles_tool_spark/core/pdftext.py
+# (spec in that module's docstring).  Different machinery: a manual
+# scanner for stream boundaries / TJ-array spans instead of the
+# engine's regexes, and a table-free escape decoder.
+
+
+def _pdf_streams(data: bytes) -> list:
+    """Stream payloads (between 'stream' EOL and EOL 'endstream'),
+    Flate-decompressed when possible."""
+    import zlib as _zlib
+
+    out = []
+    pos = 0
+    while True:
+        s = data.find(b'stream', pos)
+        if s < 0:
+            break
+        # must be the keyword followed by an EOL (not 'endstream')
+        if data[max(0, s - 3):s] == b'end':
+            pos = s + 6
+            continue
+        body_start = s + 6
+        if data[body_start:body_start + 2] == b'\r\n':
+            body_start += 2
+        elif data[body_start:body_start + 1] == b'\n':
+            body_start += 1
+        else:
+            pos = s + 6
+            continue
+        e = data.find(b'endstream', body_start)
+        if e < 0:
+            break
+        # an EOL must precede 'endstream' (PDF §7.3.8; the engine's
+        # regex requires it too — streams without one are skipped)
+        body_end = e
+        if data[body_end - 1:body_end] == b'\n':
+            body_end -= 1
+            if data[body_end - 1:body_end] == b'\r':
+                body_end -= 1
+        else:
+            pos = e + 9
+            continue
+        raw = data[body_start:body_end]
+        try:
+            raw = _zlib.decompress(raw)
+        except Exception:
+            pass
+        out.append(raw.decode('latin-1', errors='replace'))
+        pos = e + 9
+    return out
+
+
+def _pdf_unescape(raw: str) -> str:
+    out = []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c != '\\':
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(raw):
+            break
+        n = raw[i + 1]
+        if n == 'n':
+            out.append('\n'); i += 2
+        elif n == 'r':
+            out.append('\r'); i += 2
+        elif n == 't':
+            out.append('\t'); i += 2
+        elif n == 'b':
+            out.append('\b'); i += 2
+        elif n == 'f':
+            out.append('\f'); i += 2
+        elif n in '()\\':
+            out.append(n); i += 2
+        elif n == '\n':
+            i += 2
+        elif n == '\r':
+            i += 3 if raw[i + 2:i + 3] == '\n' else 2
+        elif '0' <= n <= '7':
+            j = i + 1
+            oct_digits = ''
+            while j < len(raw) and len(oct_digits) < 3 and '0' <= raw[j] <= '7':
+                oct_digits += raw[j]
+                j += 1
+            out.append(chr(int(oct_digits, 8) & 0xFF))
+            i = j
+        else:
+            out.append(n)
+            i += 2
+    return ''.join(out)
+
+
+def _pdf_tj_array_spans(block: str) -> list:
+    """[start, end) spans of '[...]' immediately followed by
+    optional-whitespace 'TJ' — no nesting, mirroring the engine's
+    documented regex rule (a ']' inside a string splits the span in
+    both implementations)."""
+    spans = []
+    i = 0
+    while i < len(block):
+        if block[i] != '[':
+            i += 1
+            continue
+        j = i + 1
+        while j < len(block) and block[j] not in '[]':
+            j += 1
+        if j >= len(block) or block[j] != ']':
+            i = j  # '[' restarts the search, unclosed span dropped
+            continue
+        k = j + 1
+        while k < len(block) and block[k] in ' \t\r\n':
+            k += 1
+        if block[k:k + 2] == 'TJ':
+            spans.append((i, k + 2))
+        i = j + 1
+    return spans
+
+
+def pdf_blocks(content) -> list:
+    """[(stream_idx, block_idx, text)] — independent twin of
+    core/pdftext.extract_pdf_blocks."""
+    if content is None:
+        return []
+    out = []
+    for si, text in enumerate(_pdf_streams(bytes(content))):
+        bi = 0
+        pos = 0
+        while True:
+            b = text.find('BT', pos)
+            if b < 0:
+                break
+            e = text.find('ET', b + 2)
+            if e < 0:
+                break
+            block = text[b + 2:e]
+            spans = _pdf_tj_array_spans(block)
+            shown = []
+            i = 0
+            while i < len(block):
+                if block[i] != '(':
+                    i += 1
+                    continue
+                start = i
+                depth, j, buf = 1, i + 1, []
+                while j < len(block) and depth:
+                    c = block[j]
+                    if c == '\\' and j + 1 < len(block):
+                        buf.append(block[j:j + 2])
+                        j += 2
+                        continue
+                    if c == '(':
+                        depth += 1
+                    elif c == ')':
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    buf.append(c)
+                    j += 1
+                k = j + 1
+                while k < len(block) and block[k] in ' \r\n\t':
+                    k += 1
+                opm = re.match(r"[^\s()<>\[\]{}/]+", block[k:k + 8])
+                op = opm.group(0) if opm else ''
+                s = _pdf_unescape(''.join(buf))
+                if any(a <= start < bnd for a, bnd in spans) or op == 'Tj' or op == "'":
+                    shown.append(s)
+                i = j + 1
+            bt = ''.join(shown)
+            if bt:
+                out.append((si, bi, bt))
+                bi += 1
+            pos = e + 2
+        # engine counts block_idx per stream over NON-EMPTY blocks only
+    return out
+
+
+def pdf_text(blocks) -> str:
+    return '\n'.join(b[2] for b in blocks)
+
+
+def pdf_spans(blocks) -> list:
+    return [(si, bi, len(t)) for si, bi, t in blocks]
+
+
 # --------------------------------------------------------- media sniff
 
 _MAGIC = [
