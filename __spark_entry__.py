@@ -152,6 +152,17 @@ def q_media_decode(spark, sf_dir):
     return decode_images(res.images_out).orderBy('path')
 
 
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling over the images table: evenly-spaced
+    fingerprinted byte windows per blob (decoder slots in behind the
+    same schema)."""
+    from markdown_articles_tool_spark.pipeline import transform_documents
+    from markdown_articles_tool_spark.training.multimodal import sample_frames
+
+    res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
+    return sample_frames(res.images_out).orderBy('path', 'frame_idx')
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, 'lineitem')
     dec = lambda c: F.col(c).cast('decimal(18,2)')  # noqa: E731
@@ -345,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_images': q_corpus_images,
         'media_metadata': q_media_metadata,
         'media_decode': q_media_decode,
+        'media_frames': q_media_frames,
         'pricing_summary': q_pricing_summary,
         'revenue_topk': q_revenue_topk,
         'events_sessionize': q_events_sessionize,
@@ -427,6 +439,10 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(3 AS INT) AS n_channels, 'stub' AS decoder "
             f"FROM read_parquet('{_ORACLEREF}/media_metadata.parquet') "
             f"WHERE skey = {_DOC_SKEY} ORDER BY path"
+        ),
+        'media_frames': _ref(
+            'media_frames', 'path, frame_idx, frame_offset, frame_len, frame_sha16',
+            _DOC_SKEY, 'path, frame_idx',
         ),
         'minhash_candidates': _ref(
             'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'

@@ -55,6 +55,52 @@ def extract_media_metadata(images: DataFrame, path_col: str = 'real_path', conte
     return images.select(path_col, content_col).mapInPandas(meta, schema=MEDIA_META_SCHEMA)
 
 
+FRAMES_SCHEMA = (
+    'path string, frame_idx int, frame_offset long, frame_len int, frame_sha16 string'
+)
+
+
+def sample_frames(
+    images: DataFrame,
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    path_col: str = 'real_path',
+    content_col: str = 'content',
+) -> DataFrame:
+    """Frame sampling over an opaque media binary column: ``n_frames``
+    evenly-spaced byte windows per blob, each fingerprinted.
+
+    DETERMINISTIC SPEC (independent oracle twin:
+    tools/oracle_kernels.sample_frames_seq): frame k starts at
+    ``k * len // n_frames`` and spans up to ``frame_bytes`` bytes;
+    empty blobs yield no frames; tiny blobs may repeat offsets (kept).
+    A real video decoder slots into the window-extraction step behind
+    the same schema — the Spark-side plumbing (one mapInPandas pass,
+    per-frame rows out, bytes never shuffled) is the contract."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b''
+                if not b:
+                    continue
+                for k in range(n_frames):
+                    off = k * len(b) // n_frames
+                    frame = b[off:off + frame_bytes]
+                    rows.append(
+                        (path, k, off, len(frame), hashlib.sha256(frame).hexdigest()[:16])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=['path', 'frame_idx', 'frame_offset', 'frame_len', 'frame_sha16'],
+            )
+
+    return images.select(path_col, content_col).mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
 DECODED_SCHEMA = 'path string, width int, height int, n_channels int, decoder string'
 
 

@@ -146,3 +146,46 @@ class TestStreamingIngest:
         # watermark now h13-2h = h11: windows through [10,11) final; no re-emits
         assert len(got2) == 11
         assert sorted(r['window_end'].hour for r in got2)[:7] == sorted(ends1)
+
+    def test_stateful_dedup_exactly_once_per_content(self, spark, tmp_path):
+        """applyInPandasWithState cross-batch dedup: duplicate texts
+        spread across files/micro-batches emit exactly once (min-url
+        winner); a later stream run with more duplicate files emits
+        nothing new for known content, only genuinely new text."""
+        import os as _os
+
+        from markdown_articles_tool_spark.streaming.stateful_dedup import start_stateful_dedup
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        # file A: texts t0, t1; file B: t1 dup + t2  (maxFilesPerTrigger=1
+        # forces separate micro-batches, so the t1 dedup crosses batches)
+        rows_a = [('u://a0', 't0' * 40), ('u://a1', 't1' * 40)]
+        rows_b = [('u://b0', 't1' * 40), ('u://b1', 't2' * 40)]
+        schema = corpus.PAGES_SCHEMA
+
+        def page(url, text):
+            return (url, __import__('datetime').datetime(2020, 1, 1), b'', text, 'en')
+
+        spark.createDataFrame([page(*r) for r in rows_a], schema).write.mode(
+            'append'
+        ).parquet(in_dir)
+        spark.createDataFrame([page(*r) for r in rows_b], schema).write.mode(
+            'append'
+        ).parquet(in_dir)
+        q = start_stateful_dedup(spark, in_dir, out_dir, max_files_per_trigger=1)
+        q.awaitTermination(240)
+        got = {r['text']: r['url'] for r in spark.read.parquet(
+            _os.path.join(out_dir, 'deduped')).collect()}
+        assert set(got) == {'t0' * 40, 't1' * 40, 't2' * 40}
+        # t1 emitted once, with the min url among rows seen in its FIRST batch
+        assert got['t1' * 40] == 'u://a1'
+
+        # run 2: a file with only duplicates + one new text
+        spark.createDataFrame(
+            [page('u://c0', 't0' * 40), page('u://c1', 't3' * 40)], schema
+        ).write.mode('append').parquet(in_dir)
+        q2 = start_stateful_dedup(spark, in_dir, out_dir, max_files_per_trigger=1)
+        q2.awaitTermination(240)
+        rows = spark.read.parquet(_os.path.join(out_dir, 'deduped')).collect()
+        assert len(rows) == 4  # exactly one new row (t3), no re-emits
+        assert {r['text'] for r in rows} == {'t0' * 40, 't1' * 40, 't2' * 40, 't3' * 40}

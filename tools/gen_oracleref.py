@@ -105,6 +105,8 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
         for ord_, (link, w, h) in enumerate(extract_image_links(text)):
             out['extract_links_corpus'].append((skey, url, ord_, link, w, h))
 
+    from oracle_kernels import sample_frames_seq
+
     res = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(docs)
     for url, text_out in res.texts.items():
         sha = hashlib.sha256(text_out.encode('utf-8')).hexdigest()
@@ -115,6 +117,8 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
         out['media_metadata'].append(
             (skey, path, len(content), magic, mtype, hashlib.sha256(content).hexdigest()[:16])
         )
+        for k, off, ln, sha16 in sample_frames_seq(content):
+            out['media_frames'].append((skey, path, k, off, ln, sha16))
 
 
 def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
@@ -352,6 +356,11 @@ SCHEMAS = {
     'media_metadata': pa.schema(
         [('skey', pa.int64()), ('path', pa.string()), ('size_bytes', pa.int64()),
          ('magic', pa.string()), ('media_type', pa.string()), ('fake_checksum', pa.string())]
+    ),
+    'media_frames': pa.schema(
+        [('skey', pa.int64()), ('path', pa.string()), ('frame_idx', pa.int32()),
+         ('frame_offset', pa.int64()), ('frame_len', pa.int32()),
+         ('frame_sha16', pa.string())]
     ),
     'main_content': pa.schema(
         [('skey', pa.int64()), ('url', pa.string()), ('main_sha', pa.string()),

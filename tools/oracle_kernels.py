@@ -556,6 +556,21 @@ def pdf_spans(blocks) -> list:
 
 # --------------------------------------------------------- media sniff
 
+
+def sample_frames_seq(content: bytes, n_frames: int = 4, frame_bytes: int = 256) -> list:
+    """Independent twin of training.multimodal.sample_frames:
+    [(frame_idx, frame_offset, frame_len, frame_sha16)]."""
+    if not content:
+        return []
+    out = []
+    size = len(content)
+    for k in range(n_frames):
+        off = (k * size) // n_frames
+        frame = content[off:off + frame_bytes]
+        out.append((k, off, len(frame), hashlib.sha256(frame).hexdigest()[:16]))
+    return out
+
+
 _MAGIC = [
     (b'\x89PNG', 'png', 'image'),
     (b'\xff\xd8\xff', 'jpeg', 'image'),
