@@ -74,7 +74,10 @@ def q_extract_links_corpus(spark, sf_dir):
     # the global sort exists only for oracle determinism; persist the
     # exploded links first or RangePartitioning's sampling pass executes
     # the whole extraction-UDF pipeline a second time (r2 regression:
-    # 0.68 s -> 4.83 s in BENCH_r02)
+    # 0.68 s -> 4.83 s in BENCH_r02).  The cached blocks live until the
+    # session's next clearCache (bench clears per trial; the driver's
+    # one-shot gate leaves a few MB cached at sf0.01) — accepted: no
+    # hook exists to unpersist after the caller's action
     return exploded.persist().orderBy('url', 'ord')
 
 

@@ -39,25 +39,44 @@ def main() -> None:
 
     if args.stream:
         from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_content_spans,
             start_incremental_main_content,
         )
 
         q = start_incremental_main_content(spark, args.input, args.output)
         q.awaitTermination()
+        if args.spans:
+            # separate stream + checkpoint (second parse of the delta;
+            # the batch path below shares one parse via the combined
+            # operator, but streams can't share a materialization)
+            q2 = start_incremental_content_spans(spark, args.input, args.output)
+            q2.awaitTermination()
         print('stream drained')
     else:
+        from pyspark.sql import functions as F
+
         from markdown_articles_tool_spark.operators.maincontent import (
-            extract_content_spans,
             extract_main_content,
+            extract_main_content_full,
         )
 
         pages = spark.read.parquet(args.input)
-        extract_main_content(pages).write.mode('overwrite').parquet(
-            f'{args.output}/main_content'
-        )
         if args.spans:
-            extract_content_spans(pages).write.mode('overwrite').parquet(
-                f'{args.output}/content_spans'
+            # ONE html parse feeds both outputs (persist + two projections)
+            full = extract_main_content_full(pages).persist()
+            full.select('url', 'main_text', 'n_blocks', 'n_kept').write.mode(
+                'overwrite'
+            ).parquet(f'{args.output}/main_content')
+            full.select(
+                'url', F.explode('spans').alias('s')
+            ).select(
+                'url', 's.ord', 's.tag', 's.n_chars', 's.link_density',
+                's.kept', 's.start', 's.end'
+            ).write.mode('overwrite').parquet(f'{args.output}/content_spans')
+            full.unpersist()
+        else:
+            extract_main_content(pages).write.mode('overwrite').parquet(
+                f'{args.output}/main_content'
             )
         n = spark.read.parquet(f'{args.output}/main_content').count()
         print(f'extracted {n} documents')

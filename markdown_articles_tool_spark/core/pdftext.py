@@ -35,9 +35,33 @@ import zlib
 from typing import List, Tuple
 
 # PDF 32000-1 §7.3.8: an EOL follows the 'stream' keyword and another
-# precedes 'endstream' — both stripped from the data
-_STREAM_RE = re.compile(rb'stream\r?\n(.*?)\r?\nendstream', re.DOTALL)
-_BT_RE = re.compile(rb'BT(.*?)ET', re.DOTALL)
+# precedes 'endstream' — both stripped from the data.  Boundary rules
+# (shared spec with the oracle twin, locked by malformed-input cases
+# in tests/test_kernel_equivalence.py):
+# * a 'stream' that is the tail of 'endstream' is not a keyword;
+# * a candidate whose first following 'endstream' lacks a preceding
+#   EOL is DISCARDED (not extended to the next 'endstream'); scanning
+#   resumes after that 'endstream'.
+_STREAM_START_RE = re.compile(rb'(?<!end)stream\r?\n')
+_BT_RE = re.compile(r'BT(.*?)ET', re.DOTALL)
+
+
+def _iter_stream_payloads(data: bytes):
+    pos = 0
+    while True:
+        m = _STREAM_START_RE.search(data, pos)
+        if not m:
+            return
+        e = data.find(b'endstream', m.end())
+        if e < 0:
+            return
+        end = e
+        if data[end - 1:end] == b'\n':
+            end -= 1
+            if data[end - 1:end] == b'\r':
+                end -= 1
+            yield data[m.end():end]
+        pos = e + 9
 # a PDF literal string: ( with \-escapes, no nested-paren handling at
 # the regex level (nesting handled by the scanner below)
 _OCTAL_RE = re.compile(r'\\([0-7]{1,3})')
@@ -142,15 +166,14 @@ def extract_pdf_blocks(content) -> List[Tuple[int, int, str]]:
         return []
     data = bytes(content)
     out: List[Tuple[int, int, str]] = []
-    for si, m in enumerate(_STREAM_RE.finditer(data)):
-        raw = m.group(1)
+    for si, raw in enumerate(_iter_stream_payloads(data)):
         try:
             raw = zlib.decompress(raw)
         except Exception:
             pass
         text = raw.decode('latin-1', errors='replace')
         bi = 0
-        for bm in re.finditer(r'BT(.*?)ET', text, re.DOTALL):
+        for bm in _BT_RE.finditer(text):
             bt = _block_text(bm.group(1))
             if bt:
                 out.append((si, bi, bt))

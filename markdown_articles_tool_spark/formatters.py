@@ -202,17 +202,21 @@ def _table_align(sep_cells: List[str]) -> List[str]:
     return out
 
 
-def render_markdown_html(text: str) -> str:
+def render_markdown_html(text: str, _slugs_seen: dict | None = None) -> str:
     """Minimal block-level markdown renderer (from scratch; fenced code
     goes through pygments/codehilite, headings carry toc ids, pipe
-    tables render in python-markdown's table shape)."""
+    tables render in python-markdown's table shape).
+
+    ``_slugs_seen`` threads the per-document slug registry through the
+    blockquote recursion so heading ids stay unique across the WHOLE
+    document, quoted headings included."""
     out: List[str] = []
     lines = text.split('\n')
     para: List[str] = []
     fence = None
     fence_lang = ''
     code_buf: List[str] = []
-    slugs_seen: dict = {}
+    slugs_seen: dict = {} if _slugs_seen is None else _slugs_seen
 
     def flush_para():
         if para:
@@ -267,7 +271,7 @@ def render_markdown_html(text: str) -> str:
                     break
                 inner.append(bm.group(1))
                 i += 1
-            inner_html = render_markdown_html('\n'.join(inner))
+            inner_html = render_markdown_html('\n'.join(inner), _slugs_seen=slugs_seen)
             out.append(f'<blockquote>\n{inner_html}\n</blockquote>')
             continue
         # pipe table: header row + delimiter row ('tables' extension shape)

@@ -75,8 +75,10 @@ class TableSink:
 
 class ParquetMarkerSink(TableSink):
     def __init__(self, root: str):
+        # no mkdir here: read_output/read_images construct sinks for
+        # read-only access (possibly on read-only mounts); the commits
+        # dir is created lazily by the first mark_committed
         self.root = root
-        os.makedirs(os.path.join(root, 'commits'), exist_ok=True)
 
     def write(self, df: DataFrame, name: str) -> None:
         df.write.mode('overwrite').parquet(os.path.join(self.root, name))
@@ -89,6 +91,7 @@ class ParquetMarkerSink(TableSink):
     def mark_committed(self, marker: str) -> None:
         # marker LAST: a crash before this leaves the unit uncommitted
         # → fully re-run on restart (idempotent overwrite)
+        os.makedirs(os.path.join(self.root, 'commits'), exist_ok=True)
         with open(os.path.join(self.root, 'commits', marker), 'w') as f:
             f.write('ok')
 
@@ -147,9 +150,18 @@ class IcebergTableSink(TableSink):
         return df
 
     def mark_committed(self, marker: str) -> None:
-        self.spark.createDataFrame([(marker,)], 'marker string').writeTo(
-            self._full('commits')
-        ).append()  # an Iceberg append IS an atomic snapshot commit
+        df = self.spark.createDataFrame([(marker,)], 'marker string')
+        full = self._full('commits')
+        # append() requires an existing table — create on first marker;
+        # a concurrent creator (thread-pooled shards) loses the race
+        # benignly and falls through to append
+        if not self.spark.catalog.tableExists(full):
+            try:
+                df.writeTo(full).create()
+                return
+            except Exception:
+                pass
+        df.writeTo(full).append()  # an Iceberg append IS an atomic snapshot commit
 
     def is_committed(self, marker: str) -> bool:
         full = self._full('commits')

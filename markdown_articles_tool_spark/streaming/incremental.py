@@ -87,3 +87,30 @@ def start_incremental_main_content(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_content_spans(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming per-block span rows (own checkpoint; same native
+    stateless shape as the main-content stream)."""
+    from ..operators.maincontent import extract_content_spans
+
+    stream = (
+        spark.readStream.schema(corpus.PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select('url', 'html')
+    )
+    writer = (
+        extract_content_spans(stream)
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'content_spans'))
+        .option('checkpointLocation', os.path.join(output_dir, '_spans_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -58,6 +58,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     converged = False
+    delta = None  # max_iter <= 0 must raise the non-convergence error, not NameError
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, on='u')

@@ -189,6 +189,13 @@ class TestPdfText:
             b'stream\nBT ET\nendstream\nstream\nBT (second stream) Tj ET\nendstream\n',
             b'endstream stream\nBT (tricky) Tj ET\nendstream',
             b'stream\nBT [ (unclosed array TJ (x) Tj ET\nendstream\n',
+            # malformed boundary shapes (code-review r3): a 'stream'
+            # embedded in 'endstream' is not a keyword; a candidate
+            # whose first endstream lacks a preceding EOL is discarded,
+            # not extended to the next endstream
+            b'endstream\nBT (x) Tj ET\nendstream',
+            b'stream\nAAAendstream\nBT (y) Tj ET\nendstream',
+            b'stream\nAAAendstream\nstream\nBT (z) Tj ET\nendstream\n',
         ]
 
     def test_kernels_agree(self):
