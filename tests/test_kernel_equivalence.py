@@ -233,3 +233,56 @@ class TestSniff:
         for b in [b'\x89PNG\r\n', b'\xff\xd8\xffdata', b'GIF89a', b'RIFFxxxx',
                   b'RESI1234', b'plain', b'']:
             assert ok.sniff_magic(b) == _sniff(b)
+
+
+# ----------------------------- property-based equivalence (hypothesis)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_html_soup = st.lists(
+    st.sampled_from(list('abc <>/&;#"=\n\t()ÿπ') + [
+        '<p>', '</p>', '<div>', '</div>', '<a href="x">', '</a>', '<script>',
+        '</script>', '<nav>', '</nav>', '<br/>', '<li>', '</li>', '&amp;', '&#65;',
+    ]),
+    max_size=40,
+).map(''.join)
+
+_pdf_soup = st.binary(max_size=40).flatmap(lambda junk: st.sampled_from([
+    junk,
+    b'stream\n' + junk + b'\nendstream',
+    b'stream\nBT (' + junk.replace(b'\\', b'').replace(b'(', b'').replace(b')', b'')
+    + b') Tj ET\nendstream',
+    b'BT' + junk + b'ET',
+    junk + b'endstream' + junk,
+]))
+
+_texts = st.text(max_size=200)
+
+
+class TestPropertyEquivalence:
+    @given(_html_soup)
+    @settings(max_examples=300, deadline=None)
+    def test_maincontent_kernels_agree_on_soup(self, s):
+        from markdown_articles_tool_spark.core import maincontent as mc
+
+        html = s.encode('utf-8', errors='surrogatepass')
+        eng = mc.extract_blocks(html)
+        ora = ok.main_content_blocks(html)
+        assert [(b.ord, b.tag, b.text, b.total_raw, b.link_raw, b.kept) for b in eng] == ora
+
+    @given(_pdf_soup)
+    @settings(max_examples=300, deadline=None)
+    def test_pdf_kernels_agree_on_soup(self, b):
+        from markdown_articles_tool_spark.core import pdftext as P
+
+        assert P.extract_pdf_blocks(b) == ok.pdf_blocks(b)
+
+    @given(st.lists(_texts, max_size=8))
+    @settings(max_examples=150, deadline=None)
+    def test_simhash_batch_equals_scalar(self, texts):
+        assert D._simhash_batch(texts) == [D.simhash64(t) for t in texts]
+
+    @given(_texts)
+    @settings(max_examples=150, deadline=None)
+    def test_minhash_indep_equals_engine(self, t):
+        assert ok.minhash_signature(t, 16, 5) == D.minhash_signature(t, 16, 5)
