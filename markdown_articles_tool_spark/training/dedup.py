@@ -92,6 +92,9 @@ def jaccard_pairs(
     text_col: str = 'text',
 ) -> DataFrame:
     """n-gram Jaccard for explicit (a_id, b_id) pairs."""
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     g = df.select(F.col(id_col).alias('doc_id'), word_ngrams(F.col(text_col), n).alias('grams'))
     a = g.selectExpr('doc_id as a_id', 'grams as a_grams')
     b = g.selectExpr('doc_id as b_id', 'grams as b_grams')
@@ -162,8 +165,8 @@ def _shingle_hashes(t: str, shingle: int):
 
 def minhash_signature(t: str, k: int = 64, shingle: int = 5, _params=None):
     """Sequential twin of the UDF below: the MinHash signature of ONE
-    document (shared kernel — used by tests and the DuckDB-oracle
-    precompute in tools/gen_oracleref.py)."""
+    document (used by tests; the DuckDB-oracle precompute uses the
+    INDEPENDENT twin in tools/oracle_kernels.py)."""
     import numpy as np
 
     params = _params or _minhash_params(k)
@@ -201,7 +204,10 @@ def minhash_lsh_candidates(
 
     Returns (a_id, b_id, n_bands_matched) with a_id < b_id.
     """
+    from .util import ensure_parallelism
+
     rows_per_band = k // bands
+    df = ensure_parallelism(df)
     sigs = df.select(F.col(id_col).alias('doc_id'), make_minhash_udf(k, shingle)(F.col(text_col)).alias('sig'))
     banded = sigs.select(
         'doc_id',
@@ -302,7 +308,9 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dups by SimHash: band the 64-bit sketch into 4×16-bit keys
     (any pair within Hamming ≤ 3 shares at least one band), bucket-join,
     verify Hamming distance."""
-    sigs = df.select('doc_id', make_simhash_udf()(F.col('text')).alias('simhash'))
+    from .util import ensure_parallelism
+
+    sigs = ensure_parallelism(df).select('doc_id', make_simhash_udf()(F.col('text')).alias('simhash'))
     banded = sigs.select(
         'doc_id',
         'simhash',

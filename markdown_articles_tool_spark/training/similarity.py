@@ -302,6 +302,9 @@ def embedding_near_duplicates(
     recall=1.0 on planted duplicates).  ``embedding_near_duplicates_exact``
     below is the all-pairs correctness oracle.
     """
+    from .util import ensure_parallelism
+
+    emb = ensure_parallelism(emb)
     sig = make_signature_udf(n_planes, band_bits)
     # candidate generation on NARROW columns only — the wide embedding
     # arrays never ride through the exploded band join (×n_bands

@@ -34,6 +34,9 @@ def bpe_token_count(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
     quality features plus a composite score in [0, 1]."""
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -62,6 +65,9 @@ def quality_features(df: DataFrame, text_col: str = 'text') -> DataFrame:
 def langid(df: DataFrame, text_col: str = 'text') -> DataFrame:
     """Marker-count language heuristic: argmax over per-language
     marker hits, deterministic tie-break by language code."""
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     hits = {lang: F.regexp_count(t, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
     # struct-max trick: max(struct(hits, negated-lang-rank)) — ties break
