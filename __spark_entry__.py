@@ -71,14 +71,15 @@ def q_extract_links_corpus(spark, sf_dir):
     ).select(
         'url', 'ord', F.col('lk.link').alias('link'), F.col('lk.w').alias('w'), F.col('lk.h').alias('h')
     )
-    # the global sort exists only for oracle determinism; persist the
-    # exploded links first or RangePartitioning's sampling pass executes
-    # the whole extraction-UDF pipeline a second time (r2 regression:
-    # 0.68 s -> 4.83 s in BENCH_r02).  The cached blocks live until the
-    # session's next clearCache (bench clears per trial; the driver's
-    # one-shot gate leaves a few MB cached at sf0.01) — accepted: no
-    # hook exists to unpersist after the caller's action
-    return exploded.persist().orderBy('url', 'ord')
+    # the global sort exists only for oracle determinism.  orderBy would
+    # range-partition, whose sampling pass executes the extraction-UDF
+    # pipeline a second time (r2 regression: 0.68 s -> 4.83 s), and the
+    # r3 persist workaround leaked cached blocks into the session.
+    # Instead: keep the UDF stage at cluster width, funnel only the
+    # narrow (url, ord, link, w, h) rows into one partition and sort
+    # there — no sampling pass, no cache.  Oracle-path shape only; the
+    # production pipeline never globally sorts links.
+    return exploded.repartition(1).sortWithinPartitions('url', 'ord')
 
 
 def q_main_content(spark, sf_dir):
@@ -513,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         'exact_dedup': """
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-            FROM documents GROUP BY text ORDER BY keep_id
+            FROM documents GROUP BY sha256(text) ORDER BY keep_id
         """,
         'ngram_jaccard_adjacent': r"""
             WITH w AS (

@@ -39,7 +39,11 @@ def main() -> None:
     ap.add_argument('--timeout', type=float, default=-1)
     ap.add_argument('--per-host-interval', type=float, default=0.0,
                     help='politeness: min seconds between GETs to the same host per worker '
-                         '(live fetch only; combine with host-salted partitioning)')
+                         '(live fetch only; implies --salt-by-host)')
+    ap.add_argument('--salt-by-host', action='store_true',
+                    help='co-locate each host\'s URLs into a bounded number of fetch '
+                         'partitions (auto-enabled when --per-host-interval > 0 with '
+                         '--live-fetch: without it the per-host bound is per-worker only)')
     ap.add_argument('--run-date', default='19700101')
     ap.add_argument('--run-time', default='000000')
     args = ap.parse_args()
@@ -68,6 +72,9 @@ def main() -> None:
         deduplication=getattr(DedupVariant, args.dedup.upper()),
         replace_image_names=args.replace_image_names,
         input_formats=tuple(args.input_formats.split(',')),
+        salt_fetch_by_host=(
+            args.salt_by_host or (args.live_fetch and args.per_host_interval > 0)
+        ),
     )
     fetcher = (
         live_fetcher(args.timeout if args.timeout > 0 else None,

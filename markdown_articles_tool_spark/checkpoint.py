@@ -178,6 +178,13 @@ def run_with_resume(
         # row stays internally consistent (bytes + hash from the SAME
         # shard's fetch)
         staged_fetch = sink.read(spark, f'stage/pass={i}/fetched')
+        if 'sha_hex' not in staged_fetch.columns:
+            # staging-format compat: shards staged before r4 wrote only
+            # (fetch_key, content).  sha_hex is definitionally
+            # sha256(content) (operators.fetch.derive_fetched), so an
+            # old-format stage is recoverable by recomputing it here —
+            # one extra hash pass over the staged bytes, no restage
+            staged_fetch = staged_fetch.withColumn('sha_hex', F.sha2('content', 256))
         fetched_all = (
             staged_fetch.groupBy('fetch_key')
             .agg(F.min_by(F.struct('sha_hex', 'content'), 'shard').alias('w'))

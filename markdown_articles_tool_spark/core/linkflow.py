@@ -44,6 +44,11 @@ class TransformConfig:
     # raise (like the reference's assert, image_downloader.py:116) when
     # one document repeats an image URL that already mapped successfully
     strict_duplicate_assert: bool = False
+    # co-locate each host's URLs into a bounded number of fetch
+    # partitions (fetch_distinct(salt_by_host=True)) so a live
+    # fetcher's per_host_interval bounds the CLUSTER-WIDE rate against
+    # any one host to ~salt_buckets/interval, not partitions/interval
+    salt_fetch_by_host: bool = False
 
 
 def resolve_download_url(

@@ -177,7 +177,10 @@ def extract_pass_links(
     # persist the (still content-free, narrow) projection so the
     # extraction UDF runs once per pass, not per consumer
     links = links_pre = links.persist()
-    fetched = fetch_distinct(links.where('status0 IS NULL AND is_remote'), 'fetch_key', fetcher)
+    fetched = fetch_distinct(
+        links.where('status0 IS NULL AND is_remote'), 'fetch_key', fetcher,
+        salt_by_host=cfg.salt_fetch_by_host,
+    )
     # the local-file branch only exists for local articles (base_url '')
     # — when base URLs derive from doc URLs every resolved link is
     # remote, so don't pay for an empty mapInPandas stage + union

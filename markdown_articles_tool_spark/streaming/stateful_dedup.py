@@ -27,7 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .. import corpus
 
-OUTPUT_SCHEMA = 'content_key long, url string, text string'
+OUTPUT_SCHEMA = 'content_key string, url string, text string'
 STATE_SCHEMA = 'seen boolean, first_url string'
 
 
@@ -39,7 +39,13 @@ def _dedup_fn(
         for _ in pdfs:
             pass
         return
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    dfs = list(pdfs)
+    if not dfs:
+        # NoTimeout never invokes without data today, but a TTL'd
+        # timeoutConf would — guard before concat (pd.concat raises on
+        # an empty list)
+        return
+    batch = pd.concat(dfs, ignore_index=True)
     if not len(batch):
         return
     # deterministic first-wins inside the batch: minimum url
@@ -51,9 +57,18 @@ def _dedup_fn(
 
 
 def dedup_stream(pages):
-    """Streaming frame (url, text) → exactly-once-per-content rows."""
+    """Streaming frame (url, text) → exactly-once-per-content rows.
+
+    The content key is ``sha2(text, 256)`` — the same 256-bit digest the
+    batch image dedup keys on.  A 64-bit key (xxhash64) would see
+    birthday collisions at ~sqrt(2^64)≈4×10^9 distinct docs — at the
+    stated 10^12-doc design scale that is tens of thousands of silently
+    dropped distinct documents; 256 bits pushes the first expected
+    collision past 10^38 docs.  State stays tiny: one 64-char hex key +
+    a boolean + the winner url per distinct content.
+    """
     keyed = pages.select(
-        F.xxhash64('text').alias('content_key'), 'url', 'text'
+        F.sha2('text', 256).alias('content_key'), 'url', 'text'
     )
     return keyed.groupBy('content_key').applyInPandasWithState(
         _dedup_fn,

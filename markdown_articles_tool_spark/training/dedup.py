@@ -29,9 +29,16 @@ from pyspark.sql.types import ArrayType, LongType
 
 
 def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
-    """Exact duplicate groups: first-wins keeper + copy count."""
+    """Exact duplicate groups: first-wins keeper + copy count.
+
+    Groups on ``sha2(text, 256)`` — a 32-byte shuffle key — never on the
+    raw text column: at corpus scale the grouping key would BE the
+    corpus and every document byte would ride the exchange.  sha256
+    equality stands in for byte equality at 2^-128 collision odds (the
+    same argument as the image content dedup, DIVERGENCES.md #8).
+    """
     return (
-        df.groupBy(F.col(text_col))
+        df.groupBy(F.sha2(F.col(text_col), 256))
         .agg(F.min(id_col).alias('keep_id'), F.count(F.lit(1)).alias('n_copies'))
         .select('keep_id', 'n_copies')
     )

@@ -124,6 +124,30 @@ class TestMainContentPlan:
         assert got_spans == want
 
 
+class TestExactDedupPlan:
+    def test_shuffle_key_is_digest_not_text(self, spark):
+        """exact_dedup's exchange must carry the 32-byte sha2 digest as
+        its grouping key — never the raw text column (at corpus scale a
+        raw-text grouping key IS the corpus riding the shuffle)."""
+        from markdown_articles_tool_spark.training.dedup import exact_dedup
+
+        docs = spark.createDataFrame(
+            [(i, 'x' * 200) for i in range(10)], 'doc_id long, text string'
+        )
+        jdf = exact_dedup(docs)._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        assert re.search(r'sha2\(cast\(text#\d+ as binary\), 256\)', plan_str), (
+            'grouping key is not the sha2 digest'
+        )
+        blocks = re.findall(r'\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]', plan_str)
+        assert blocks, 'no shuffle in exact_dedup plan'
+        for cols in blocks:
+            assert not re.search(r'\btext#\d+', cols), (
+                f'raw text column rides the exchange: {cols}'
+            )
+
+
 class TestPdfExtractPlan:
     def test_pruned_scan_no_shuffle_and_kernel_match(self, spark, tmp_path_factory):
         from markdown_articles_tool_spark.core import pdftext as P
