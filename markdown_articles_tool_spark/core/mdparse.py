@@ -57,6 +57,19 @@ class _ImgSrcGrabber(HTMLParser):
         super().__init__()
         self.srcs: List[str] = []
 
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        # stdlib raises on web soup: AssertionError for unknown marked-
+        # section keywords ('<![foo]'), NotImplementedError via
+        # ParserBase.error for an invalid name ('<![['). A crawl-scale
+        # extractor must not crash per document — treat both like the
+        # parser's own bogus-declaration fallback: consume through the
+        # next '>' (or buffer-stop at EOF, the feed()-only -1 path).
+        try:
+            return super().parse_marked_section(i, report)
+        except (AssertionError, NotImplementedError):
+            j = self.rawdata.find('>', i + 1)
+            return j + 1 if j >= 0 else -1
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == 'img':
             for name, value in attrs:

@@ -49,7 +49,6 @@ PROTOCOL_PREFIX_JAVA_REGEX = (
 
 _NON_WORD_RE = re.compile(r'[^\w\s-]')
 _DASH_SPACE_RE = re.compile(r'[-\s]+')
-_SCHEME_RE = re.compile(r'^([a-zA-Z][a-zA-Z0-9+.\-]*):')
 
 
 def is_url(url: str, allowed_url_prefixes: Tuple[str, ...] = URL_PREFIXES) -> bool:
@@ -148,18 +147,16 @@ def _posix_splitext(p: str) -> Tuple[str, str]:
 
 
 def url_path(url: str) -> str:
-    """``urlparse(url).path`` for http(s)/ftp(s)-style URLs."""
-    m = _SCHEME_RE.match(url)
-    rest = url[m.end():] if m and len(m.group(1)) > 1 else url
-    if rest.startswith('//'):
-        rest = rest[2:]
-        slash = rest.find('/')
-        rest = rest[slash:] if slash >= 0 else ''
-    for sep in ('?', '#'):
-        cut = rest.find(sep)
-        if cut >= 0:
-            rest = rest[:cut]
-    return rest
+    """``urlparse(url).path`` — the reference's exact call
+    (www_tools.py:88).  The r1-r3 hand-rolled scanner diverged from the
+    stdlib on single-letter schemes ('C:/x') and ``;params`` splitting
+    (caught by the r4 independent-oracle fuzz); urlparse may raise
+    ValueError on malformed bracketed hosts ('http://[') — callers
+    treat that as a per-link error, matching the reference where any
+    exception in the image loop is error-skippable."""
+    from urllib.parse import urlparse
+
+    return urlparse(url).path
 
 
 _CONTENT_DISPOSITION_RE = re.compile(r'filename=(.+)')

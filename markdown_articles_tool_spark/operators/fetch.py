@@ -71,7 +71,11 @@ def derive_fetched(fetcher: Fetcher) -> Fetcher:
                     continue
                 try:
                     names.append(filename_from_url(final_url, ctype, cdisp))
-                except KeyError:
+                except (KeyError, ValueError):
+                    # KeyError: missing content-type (www_tools.py:108
+                    # quirk); ValueError: urlparse on a malformed
+                    # bracketed host — both are per-link errors, never
+                    # batch crashes
                     names.append(FILENAME_KEYERROR)
             yield pdf.assign(sha_hex=pd.Series(shas, index=pdf.index, dtype=object),
                              filename_remote=pd.Series(names, index=pdf.index, dtype=object))

