@@ -13,10 +13,14 @@ operators.  Scope and limits (documented, not hidden):
   simply yield no text operators.
 * text: inside ``BT ... ET`` text objects, the ``(string) Tj``,
   ``(string) '`` and ``[ ... ] TJ`` show operators, in stream order;
-  TJ array numbers (kerning) are ignored.  Simple byte strings only —
-  hex strings ``<..>`` and CMap/ToUnicode re-encoding are out of
-  scope, so text in subsetted-font PDFs may come back garbled (same
-  failure mode pdfminer has without ToUnicode tables).
+  TJ array numbers (kerning) are ignored.  Literal byte strings AND
+  hex strings ``<4869> Tj`` / hex elements inside ``[...] TJ``
+  (PDF 32000-1 §7.3.4.3: non-hex chars ignored, odd digit count
+  zero-padded; ``<<`` opens a dictionary, never a string; an
+  unterminated ``<`` consumes the rest of the block and shows
+  nothing).  CMap/ToUnicode re-encoding is still out of scope, so
+  text in subsetted-font PDFs may come back garbled (same failure
+  mode pdfminer has without ToUnicode tables).
 * PDF string escapes: ``\\n \\r \\t \\b \\f \\( \\) \\\\``, octal
   ``\\ddd``, backslash-newline continuation, and the "ignore the
   backslash" fallback — per PDF 32000-1 §7.3.4.2.
@@ -103,15 +107,49 @@ def _unescape(raw: str) -> str:
     return ''.join(out)
 
 
+_HEX_DIGITS = set('0123456789abcdefABCDEF')
+
+
+def _hex_decode(body: str) -> str:
+    """PDF hex string body → chars (§7.3.4.3): non-hex chars ignored
+    (whitespace is legal; lenient on the rest), odd count zero-padded."""
+    digits = [c for c in body if c in _HEX_DIGITS]
+    if len(digits) % 2:
+        digits.append('0')
+    return ''.join(
+        chr(int(digits[k] + digits[k + 1], 16)) for k in range(0, len(digits), 2)
+    )
+
+
+def _next_op(block: str, k: int) -> str:
+    n = len(block)
+    while k < n and block[k] in ' \r\n\t':
+        k += 1
+    m = re.match(r"[^\s()<>\[\]{}/]+", block[k:k + 8])
+    return m.group(0) if m else ''
+
+
 def _scan_strings(block: str) -> List[Tuple[str, str, int]]:
     """[(unescaped string, next token, start position)] for one BT
-    block, in order.  Walks byte-by-byte tracking parenthesis nesting
-    and escapes (PDF strings may contain balanced unescaped parens)."""
+    block, in order: literal ``(...)`` strings (byte-by-byte scan
+    tracking parenthesis nesting and escapes) and hex ``<...>`` strings
+    (``<<`` opens a dictionary, not a string)."""
     items: List[Tuple[str, str, int]] = []
     i = 0
     n = len(block)
     while i < n:
-        if block[i] != '(':
+        c0 = block[i]
+        if c0 == '<':
+            if block[i + 1:i + 2] == '<':
+                i += 2      # dictionary open, never a string
+                continue
+            j = block.find('>', i + 1)
+            if j < 0:
+                return items    # unterminated hex string: shows nothing
+            items.append((_hex_decode(block[i + 1:j]), _next_op(block, j + 1), i))
+            i = j + 1
+            continue
+        if c0 != '(':
             i += 1
             continue
         start = i
@@ -132,12 +170,7 @@ def _scan_strings(block: str) -> List[Tuple[str, str, int]]:
                     break
             buf.append(c)
             j += 1
-        # next token after the closing paren (the would-be operator)
-        k = j + 1
-        while k < n and block[k] in ' \r\n\t':
-            k += 1
-        m = re.match(r"[^\s()<>\[\]{}/]+", block[k:k + 8])
-        items.append((_unescape(''.join(buf)), m.group(0) if m else '', start))
+        items.append((_unescape(''.join(buf)), _next_op(block, j + 1), start))
         i = j + 1
     return items
 

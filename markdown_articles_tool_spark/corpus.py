@@ -244,8 +244,10 @@ def pages_pdf_iter(indices) -> Iterator[Tuple[str, datetime, bytes, str, str]]:
 def doc_pdf(i: int) -> bytes:
     """Deterministic minimal PDF for document ``i``: 1-3 content
     streams (alternating raw / FlateDecode-compressed), each with a
-    ``(s) Tj`` text object and a ``[...] TJ`` array with escaped
-    parens — the operator subset core/pdftext.py parses."""
+    ``(s) Tj`` text object, a ``[...] TJ`` array with escaped parens,
+    and (r4) hex-string show operators — ``<hex> Tj`` plus a
+    hex-and-literal mixed ``[...] TJ`` — the operator subset
+    core/pdftext.py parses."""
     import zlib as _zlib
 
     n_streams = 1 + _h(f'pdfs:{i}') % 3
@@ -253,9 +255,17 @@ def doc_pdf(i: int) -> bytes:
     for s in range(n_streams):
         s0 = _FILLER_SENTENCES[(i + s) % len(_FILLER_SENTENCES)]
         s1 = _FILLER_SENTENCES[(i * 3 + s * 7) % len(_FILLER_SENTENCES)]
+        s2 = _FILLER_SENTENCES[(i * 11 + s * 5) % len(_FILLER_SENTENCES)]
+        hex2 = s2[:24].encode('latin-1', errors='replace').hex()
+        if (i + s) % 3 == 0:
+            hex2 = hex2.upper()
+        if (i + s) % 4 == 0 and hex2:
+            hex2 = hex2[:-1]            # odd digit count → zero-padded
         content = (
             f'BT /F1 12 Tf 72 720 Td ({s0}) Tj ET\n'
             f'BT 72 700 Td [ ({s1[:40]}) -250 (tail \\({i}-{s}\\)) ] TJ ET\n'
+            f'BT 72 680 Td <{hex2}> Tj '
+            f'[ <2d6d69782d> -200 (lit {i}-{s}) ] TJ ET\n'
         ).encode('latin-1', errors='replace')  # PDF simple strings are 8-bit
         if (i + s) % 2:
             content = _zlib.compress(content)

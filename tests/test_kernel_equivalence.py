@@ -197,6 +197,18 @@ class TestPdfText:
             b'endstream\nBT (x) Tj ET\nendstream',
             b'stream\nAAAendstream\nBT (y) Tj ET\nendstream',
             b'stream\nAAAendstream\nstream\nBT (z) Tj ET\nendstream\n',
+            # hex strings (r4): <..> Tj, odd digit count, embedded
+            # whitespace/junk, hex inside TJ arrays, dict <<>> non-string,
+            # unterminated '<', hex with quote operator
+            b'stream\nBT <48656C6C6F> Tj ET\nendstream\n',
+            b'stream\nBT <48656C6C6F7> Tj ET\nendstream\n',
+            b'stream\nBT <48 65\n6C zz 6C6F> Tj ET\nendstream\n',
+            b'stream\nBT [ <6869> -200 (lit) <21> ] TJ ET\nendstream\n',
+            b'stream\nBT <</MCID 0>> BDC (kept) Tj ET\nendstream\n',
+            b'stream\nBT <6869 Tj (after) Tj ET\nendstream\n',
+            b"stream\nBT <686F> ' ET\nendstream\n",
+            b'stream\nBT <> Tj (x) Tj ET\nendstream\n',
+            b'stream\nBT <4A4B> Td (dropped-hex-op) Tj ET\nendstream\n',
         ]
 
     def test_kernels_agree(self):
@@ -402,6 +414,10 @@ _pdf_soup = st.binary(max_size=40).flatmap(lambda junk: st.sampled_from([
     + b') Tj ET\nendstream',
     b'BT' + junk + b'ET',
     junk + b'endstream' + junk,
+    b'stream\nBT <' + junk.replace(b'>', b'') + b'> Tj ET\nendstream',
+    b'stream\nBT <' + junk + b'> Tj ET\nendstream',
+    b'stream\nBT [ <4A> ' + junk.replace(b'[', b'').replace(b']', b'')
+    + b' ] TJ ET\nendstream',
 ]))
 
 _texts = st.text(max_size=200)

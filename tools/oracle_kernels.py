@@ -509,6 +509,32 @@ def pdf_blocks(content) -> list:
             shown = []
             i = 0
             while i < len(block):
+                if block[i] == '<':
+                    # hex string (§7.3.4.3); '<<' is a dict open, and
+                    # an unterminated '<' consumes the rest of the
+                    # block showing nothing (same rule as the engine)
+                    if block[i + 1:i + 2] == '<':
+                        i += 2
+                        continue
+                    hend = block.find('>', i + 1)
+                    if hend < 0:
+                        break
+                    nibbles = [c for c in block[i + 1:hend] if c in '0123456789abcdefABCDEF']
+                    if len(nibbles) % 2:
+                        nibbles.append('0')
+                    s = ''.join(
+                        chr(int(nibbles[k] + nibbles[k + 1], 16))
+                        for k in range(0, len(nibbles), 2)
+                    )
+                    k = hend + 1
+                    while k < len(block) and block[k] in ' \r\n\t':
+                        k += 1
+                    opm = re.match(r"[^\s()<>\[\]{}/]+", block[k:k + 8])
+                    op = opm.group(0) if opm else ''
+                    if any(a <= i < bnd for a, bnd in spans) or op == 'Tj' or op == "'":
+                        shown.append(s)
+                    i = hend + 1
+                    continue
                 if block[i] != '(':
                     i += 1
                     continue
