@@ -283,6 +283,14 @@ def q_simhash_neardup(spark, sf_dir):
     return simhash_near_duplicates(_t(spark, sf_dir, 'documents')).orderBy('a_id', 'b_id')
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Real byte-pair-merge tokenization (embedded 256-merge vocab);
+    the regex proxy in token_stats stays as the cheap estimator."""
+    from markdown_articles_tool_spark.training.bpe import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+
+
 def q_token_stats(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import quality_features
 
@@ -370,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_candidates': q_minhash_candidates,
         'neardup_clusters': q_neardup_clusters,
         'simhash_neardup': q_simhash_neardup,
+        'bpe_tokens': q_bpe_tokens,
         'token_stats': q_token_stats,
         'langid': q_langid,
         'fingerprint': q_fingerprint,
@@ -453,6 +462,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         'neardup_clusters': _ref('neardup_clusters', 'doc_id, cluster_rep', _DOC_SKEY, 'doc_id'),
         'simhash_neardup': _ref('simhash_neardup', 'a_id, b_id, hamming', _DOC_SKEY, 'a_id, b_id'),
+        'bpe_tokens': _ref(
+            'bpe_tokens', 'doc_id, n_bpe_tokens, tokens_sha', _DOC_SKEY, 'doc_id'
+        ),
         'ann_lsh_topk': _ref(
             'ann_lsh_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'
         ),

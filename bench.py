@@ -150,6 +150,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'minhash_candidates',
         'neardup_clusters',
         'simhash_neardup',
+        'bpe_tokens',
         'token_stats',
         'langid',
         'fingerprint',

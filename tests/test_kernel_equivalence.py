@@ -239,6 +239,41 @@ class TestPdfText:
         assert blocks == [(0, 0, 'x(1) \n\t AB y z')]
 
 
+class TestBpe:
+    """Engine BPE (training/bpe.py: leftmost-lowest-rank single merge
+    per iteration, memoized) vs independent twin (oracle_kernels
+    .bpe_encode: published GPT-2 all-occurrences loop)."""
+
+    def test_encode_agrees_on_corpus(self):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.training import bpe
+
+        for t in TEXTS:
+            assert bpe.encode(t or '') == ok.bpe_encode(t or '', bpe.MERGES, bpe.PRETOK_PATTERN)
+        for i in range(150):
+            t = corpus.doc_text(i)
+            assert bpe.encode(t) == ok.bpe_encode(t, bpe.MERGES, bpe.PRETOK_PATTERN), i
+
+    def test_merge_table_pinned_to_trainer(self):
+        """The embedded vocab must be exactly what train_merges yields
+        on the seed corpus — the table cannot silently drift."""
+        from markdown_articles_tool_spark.training import bpe
+
+        assert bpe.train_merges(bpe.seed_corpus(), 1024) == bpe.MERGES
+        assert len(bpe.MERGES) == 607  # freq-2 cutoff exhausts before 1024
+
+    def test_golden(self):
+        from markdown_articles_tool_spark.training import bpe
+
+        ids = bpe.encode('The quick brown fox jumps over the lazy dog near the riverbank.')
+        assert ids[:8] == [84, 386, 609, 608, 591, 592, 593, 326]
+        assert len(ids) == 24
+        # every id in vocab range; round-trippable byte coverage
+        assert all(0 <= x < 256 + len(bpe.MERGES) for x in ids)
+        assert bpe.encode('') == []
+        assert bpe.tokens_sha([1, 2, 3]) == ok.bpe_tokens_sha([1, 2, 3])
+
+
 class TestExtraction:
     """Engine extraction (core/mdparse.py: single-pass tokenizer,
     stdlib HTMLParser) vs independent oracle (tools/oracle_extract.py:

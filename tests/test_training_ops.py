@@ -30,6 +30,26 @@ def docs(spark):
     return spark.createDataFrame(rows, 'doc_id long, text string')
 
 
+class TestBpeOp:
+    def test_spark_op_matches_kernel(self, spark, docs):
+        from markdown_articles_tool_spark.training import bpe
+        from markdown_articles_tool_spark.training.bpe import bpe_token_stats
+
+        got = {r['doc_id']: (r['n_bpe_tokens'], r['tokens_sha'])
+               for r in bpe_token_stats(docs).collect()}
+        for row in docs.collect():
+            ids = bpe.encode(row['text'])
+            assert got[row['doc_id']] == (len(ids), bpe.tokens_sha(ids))
+
+    def test_compression_on_seen_words(self, spark, docs):
+        # the vocab was trained on corpus text: common english words
+        # must compress well below 1 token/byte
+        from markdown_articles_tool_spark.training import bpe
+
+        text = 'the quick brown fox jumps over the lazy dog'
+        assert len(bpe.encode(text)) < len(text.encode()) * 0.6
+
+
 class TestExactDedup:
     def test_groups(self, spark, docs):
         res = {r['keep_id']: r['n_copies'] for r in dedup.exact_dedup(docs).collect()}

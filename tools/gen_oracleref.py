@@ -234,6 +234,20 @@ def gen_neardup_clusters(
         out['neardup_clusters'].append((skey, d, find(d)))
 
 
+def gen_bpe(sf_dir: str, skey: int, out: dict) -> None:
+    """Sequential BPE twin (oracle_kernels.bpe_encode, published GPT-2
+    word loop) — the merge table and pre-tokenizer regex are DATA
+    constants imported from the package (like the minhash params), the
+    merge algorithm is independently implemented."""
+    from markdown_articles_tool_spark.training.bpe import MERGES, PRETOK_PATTERN
+    from oracle_kernels import bpe_encode, bpe_tokens_sha
+
+    t = _read(sf_dir, 'documents')
+    for doc_id, text in zip(t['doc_id'].to_pylist(), t['text'].to_pylist()):
+        ids = bpe_encode(text, MERGES, PRETOK_PATTERN)
+        out['bpe_tokens'].append((skey, doc_id, len(ids), bpe_tokens_sha(ids)))
+
+
 def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
@@ -386,6 +400,10 @@ SCHEMAS = {
     'neardup_clusters': pa.schema(
         [('skey', pa.int64()), ('doc_id', pa.int64()), ('cluster_rep', pa.int64())]
     ),
+    'bpe_tokens': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()), ('n_bpe_tokens', pa.int32()),
+         ('tokens_sha', pa.string())]
+    ),
     'simhash_neardup': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
          ('hamming', pa.int32())]
@@ -416,6 +434,7 @@ def main() -> None:
         gen_minhash(sf_dir, dk, out)
         gen_neardup_clusters(sf_dir, dk, out)
         gen_simhash(sf_dir, dk, out)
+        gen_bpe(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)

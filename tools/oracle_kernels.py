@@ -580,6 +580,45 @@ def pdf_spans(blocks) -> list:
     return [(si, bi, len(t)) for si, bi, t in blocks]
 
 
+# ------------------------------------------------------------ BPE twin
+
+
+def bpe_encode(text: str, merges: list, pretok_pattern: str) -> list:
+    """Independent twin of training/bpe.encode: byte-level BPE with the
+    published GPT-2 word loop — find the lowest-rank pair present, then
+    merge ALL its occurrences left-to-right, repeat (the engine merges
+    one leftmost occurrence per iteration; equivalent because a merge
+    product's own pairs always rank later than the merge that created
+    them).  ``merges`` and ``pretok_pattern`` are data arguments — this
+    module imports nothing from the package under test."""
+    rank = {(int(a), int(b)): i for i, (a, b) in enumerate(merges)}
+    out = []
+    for m in re.finditer(pretok_pattern, text or ''):
+        word = list(m.group(0).encode('utf-8'))
+        while len(word) > 1:
+            pairs = set(zip(word, word[1:]))
+            ranked = [(rank[p], p) for p in pairs if p in rank]
+            if not ranked:
+                break
+            r, best = min(ranked)
+            merged = []
+            i = 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    merged.append(256 + r)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        out.extend(word)
+    return out
+
+
+def bpe_tokens_sha(ids: list) -> str:
+    return hashlib.sha256(','.join(str(x) for x in ids).encode()).hexdigest()
+
+
 # --------------------------------------------------------- media sniff
 
 
