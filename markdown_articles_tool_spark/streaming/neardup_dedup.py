@@ -1,0 +1,206 @@
+"""Streaming NEAR-duplicate dedup via MinHash bands in GroupState.
+
+The batch near-dup family (training/dedup.py) turns the quadratic
+problem into band-bucket equi-joins; on an unbounded stream those
+joins never close.  This operator family carries the same banding
+scheme across micro-batches with keyed state, in two chained
+streaming stages (an idiomatic Structured-Streaming pipeline through
+an intermediate table — Spark does not allow two
+``applyInPandasWithState`` operators inside one query):
+
+* **Stage A — bucket registry** (`register_bands`): the page stream is
+  MinHash-signed (the batch UDF, identical constants) and exploded to
+  one row per band; ``groupBy(band, band_hash)`` keeps GroupState =
+  the first url that registered this bucket.  Every input row emits a
+  verdict row ``(band, band_hash, url, is_first)`` — ``is_first`` only
+  for the single registrant (min-url inside a batch, like the exact
+  streaming dedup's first-writer-wins).
+* **Stage B — per-doc fold** (`fold_verdicts`): the verdict stream is
+  ``groupBy(url)`` with GroupState = (bands seen, bands matched,
+  emitted); when all ``n_bands`` verdicts for a url have arrived it
+  emits exactly one row ``(url, kept, n_matched)`` — kept iff ZERO of
+  its buckets were already registered by an earlier doc.
+
+SEMANTICS (documented contract, deliberately different from batch
+``neardup_clusters``): the kept set is the greedy online maximal
+independent set in arrival order over the LSH candidate graph — a doc
+is dropped when ANY band bucket collides with ANY earlier doc
+(including an earlier *dropped* doc, whose fresh buckets register).
+This is candidate-level dedup: there is NO exact-Jaccard verify pass,
+so precision is bounded by the banding false-positive rate (two docs
+sharing one 4-row band at k=64/b=16 ≈ J^4 per band); recall of true
+near-dups equals the batch LSH candidate recall (1-(1-J^r)^b).  The
+batch path keeps the min-id representative per connected component;
+the streaming path keeps the earliest arrival — same cardinality
+class, different (order-dependent) representatives.
+
+Scale shape: state is one (band_hash, first_url) row per distinct
+bucket in stage A (the streaming dedup index; RocksDB backend on a
+real cluster) and one small counter row per url in stage B until its
+verdict fires.  Text never enters state and never rides the band rows
+— the kept output is (url, kept) verdicts, joined back to content
+downstream (``read_kept``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import corpus
+from ..training.dedup import make_minhash_udf
+
+K = 64
+BANDS = 16
+
+BAND_OUTPUT = 'band int, band_hash long, url string, is_first boolean'
+BAND_STATE = 'first_url string'
+
+VERDICT_OUTPUT = 'url string, kept boolean, n_matched int'
+VERDICT_STATE = 'n_seen int, n_matched int, emitted boolean'
+
+
+def band_rows(pages, k: int = K, bands: int = BANDS):
+    """(band, band_hash, url) — one row per band of each page's MinHash
+    signature; identical banding to training.dedup.minhash_lsh_candidates
+    (xxhash64 over the comma-joined signature slice)."""
+    rows_per_band = k // bands
+    sig = pages.select('url', make_minhash_udf(k)(F.col('text')).alias('sig'))
+    return sig.select(
+        'url',
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(',', F.slice(F.col('sig'), b * rows_per_band + 1, rows_per_band))),
+            )
+        ).alias('band', 'band_hash'),
+    ).select('band', 'band_hash', 'url')
+
+
+def _register_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    dfs = list(pdfs)
+    if not dfs:
+        return
+    batch = pd.concat(dfs, ignore_index=True)
+    if not len(batch):
+        return
+    first = state.get[0] if state.exists else None
+    urls = sorted(batch['url'])
+    if first is None:
+        first = urls[0]
+        state.update((first,))
+    yield pd.DataFrame({
+        'band': batch['band'],
+        'band_hash': batch['band_hash'],
+        'url': batch['url'],
+        # only the single registrant of a previously-empty bucket
+        'is_first': [u == first for u in batch['url']],
+    })
+
+
+def _make_fold_fn(n_bands: int):
+    def fold_fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        dfs = list(pdfs)
+        if not dfs:
+            return
+        batch = pd.concat(dfs, ignore_index=True)
+        if not len(batch):
+            return
+        n_seen, n_matched, emitted = state.get if state.exists else (0, 0, False)
+        if emitted:
+            return
+        n_seen += len(batch)
+        n_matched += int((~batch['is_first']).sum())
+        if n_seen >= n_bands:
+            state.update((n_seen, n_matched, True))
+            yield pd.DataFrame(
+                [(key[0], n_matched == 0, n_matched)],
+                columns=['url', 'kept', 'n_matched'],
+            )
+        else:
+            state.update((n_seen, n_matched, False))
+
+    return fold_fn
+
+
+def register_bands(pages, k: int = K, bands: int = BANDS):
+    """Stage A: page stream → per-band bucket verdicts."""
+    return band_rows(pages, k, bands).groupBy('band', 'band_hash').applyInPandasWithState(
+        _register_fn,
+        outputStructType=BAND_OUTPUT,
+        stateStructType=BAND_STATE,
+        outputMode='append',
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fold_verdicts(bands_stream, bands: int = BANDS):
+    """Stage B: bucket-verdict stream → exactly-once (url, kept)."""
+    return bands_stream.groupBy('url').applyInPandasWithState(
+        _make_fold_fn(bands),
+        outputStructType=VERDICT_OUTPUT,
+        stateStructType=VERDICT_STATE,
+        outputMode='append',
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_neardup_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    k: int = K,
+    bands: int = BANDS,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Run both stages with availableNow triggers: drains the new input
+    files through stage A into ``output_dir/bands``, then stage B into
+    ``output_dir/verdicts``.  Each url gets exactly one verdict row
+    across all invocations and restarts (both stages checkpoint)."""
+    reader = spark.readStream.schema(corpus.PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option('maxFilesPerTrigger', max_files_per_trigger)
+    pages = reader.parquet(input_dir).select('url', 'text')
+    qa = (
+        register_bands(pages, k, bands)
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'bands'))
+        .option('checkpointLocation', os.path.join(output_dir, '_bands_checkpoint'))
+        .outputMode('append')
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination()
+    bands_stream = spark.readStream.schema(BAND_OUTPUT).parquet(
+        os.path.join(output_dir, 'bands')
+    )
+    qb = (
+        fold_verdicts(bands_stream, bands)
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'verdicts'))
+        .option('checkpointLocation', os.path.join(output_dir, '_verdicts_checkpoint'))
+        .outputMode('append')
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb.awaitTermination()
+
+
+def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, 'verdicts'))
+
+
+def read_kept(spark: SparkSession, output_dir: str, input_dir: str) -> DataFrame:
+    """Kept documents with their text (batch join of the tiny verdict
+    table back to the page store — content never rode the stream)."""
+    kept = read_verdicts(spark, output_dir).where('kept').select('url')
+    pages = spark.read.schema(corpus.PAGES_SCHEMA).parquet(input_dir).select('url', 'text')
+    return pages.join(kept, 'url')

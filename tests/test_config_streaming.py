@@ -147,6 +147,63 @@ class TestStreamingIngest:
         assert len(got2) == 11
         assert sorted(r['window_end'].hour for r in got2)[:7] == sorted(ends1)
 
+    def test_streaming_neardup_dedup(self, spark, tmp_path):
+        """MinHash-band GroupState dedup: planted near-duplicates
+        (one-word edits) arriving in LATER micro-batches are dropped;
+        distinct docs are kept; a restarted run re-emits nothing and
+        keeps only genuinely new content.  Candidate-level semantics
+        (no Jaccard verify) — documented in the module."""
+        import os as _os
+
+        from markdown_articles_tool_spark.streaming.neardup_dedup import (
+            read_verdicts,
+            start_neardup_dedup,
+        )
+        from markdown_articles_tool_spark.training.dedup import minhash_signature
+
+        base = ('the quick brown fox jumps over the lazy dog while distributed '
+                'systems trade latency for throughput in subtle ways ' * 4)
+        d_a = base + 'tail marker alpha'
+        d_a2 = base + 'tail marker beta'       # near-dup of d_a
+        d_b = ('completely different text about columnar storage formats and '
+               'predicate pushdown in distributed query engines ' * 5)
+        d_c = 'a third topic entirely: streaming watermarks and state stores ' * 6
+
+        # precondition: the planted pair really shares >=1 band (else the
+        # fixture tests nothing)
+        def bands_of(t):
+            sig = minhash_signature(t)
+            return {tuple(sig[b * 4:(b + 1) * 4]) for b in range(16)}
+
+        assert bands_of(d_a) & bands_of(d_a2), 'fixture pair shares no band'
+        assert not (bands_of(d_a) & bands_of(d_b))
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+
+        def page(url, text):
+            return (url, __import__('datetime').datetime(2020, 1, 1), b'', text, 'en')
+
+        schema = corpus.PAGES_SCHEMA
+        spark.createDataFrame([page('u://a', d_a)], schema).write.mode('append').parquet(in_dir)
+        spark.createDataFrame(
+            [page('u://a2', d_a2), page('u://b', d_b)], schema
+        ).write.mode('append').parquet(in_dir)
+        start_neardup_dedup(spark, in_dir, out_dir, max_files_per_trigger=1)
+        got = {r['url']: r['kept'] for r in read_verdicts(spark, out_dir).collect()}
+        assert got == {'u://a': True, 'u://a2': False, 'u://b': True}
+
+        # run 2: another near-dup of a + one new doc — exactly one new
+        # verdict pair, no re-emits for known urls
+        spark.createDataFrame(
+            [page('u://a3', d_a + ' extra'), page('u://c', d_c)], schema
+        ).write.mode('append').parquet(in_dir)
+        start_neardup_dedup(spark, in_dir, out_dir, max_files_per_trigger=1)
+        rows = read_verdicts(spark, out_dir).collect()
+        assert len(rows) == 5
+        got2 = {r['url']: r['kept'] for r in rows}
+        assert got2['u://c'] is True
+        assert got2['u://a3'] is False   # near-dup of the kept u://a
+
     def test_stateful_dedup_exactly_once_per_content(self, spark, tmp_path):
         """applyInPandasWithState cross-batch dedup: duplicate texts
         spread across files/micro-batches emit exactly once (min-url
