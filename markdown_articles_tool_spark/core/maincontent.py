@@ -14,9 +14,17 @@ reimplements exactly this, independently — divergence fails
 tests/test_kernel_equivalence.py):
 
 * bytes → str: utf-8, errors='replace'.
-* DROP_TAGS subtrees contribute nothing (depth-counted; unbalanced
-  closes at depth 0 are ignored).  startendtag <t/> of a drop tag is
-  a no-op (opens and closes immediately).
+* a subtree is DROPPED when its root tag is in DROP_TAGS, or (r4)
+  when any ``class``/``id`` attribute value contains a
+  NEGATIVE_HINTS token as a lowercase substring (comment threads,
+  sidebars, share bars, cookie banners etc. — the structural
+  length/density rule alone cannot see them; boilerpipe-style hint
+  lists accept the substring-overreach risk, e.g. 'commentary').
+  Drop scope: a stack of [root_tag, same_tag_depth] — while
+  dropping, only opens/closes of the INNERMOST root's tag adjust its
+  depth; the subtree ends when its root tag closes at depth 0.
+  Unmatched drop-tag closes outside any drop are ignored; <t/> of a
+  drop root is a no-op (opens and closes immediately).
 * BLOCK_TAGS delimit blocks.  A stack of open block tags attributes
   each flushed segment to its innermost enclosing block tag ('body'
   when none).  Opening a block tag flushes the pending segment first;
@@ -48,6 +56,25 @@ DROP_TAGS = frozenset(
     'script style noscript template svg head nav header footer aside form '
     'iframe button select option'.split()
 )
+# class/id substring hints marking boilerplate subtrees (r4): the
+# structural rule keeps link-sparse prose wherever it sits, so comment
+# threads / cookie banners / share bars need the semantic-ish signal
+# every production extractor uses
+NEGATIVE_HINTS = frozenset(
+    'comment sidebar widget share social related promo advert banner '
+    'breadcrumb pagination pager cookie consent menu popup newsletter '
+    'subscribe'.split()
+)
+
+
+def _hinted_drop(attrs) -> bool:
+    for name, value in attrs:
+        if name in ('class', 'id') and value:
+            v = value.lower()
+            for h in NEGATIVE_HINTS:
+                if h in v:
+                    return True
+    return False
 BLOCK_TAGS = frozenset(
     'p div li h1 h2 h3 h4 h5 h6 td th article section blockquote pre main '
     'figcaption dd dt ul ol table tr body'.split()
@@ -77,7 +104,7 @@ class Block:
 class _Extractor(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.drop_depth = 0
+        self.drop_stack: List[List] = []   # [root_tag, same_tag_depth]
         self.link_depth = 0
         self.block_stack: List[str] = []
         self.pieces: List[Tuple[str, bool]] = []  # (raw text, in_link)
@@ -99,10 +126,12 @@ class _Extractor(HTMLParser):
 
     # ------------------------------------------------------ parser events
     def handle_starttag(self, tag, attrs):
-        if tag in DROP_TAGS:
-            self.drop_depth += 1
+        if self.drop_stack:
+            if tag == self.drop_stack[-1][0]:
+                self.drop_stack[-1][1] += 1
             return
-        if self.drop_depth:
+        if tag in DROP_TAGS or _hinted_drop(attrs):
+            self.drop_stack.append([tag, 1])
             return
         if tag == 'a':
             self.link_depth += 1
@@ -113,12 +142,14 @@ class _Extractor(HTMLParser):
             self.block_stack.append(tag)
 
     def handle_endtag(self, tag):
+        if self.drop_stack:
+            if tag == self.drop_stack[-1][0]:
+                self.drop_stack[-1][1] -= 1
+                if not self.drop_stack[-1][1]:
+                    self.drop_stack.pop()
+            return
         if tag in DROP_TAGS:
-            if self.drop_depth:
-                self.drop_depth -= 1
-            return
-        if self.drop_depth:
-            return
+            return      # unmatched drop-tag close outside any drop
         if tag == 'a':
             if self.link_depth:
                 self.link_depth -= 1
@@ -128,16 +159,16 @@ class _Extractor(HTMLParser):
                 pass
 
     def handle_startendtag(self, tag, attrs):
-        # <t/> of a drop tag opens and closes immediately: no-op; for
+        # <t/> of a drop root opens and closes immediately: no-op; for
         # br/hr it flushes like the start event; block tags <p/> flush
         # but leave the stack alone (open+close cancels)
-        if tag in DROP_TAGS or self.drop_depth:
+        if self.drop_stack or tag in DROP_TAGS or _hinted_drop(attrs):
             return
         if tag in ('br', 'hr') or tag in BLOCK_TAGS:
             self._flush(self._cur_tag())
 
     def handle_data(self, data):
-        if self.drop_depth or not data:
+        if self.drop_stack or not data:
             return
         self.pieces.append((data, self.link_depth > 0))
 

@@ -438,6 +438,8 @@ _html_soup = st.lists(
     st.sampled_from(list('abc <>/&;#"=\n\t()ÿπ') + [
         '<p>', '</p>', '<div>', '</div>', '<a href="x">', '</a>', '<script>',
         '</script>', '<nav>', '</nav>', '<br/>', '<li>', '</li>', '&amp;', '&#65;',
+        '<div class="comment">', '<div id=sidebar>', '<p class="x menu y">',
+        '<div class="ok">', '<span id="share-bar">', '</span>',
     ]),
     max_size=40,
 ).map(''.join)

@@ -264,21 +264,40 @@ def _mc_events(html: str):
 
     class P(HTMLParser):
         def handle_starttag(self, tag, attrs):
-            events.append(('open', tag))
+            events.append(('open', tag, attrs))
 
         def handle_endtag(self, tag):
-            events.append(('close', tag))
+            events.append(('close', tag, None))
 
         def handle_startendtag(self, tag, attrs):
-            events.append(('void', tag))
+            events.append(('void', tag, attrs))
 
         def handle_data(self, data):
-            events.append(('data', data))
+            events.append(('data', data, None))
 
     p = P(convert_charrefs=True)
     p.feed(html)
     p.close()
     return events
+
+
+_MC_HINTS = (
+    'comment', 'sidebar', 'widget', 'share', 'social', 'related', 'promo',
+    'advert', 'banner', 'breadcrumb', 'pagination', 'pager', 'cookie',
+    'consent', 'menu', 'popup', 'newsletter', 'subscribe',
+)
+
+
+def _mc_hinted(attrs) -> bool:
+    if not attrs:
+        return False
+    for name, value in attrs:
+        if (name == 'class' or name == 'id') and value is not None:
+            low = value.lower()
+            for h in _MC_HINTS:
+                if low.find(h) >= 0:
+                    return True
+    return False
 
 
 def main_content_blocks(html) -> list:
@@ -291,7 +310,7 @@ def main_content_blocks(html) -> list:
     blocks = []
     stack: list = []
     pieces: list = []
-    drop = 0
+    drops: list = []   # (root_tag, same_tag_depth) pairs, innermost last
     link = 0
 
     def flush(tag):
@@ -306,16 +325,17 @@ def main_content_blocks(html) -> list:
             kept = len(norm) >= _MC_MIN_CHARS and 3 * link_raw <= total
             blocks.append((len(blocks), tag, norm, total, link_raw, kept))
 
-    for kind, payload in _mc_events(html):
+    for kind, payload, attrs in _mc_events(html):
         if kind == 'data':
-            if not drop and payload:
+            if not drops and payload:
                 pieces.append((payload, link > 0))
         elif kind == 'open':
             tag = payload
-            if tag in _MC_DROP:
-                drop += 1
-            elif drop:
-                pass
+            if drops:
+                if tag == drops[-1][0]:
+                    drops[-1] = (tag, drops[-1][1] + 1)
+            elif tag in _MC_DROP or _mc_hinted(attrs):
+                drops.append((tag, 1))
             elif tag == 'a':
                 link += 1
             elif tag in ('br', 'hr'):
@@ -325,11 +345,14 @@ def main_content_blocks(html) -> list:
                 stack.append(tag)
         elif kind == 'close':
             tag = payload
-            if tag in _MC_DROP:
-                if drop:
-                    drop -= 1
-            elif drop:
-                pass
+            if drops:
+                if tag == drops[-1][0]:
+                    if drops[-1][1] == 1:
+                        drops.pop()
+                    else:
+                        drops[-1] = (tag, drops[-1][1] - 1)
+            elif tag in _MC_DROP:
+                pass    # unmatched drop-tag close outside any drop
             elif tag == 'a':
                 if link:
                     link -= 1
@@ -339,7 +362,7 @@ def main_content_blocks(html) -> list:
                     pass
         else:  # void <t/>
             tag = payload
-            if tag in _MC_DROP or drop:
+            if drops or tag in _MC_DROP or _mc_hinted(attrs):
                 pass
             elif tag in ('br', 'hr') or tag in _MC_BLOCK:
                 flush(stack[-1] if stack else 'body')
