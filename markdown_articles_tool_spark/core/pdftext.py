@@ -18,9 +18,28 @@ operators.  Scope and limits (documented, not hidden):
   (PDF 32000-1 §7.3.4.3: non-hex chars ignored, odd digit count
   zero-padded; ``<<`` opens a dictionary, never a string; an
   unterminated ``<`` consumes the rest of the block and shows
-  nothing).  CMap/ToUnicode re-encoding is still out of scope, so
-  text in subsetted-font PDFs may come back garbled (same failure
-  mode pdfminer has without ToUnicode tables).
+  nothing).
+* ToUnicode re-encoding (r4): fonts reached via ``/Font <<...>>``
+  resource dicts → ``/ToUnicode N 0 R`` → CMap stream (raw or Flate)
+  are decoded through their bfchar/bfrange tables — the path that
+  makes subsetted-font PDFs readable.  Deterministic sub-spec:
+
+  - objects: ``N G obj`` .. first ``endobj`` over the latin-1 view;
+    the ``/Font`` dict body runs to the FIRST ``>>``; name → ref,
+    last binding wins; ``/ToUnicode`` must be an indirect ref.
+  - CMap: hex tokens ``<..>`` (whitespace inside ignored, odd digits
+    zero-padded); code width = byte length of the FIRST src token;
+    bfchar pairs map src → UTF-16BE(dst, errors=replace); bfrange
+    ``<lo> <hi> <start>`` maps lo+i → UTF-16BE of (start_int + i)
+    rendered at start's byte width (wrapping), array form maps
+    positionally; ranges with hi < lo or wider than 65535 codes are
+    skipped.
+  - show strings: while a CMap-bearing font is current (lexical
+    ``/Name <num> Tf`` scan, per stream, last one before the string
+    wins; state does not cross streams), the string's latin-1 bytes
+    split into code-width units (trailing partial unit dropped);
+    unmapped 1-byte codes fall back to chr(code), unmapped wider
+    codes to U+FFFD.
 * PDF string escapes: ``\\n \\r \\t \\b \\f \\( \\) \\\\``, octal
   ``\\ddd``, backslash-newline continuation, and the "ignore the
   backslash" fallback — per PDF 32000-1 §7.3.4.2.
@@ -177,18 +196,179 @@ def _scan_strings(block: str) -> List[Tuple[str, str, int]]:
 
 _TJ_ARRAY_RE = re.compile(r'\[[^\[\]]*\]\s*TJ')
 
+# ------------------------------------------------- ToUnicode CMaps (r4)
 
-def _block_text(block: str) -> str:
+_OBJ_RE = re.compile(r'(\d+)\s+\d+\s+obj\b(.*?)endobj', re.DOTALL)
+_FONT_DICT_RE = re.compile(r'/Font\s*<<')
+_FONT_ENTRY_RE = re.compile(r'/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R')
+_TOUNICODE_RE = re.compile(r'/ToUnicode\s+(\d+)\s+\d+\s+R')
+_HEX_TOKEN_RE = re.compile(r'<([0-9A-Fa-f\s]*)>')
+_STREAM_IN_OBJ_RE = re.compile(rb'stream\r?\n(.*?)\r?\nendstream', re.DOTALL)
+_TF_RE = re.compile(r'/([^\s/<>\[\]()%]+)\s+[-+]?[\d.]+\s+Tf')
+
+CMap = Tuple[int, dict]   # (code_bytes, {code: unicode str})
+
+
+def _hex_bytes(digits: str) -> bytes:
+    d = ''.join(c for c in digits if c in _HEX_DIGITS)
+    if len(d) % 2:
+        d += '0'
+    return bytes.fromhex(d)
+
+
+def _u16(b: bytes) -> str:
+    return b.decode('utf-16-be', errors='replace')
+
+
+def parse_cmap(text: str):
+    """bfchar/bfrange tables of one ToUnicode CMap (spec in the module
+    docstring).  Returns (code_bytes, table) or None when empty."""
+    table: dict = {}
+    code_bytes = 0
+
+    def src_width(b: bytes) -> int:
+        nonlocal code_bytes
+        if not code_bytes and b:
+            code_bytes = len(b)
+        return code_bytes
+
+    pos = 0
+    while True:
+        c = text.find('beginbfchar', pos)
+        r = text.find('beginbfrange', pos)
+        if c < 0 and r < 0:
+            break
+        if r < 0 or (0 <= c < r):
+            end = text.find('endbfchar', c)
+            body = text[c + 11:end if end >= 0 else len(text)]
+            toks = _HEX_TOKEN_RE.findall(body)
+            for i in range(0, len(toks) - 1, 2):
+                src = _hex_bytes(toks[i])
+                dst = _hex_bytes(toks[i + 1])
+                if src:
+                    src_width(src)
+                    table[int.from_bytes(src, 'big')] = _u16(dst)
+            pos = (end + 9) if end >= 0 else len(text)
+        else:
+            end = text.find('endbfrange', r)
+            body = text[r + 12:end if end >= 0 else len(text)]
+            pos2 = 0
+            while True:
+                m_lo = _HEX_TOKEN_RE.search(body, pos2)
+                if not m_lo:
+                    break
+                m_hi = _HEX_TOKEN_RE.search(body, m_lo.end())
+                if not m_hi:
+                    break
+                lo_b, hi_b = _hex_bytes(m_lo.group(1)), _hex_bytes(m_hi.group(1))
+                lo = int.from_bytes(lo_b, 'big')
+                hi = int.from_bytes(hi_b, 'big')
+                # dst: next '[' array or hex token, whichever first
+                k = m_hi.end()
+                while k < len(body) and body[k].isspace():
+                    k += 1
+                if k < len(body) and body[k] == '[':
+                    close = body.find(']', k)
+                    arr = _HEX_TOKEN_RE.findall(body[k:close if close >= 0 else len(body)])
+                    if lo_b and 0 <= hi - lo <= 65535:
+                        src_width(lo_b)
+                        for i, d in enumerate(arr[:hi - lo + 1]):
+                            table[lo + i] = _u16(_hex_bytes(d))
+                    pos2 = (close + 1) if close >= 0 else len(body)
+                else:
+                    m_dst = _HEX_TOKEN_RE.search(body, m_hi.end())
+                    if not m_dst:
+                        break
+                    dst_b = _hex_bytes(m_dst.group(1))
+                    if lo_b and dst_b and 0 <= hi - lo <= 65535:
+                        src_width(lo_b)
+                        start = int.from_bytes(dst_b, 'big')
+                        width = len(dst_b)
+                        mask = (1 << (8 * width)) - 1
+                        for i in range(hi - lo + 1):
+                            table[lo + i] = _u16(((start + i) & mask).to_bytes(width, 'big'))
+                    pos2 = m_dst.end()
+            pos = (end + 10) if end >= 0 else len(text)
+    if not table or not code_bytes:
+        return None
+    return code_bytes, table
+
+
+def font_cmaps(data: bytes) -> dict:
+    """{font resource name: CMap} for every /Font entry whose font
+    object carries a parseable /ToUnicode CMap stream."""
+    view = data.decode('latin-1')
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(view)}
+    names: dict = {}
+    for body in [view]:   # resource dicts can sit in objects or inline
+        for fm in _FONT_DICT_RE.finditer(body):
+            close = body.find('>>', fm.end())
+            for em in _FONT_ENTRY_RE.finditer(body[fm.end():close if close >= 0 else len(body)]):
+                names[em.group(1)] = int(em.group(2))   # last binding wins
+    out: dict = {}
+    for name, ref in names.items():
+        font_body = objs.get(ref)
+        if font_body is None:
+            continue
+        tm = _TOUNICODE_RE.search(font_body)
+        if not tm:
+            continue
+        cmap_body = objs.get(int(tm.group(1)))
+        if cmap_body is None:
+            continue
+        sm = _STREAM_IN_OBJ_RE.search(cmap_body.encode('latin-1'))
+        if not sm:
+            continue
+        payload = sm.group(1)
+        try:
+            payload = zlib.decompress(payload)
+        except Exception:
+            pass
+        cmap = parse_cmap(payload.decode('latin-1', errors='replace'))
+        if cmap:
+            out[name] = cmap
+    return out
+
+
+def apply_cmap(s: str, cmap: CMap) -> str:
+    """Re-encode one shown string through a ToUnicode table."""
+    code_bytes, table = cmap
+    bs = s.encode('latin-1', errors='replace')
+    out: List[str] = []
+    for i in range(0, len(bs) - len(bs) % code_bytes, code_bytes):
+        code = int.from_bytes(bs[i:i + code_bytes], 'big')
+        mapped = table.get(code)
+        if mapped is not None:
+            out.append(mapped)
+        elif code_bytes == 1:
+            out.append(chr(code))
+        else:
+            out.append('�')
+    return ''.join(out)
+
+
+def _block_text(block: str, base: int = 0, tfs=(), cmaps=None) -> str:
     """Text shown by one BT block: strings with a Tj or ' operator,
     plus every string inside a ``[...] TJ`` array span (array spans
     located by ``\\[[^\\[\\]]*\\]\\s*TJ`` — a ']' inside a string
-    would split the span; out of scope, same in the oracle twin)."""
+    would split the span; out of scope, same in the oracle twin).
+    ``tfs``: [(abs position, font name)] of the stream's Tf operators;
+    strings shown under a CMap-bearing font re-encode through it."""
     spans = [(m.start(), m.end()) for m in _TJ_ARRAY_RE.finditer(block)]
     shown: List[str] = []
     for s, op, pos in _scan_strings(block):
-        if any(a <= pos < b for a, b in spans):
-            shown.append(s)
-        elif op == 'Tj' or op == "'":
+        if any(a <= pos < b for a, b in spans) or op == 'Tj' or op == "'":
+            if cmaps:
+                abs_pos = base + pos
+                font = None
+                for tp, tn in tfs:
+                    if tp < abs_pos:
+                        font = tn
+                    else:
+                        break
+                cm = cmaps.get(font)
+                if cm:
+                    s = apply_cmap(s, cm)
             shown.append(s)
     return ''.join(shown)
 
@@ -198,6 +378,7 @@ def extract_pdf_blocks(content) -> List[Tuple[int, int, str]]:
     if content is None:
         return []
     data = bytes(content)
+    cmaps = font_cmaps(data)
     out: List[Tuple[int, int, str]] = []
     for si, raw in enumerate(_iter_stream_payloads(data)):
         try:
@@ -205,9 +386,10 @@ def extract_pdf_blocks(content) -> List[Tuple[int, int, str]]:
         except Exception:
             pass
         text = raw.decode('latin-1', errors='replace')
+        tfs = [(m.start(), m.group(1)) for m in _TF_RE.finditer(text)] if cmaps else []
         bi = 0
         for bm in _BT_RE.finditer(text):
-            bt = _block_text(bm.group(1))
+            bt = _block_text(bm.group(1), bm.start(1), tfs, cmaps)
             if bt:
                 out.append((si, bi, bt))
                 bi += 1

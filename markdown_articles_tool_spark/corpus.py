@@ -273,6 +273,31 @@ def doc_pdf(i: int) -> bytes:
             f'{4 + s} 0 obj\n<< /Length {len(content)} >>\nstream\n'.encode('latin-1')
             + content + b'\nendstream\nendobj\n'
         )
+    if i % 2 == 0:
+        # ToUnicode tier (r4): a subsetted-font-style stream whose hex
+        # show strings only become text through the font's CMap —
+        # 2-byte UTF-16BE identity bfrange (even i//2) or a 1-byte
+        # bfchar+bfrange table (odd i//2); CMap stream Flate-compressed
+        # on every 3rd doc
+        s9 = _FILLER_SENTENCES[(i * 13) % len(_FILLER_SENTENCES)]
+        if (i // 2) % 2 == 0:
+            cmap = b'1 beginbfrange <0000> <FFFF> <0000> endbfrange'
+            shown = f'uni {i}: {s9}'.encode('utf-16-be').hex()
+        else:
+            cmap = (b'3 beginbfchar\n<61> <03B1>\n<65> <03B5>\n<6F> <2134>\n'
+                    b'endbfchar\n1 beginbfrange <41> <5A> <0041> endbfrange')
+            shown = f'map {i}: {s9}'.encode('latin-1', errors='replace').hex()
+        if i % 3 == 0:
+            cmap = _zlib.compress(cmap)
+        body += (
+            b'20 0 obj\n<< /Type /Page /Resources << /Font << /FU 21 0 R >> >> >>\nendobj\n'
+            b'21 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 22 0 R >>\nendobj\n'
+            + f'22 0 obj\n<< /Length {len(cmap)} >>\nstream\n'.encode('latin-1')
+            + cmap + b'\nendstream\nendobj\n'
+            b'23 0 obj\n<< >>\nstream\n'
+            + f'BT /FU 11 Tf <{shown}> Tj ET\n'.encode('latin-1')
+            + b'\nendstream\nendobj\n'
+        )
     return body + b'%%EOF\n'
 
 

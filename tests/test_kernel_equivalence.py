@@ -209,6 +209,54 @@ class TestPdfText:
             b"stream\nBT <686F> ' ET\nendstream\n",
             b'stream\nBT <> Tj (x) Tj ET\nendstream\n',
             b'stream\nBT <4A4B> Td (dropped-hex-op) Tj ET\nendstream\n',
+        ] + self.tounicode_frags()
+
+    @staticmethod
+    def tounicode_frags():
+        """ToUnicode CMap shapes (r4): identity 2-byte bfrange, 1-byte
+        bfchar fallback, array bfrange, Flate CMaps, dangling refs,
+        malformed CMap bodies, Tf state across blocks."""
+        import zlib
+
+        def doc(cmap: bytes, content: bytes, compress=False, font_extra=b''):
+            if compress:
+                cmap = zlib.compress(cmap)
+            return (
+                b'1 0 obj\n<< /Resources << /Font << /FX 5 0 R >> >> >>\nendobj\n'
+                b'5 0 obj\n<< /Type /Font ' + font_extra + b'/ToUnicode 7 0 R >>\nendobj\n'
+                b'7 0 obj\n<< >>\nstream\n' + cmap + b'\nendstream\nendobj\n'
+                b'9 0 obj\n<< >>\nstream\n' + content + b'\nendstream\nendobj\n'
+            )
+
+        ident = b'1 beginbfrange <0000> <FFFF> <0000> endbfrange'
+        one = (b'2 beginbfchar <41> <03A9> <42> <00480069> endbfchar\n'
+               b'1 beginbfrange <61> <63> <0391> endbfrange')
+        arr = b'1 beginbfrange <41> <43> [ <0058> <0059> <005A> ] endbfrange'
+        u16 = 'héllo ünïcode'.encode('utf-16-be').hex().encode()
+        return [
+            doc(ident, b'BT /FX 12 Tf <' + u16 + b'> Tj ET\n'),
+            doc(ident, b'BT /FX 12 Tf <' + u16 + b'> Tj ET\n', compress=True),
+            doc(one, b'BT /FX 9 Tf (AaBbc) Tj <4161> Tj ET\n'),
+            doc(arr, b'BT /FX 9 Tf (ABCD) Tj ET\n'),
+            # font state persists across BT blocks within a stream
+            doc(one, b'BT /FX 9 Tf (Aa) Tj ET\nBT (bB) Tj ET\n'),
+            # string BEFORE any Tf: raw; after: mapped
+            doc(one, b'BT (Aa raw) Tj /FX 9 Tf (Aa mapped) Tj ET\n'),
+            # odd trailing byte under a 2-byte cmap is dropped
+            doc(ident, b'BT /FX 12 Tf <004100> Tj ET\n'),
+            # unmapped 2-byte code -> replacement char
+            doc(b'1 beginbfchar <0041> <005A> endbfchar', b'BT /FX 12 Tf <00410042> Tj ET\n'),
+            # dangling /ToUnicode ref: no cmap, text stays raw
+            doc(ident, b'BT /FX 12 Tf (plain) Tj ET\n')[:40] +
+            b'5 0 obj\n<< /ToUnicode 99 0 R >>\nendobj\n'
+            b'9 0 obj\n<< >>\nstream\nBT /FX 12 Tf (plain) Tj ET\n\nendstream\nendobj\n',
+            # malformed cmap bodies: never crash, parse what's valid
+            doc(b'beginbfchar <41', b'BT /FX 9 Tf (A) Tj ET\n'),
+            doc(b'beginbfrange <41> <3F> <99> endbfrange', b'BT /FX 9 Tf (A) Tj ET\n'),
+            doc(b'beginbfrange <41> [ <58> endbfrange', b'BT /FX 9 Tf (A) Tj ET\n'),
+            doc(b'beginbfchar <xyz> <41> <42> <43> endbfchar', b'BT /FX 9 Tf (AB) Tj ET\n'),
+            # unknown font name in Tf: raw
+            doc(one, b'BT /NOPE 9 Tf (Aa) Tj ET\n'),
         ]
 
     def test_kernels_agree(self):

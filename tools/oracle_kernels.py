@@ -511,13 +511,405 @@ def _pdf_tj_array_spans(block: str) -> list:
     return spans
 
 
+# ------------------------------------------- ToUnicode CMap twin (r4)
+
+_PDF_HEXD = '0123456789abcdefABCDEF'
+
+
+def _pdf_hex_tokens(body: str, start: int = 0, end: int | None = None):
+    """<...> tokens whose content is only hex digits/whitespace, as
+    (content, end_index) — invalid candidates advance by ONE char
+    (mirroring the engine regex's scan)."""
+    if end is None:
+        end = len(body)
+    i = start
+    while i < end:
+        if body[i] != '<':
+            i += 1
+            continue
+        j = i + 1
+        ok = True
+        while j < end and body[j] != '>':
+            if body[j] not in _PDF_HEXD and not body[j].isspace():
+                ok = False
+                break
+            j += 1
+        if ok and j < end:
+            yield body[i + 1:j], j + 1
+            i = j + 1
+        else:
+            i += 1
+
+
+def _pdf_hexb(digits: str) -> bytes:
+    d = [c for c in digits if c in _PDF_HEXD]
+    if len(d) % 2:
+        d.append('0')
+    return bytes(int(d[k] + d[k + 1], 16) for k in range(0, len(d), 2))
+
+
+def _pdf_cmap_parse(text: str):
+    """(code_bytes, table) or None — twin of pdftext.parse_cmap."""
+    table: dict = {}
+    width = 0
+    pos = 0
+    while True:
+        c = text.find('beginbfchar', pos)
+        r = text.find('beginbfrange', pos)
+        if c < 0 and r < 0:
+            break
+        if r < 0 or (0 <= c < r):
+            end = text.find('endbfchar', c)
+            stop = end if end >= 0 else len(text)
+            toks = [t for t, _e in _pdf_hex_tokens(text, c + 11, stop)]
+            for i in range(0, len(toks) - 1, 2):
+                src = _pdf_hexb(toks[i])
+                if src:
+                    if not width:
+                        width = len(src)
+                    table[int.from_bytes(src, 'big')] = _pdf_hexb(toks[i + 1]).decode(
+                        'utf-16-be', errors='replace')
+            pos = (end + 9) if end >= 0 else len(text)
+        else:
+            end = text.find('endbfrange', r)
+            stop = end if end >= 0 else len(text)
+            it = _pdf_hex_tokens(text, r + 12, stop)
+            toks = list(it)
+            ti = 0
+            while ti + 1 < len(toks):
+                lo_s, lo_end = toks[ti]
+                hi_s, hi_end = toks[ti + 1]
+                lo_b = _pdf_hexb(lo_s)
+                lo = int.from_bytes(lo_b, 'big')
+                hi = int.from_bytes(_pdf_hexb(hi_s), 'big')
+                k = hi_end
+                while k < stop and text[k].isspace():
+                    k += 1
+                if k < stop and text[k] == '[':
+                    close = text.find(']', k)
+                    arr_stop = close if (0 <= close < stop) else stop
+                    arr = [t for t, _e in _pdf_hex_tokens(text, k, arr_stop)]
+                    if lo_b and 0 <= hi - lo <= 65535:
+                        if not width:
+                            width = len(lo_b)
+                        for i, d in enumerate(arr[:hi - lo + 1]):
+                            table[lo + i] = _pdf_hexb(d).decode('utf-16-be', errors='replace')
+                    resume = (arr_stop + 1) if (0 <= close < stop) else stop
+                    # skip consumed tokens: drop every token starting before resume
+                    ti += 2
+                    while ti < len(toks) and toks[ti][1] <= resume:
+                        ti += 1
+                else:
+                    if ti + 2 >= len(toks):
+                        break
+                    dst_s, dst_end = toks[ti + 2]
+                    dst_b = _pdf_hexb(dst_s)
+                    if lo_b and dst_b and 0 <= hi - lo <= 65535:
+                        if not width:
+                            width = len(lo_b)
+                        start_v = int.from_bytes(dst_b, 'big')
+                        w = len(dst_b)
+                        mask = (1 << (8 * w)) - 1
+                        for i in range(hi - lo + 1):
+                            table[lo + i] = (((start_v + i) & mask).to_bytes(w, 'big')).decode(
+                                'utf-16-be', errors='replace')
+                    ti += 3
+            pos = (end + 10) if end >= 0 else len(text)
+    if not table or not width:
+        return None
+    return width, table
+
+
+def _pdf_name_delim(ch: str) -> bool:
+    return ch.isspace() or ch in '/<>[]()%'
+
+
+def _pdf_objects(view: str) -> dict:
+    """{obj number: body through first endobj} — twin of _OBJ_RE."""
+    objs: dict = {}
+    pos = 0
+    n = len(view)
+    while True:
+        i = view.find('obj', pos)
+        if i < 0:
+            break
+        if i + 3 < n and (view[i + 3].isalnum() or view[i + 3] == '_'):
+            pos = i + 1
+            continue
+        # backtrack: \s+ then gen digits then \s+ then obj-number digits
+        j = i
+        while j > 0 and view[j - 1].isspace():
+            j -= 1
+        g = j
+        while g > 0 and view[g - 1].isdigit():
+            g -= 1
+        if g == j:
+            pos = i + 1
+            continue
+        k = g
+        while k > 0 and view[k - 1].isspace():
+            k -= 1
+        if k == g:
+            pos = i + 1
+            continue
+        m = k
+        while m > 0 and view[m - 1].isdigit():
+            m -= 1
+        if m == k:
+            pos = i + 1
+            continue
+        e = view.find('endobj', i + 3)
+        if e < 0:
+            break
+        objs[int(view[m:k])] = view[i + 3:e]
+        pos = e + 6
+    return objs
+
+
+def _pdf_ref_after(body: str, key: str):
+    """First ``key \\s+ N \\s+ G \\s+ R`` — the object number or None."""
+    pos = 0
+    while True:
+        i = body.find(key, pos)
+        if i < 0:
+            return None
+        j = i + len(key)
+        k = j
+        while k < len(body) and body[k].isspace():
+            k += 1
+        if k == j:
+            pos = i + 1
+            continue
+        d0 = k
+        while k < len(body) and body[k].isdigit():
+            k += 1
+        if k == d0:
+            pos = i + 1
+            continue
+        num = int(body[d0:k])
+        w = k
+        while w < len(body) and body[w].isspace():
+            w += 1
+        if w == k:
+            pos = i + 1
+            continue
+        d1 = w
+        while w < len(body) and body[w].isdigit():
+            w += 1
+        if w == d1:
+            pos = i + 1
+            continue
+        s = w
+        while s < len(body) and body[s].isspace():
+            s += 1
+        if s == w or s >= len(body) or body[s] != 'R':
+            pos = i + 1
+            continue
+        return num
+
+
+def _pdf_font_cmaps(data: bytes) -> dict:
+    view = data.decode('latin-1')
+    objs = _pdf_objects(view)
+    names: dict = {}
+    pos = 0
+    while True:
+        i = view.find('/Font', pos)
+        if i < 0:
+            break
+        j = i + 5
+        while j < len(view) and view[j].isspace():
+            j += 1
+        if view[j:j + 2] != '<<':
+            pos = i + 1
+            continue
+        close = view.find('>>', j + 2)
+        seg = view[j + 2:close if close >= 0 else len(view)]
+        p2 = 0
+        while True:
+            s = seg.find('/', p2)
+            if s < 0:
+                break
+            e = s + 1
+            while e < len(seg) and not _pdf_name_delim(seg[e]):
+                e += 1
+            if e == s + 1:
+                p2 = s + 1
+                continue
+            # the ``\s+N\s+G\s+R`` must start right after the name
+            ref = _pdf_ref_strict(seg, e)
+            if ref is not None:
+                names[seg[s + 1:e]] = ref
+            p2 = e
+        pos = (close + 2) if close >= 0 else len(view)
+    out: dict = {}
+    for name, ref in names.items():
+        font_body = objs.get(ref)
+        if font_body is None:
+            continue
+        cm_ref = _pdf_ref_after(font_body, '/ToUnicode')
+        if cm_ref is None:
+            continue
+        cmap_body = objs.get(cm_ref)
+        if cmap_body is None:
+            continue
+        payload = _pdf_obj_stream(cmap_body)
+        if payload is None:
+            continue
+        cmap = _pdf_cmap_parse(payload)
+        if cmap:
+            out[name] = cmap
+    return out
+
+
+def _pdf_ref_strict(seg: str, e: int):
+    """Parse ``\\s+N\\s+G\\s+R`` starting exactly at ``e``; None else."""
+    k = e
+    while k < len(seg) and seg[k].isspace():
+        k += 1
+    if k == e:
+        return None
+    d0 = k
+    while k < len(seg) and seg[k].isdigit():
+        k += 1
+    if k == d0:
+        return None
+    num = int(seg[d0:k])
+    w = k
+    while w < len(seg) and seg[w].isspace():
+        w += 1
+    if w == k:
+        return None
+    d1 = w
+    while w < len(seg) and seg[w].isdigit():
+        w += 1
+    if w == d1:
+        return None
+    s = w
+    while s < len(seg) and seg[s].isspace():
+        s += 1
+    if s == w or s >= len(seg) or seg[s] != 'R':
+        return None
+    return num
+
+
+def _pdf_obj_stream(body: str):
+    """First ``stream`` EOL payload EOL ``endstream`` inside an object
+    body (twin of _STREAM_IN_OBJ_RE), decompressed when Flate."""
+    import zlib as _zlib
+
+    bs = body.encode('latin-1')
+    pos = 0
+    while True:
+        s = bs.find(b'stream', pos)
+        if s < 0:
+            return None
+        b0 = s + 6
+        if bs[b0:b0 + 2] == b'\r\n':
+            b0 += 2
+        elif bs[b0:b0 + 1] == b'\n':
+            b0 += 1
+        else:
+            pos = s + 1
+            continue
+        e = b0
+        while True:
+            e = bs.find(b'endstream', e)
+            if e < 0:
+                return None
+            end = e
+            if bs[end - 1:end] == b'\n':
+                end -= 1
+                if bs[end - 1:end] == b'\r':
+                    end -= 1
+                payload = bs[b0:end]
+                try:
+                    payload = _zlib.decompress(payload)
+                except Exception:
+                    pass
+                return payload.decode('latin-1', errors='replace')
+            e += 1
+
+
+def _pdf_tf_events(text: str) -> list:
+    """[(position, font name)] of lexical ``/Name num Tf`` operators —
+    twin of _TF_RE."""
+    events = []
+    pos = 0
+    n = len(text)
+    while True:
+        i = text.find('/', pos)
+        if i < 0:
+            return events
+        j = i + 1
+        while j < n and not _pdf_name_delim(text[j]):
+            j += 1
+        if j == i + 1:
+            pos = i + 1
+            continue
+        name = text[i + 1:j]
+        k = j
+        while k < n and text[k].isspace():
+            k += 1
+        if k == j:
+            pos = i + 1
+            continue
+        if k < n and text[k] in '+-':
+            k += 1
+        d0 = k
+        while k < n and (text[k].isdigit() or text[k] == '.'):
+            k += 1
+        if k == d0:
+            pos = i + 1
+            continue
+        w = k
+        while w < n and text[w].isspace():
+            w += 1
+        if w == k or text[w:w + 2] != 'Tf':
+            pos = i + 1
+            continue
+        events.append((i, name))
+        pos = w + 2
+
+
+def _pdf_apply_cmap(s: str, cmap) -> str:
+    width, table = cmap
+    bs = s.encode('latin-1', errors='replace')
+    out = []
+    for i in range(0, len(bs) - len(bs) % width, width):
+        code = int.from_bytes(bs[i:i + width], 'big')
+        got = table.get(code)
+        if got is not None:
+            out.append(got)
+        elif width == 1:
+            out.append(chr(code))
+        else:
+            out.append('�')
+    return ''.join(out)
+
+
 def pdf_blocks(content) -> list:
     """[(stream_idx, block_idx, text)] — independent twin of
     core/pdftext.extract_pdf_blocks."""
     if content is None:
         return []
     out = []
+    cmaps = _pdf_font_cmaps(bytes(content))
     for si, text in enumerate(_pdf_streams(bytes(content))):
+        tfs = _pdf_tf_events(text) if cmaps else []
+
+        def recode(s, abs_pos):
+            if not cmaps:
+                return s
+            font = None
+            for tp, tn in tfs:
+                if tp < abs_pos:
+                    font = tn
+                else:
+                    break
+            cm = cmaps.get(font)
+            return _pdf_apply_cmap(s, cm) if cm else s
+
         bi = 0
         pos = 0
         while True:
@@ -555,7 +947,7 @@ def pdf_blocks(content) -> list:
                     opm = re.match(r"[^\s()<>\[\]{}/]+", block[k:k + 8])
                     op = opm.group(0) if opm else ''
                     if any(a <= i < bnd for a, bnd in spans) or op == 'Tj' or op == "'":
-                        shown.append(s)
+                        shown.append(recode(s, b + 2 + i))
                     i = hend + 1
                     continue
                 if block[i] != '(':
@@ -584,7 +976,7 @@ def pdf_blocks(content) -> list:
                 op = opm.group(0) if opm else ''
                 s = _pdf_unescape(''.join(buf))
                 if any(a <= start < bnd for a, bnd in spans) or op == 'Tj' or op == "'":
-                    shown.append(s)
+                    shown.append(recode(s, b + 2 + start))
                 i = j + 1
             bt = ''.join(shown)
             if bt:
