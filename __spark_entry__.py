@@ -303,6 +303,14 @@ def q_langid(spark, sf_dir):
     return langid(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals (one Arrow
+    pass, per-doc Counters — no (doc, gram) shuffle)."""
+    from markdown_articles_tool_spark.training.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+
+
 def q_fingerprint(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import fingerprint
 
@@ -381,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bpe_tokens': q_bpe_tokens,
         'token_stats': q_token_stats,
         'langid': q_langid,
+        'repetition_stats': q_repetition_stats,
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -604,6 +613,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        'repetition_stats': r"""
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      x -> trim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))),
+                       x -> x <> '') AS lines,
+                     list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, line, COUNT(*) AS c, LEN(line) AS chars
+              FROM (SELECT doc_id, unnest(lines) AS line FROM l)
+              GROUP BY doc_id, line
+            ), lagg AS (
+              SELECT doc_id,
+                     SUM(c) AS n_lines,
+                     SUM(c) - COUNT(*) AS n_dup_lines,
+                     SUM(chars * c) AS total_chars,
+                     SUM(CASE WHEN c > 1 THEN chars * c ELSE 0 END) AS dup_chars
+              FROM lc GROUP BY doc_id
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                    i -> words[i] || chr(0) || words[i + 1])) AS gram
+              FROM l WHERE len(words) >= 2
+            ), gc AS (
+              SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+            ), gagg AS (
+              SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM gc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(lagg.n_lines, 0) AS INT) AS n_lines,
+                   ROUND(CASE WHEN COALESCE(lagg.n_lines, 0) > 0
+                         THEN CAST(lagg.n_dup_lines AS DOUBLE) / lagg.n_lines
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN COALESCE(lagg.total_chars, 0) > 0
+                         THEN CAST(lagg.dup_chars AS DOUBLE) / lagg.total_chars
+                         ELSE 0.0 END, 6) AS dup_line_char_frac,
+                   ROUND(CASE WHEN gagg.tot IS NOT NULL
+                         THEN CAST(gagg.top AS DOUBLE) / gagg.tot
+                         ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN lagg ON d.doc_id = lagg.doc_id
+            LEFT JOIN gagg ON d.doc_id = gagg.doc_id
+            ORDER BY d.doc_id
         """,
         'ann_cosine_topk': """
             WITH q AS (

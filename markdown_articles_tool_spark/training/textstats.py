@@ -7,6 +7,7 @@ path) — each has an exact ANSI-SQL twin in ``__spark_entry__.oracle_sql``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # BPE-ish token regex: word runs OR single non-space punctuation
@@ -90,6 +91,78 @@ def langid(df: DataFrame, text_col: str = 'text') -> DataFrame:
 def _lang_rank(lang: str) -> int:
     # higher rank wins ties in array_max(struct) — invert lexicographic
     return {c: i for i, c in enumerate(sorted(LANG_MARKERS, reverse=True))}[lang]
+
+
+def repetition_stats(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality filters — the standard pretraining-data heuristics):
+
+    * ``dup_line_frac``       — repeated lines / total lines
+    * ``dup_line_char_frac``  — chars inside repeated lines / line chars
+    * ``top_bigram_frac``     — occurrences of the most frequent word
+      bigram / total bigram occurrences
+
+    Lines = '\\n'-split, ASCII-stripped (' \\t\\r\\v\\f'), empties
+    dropped; words = split on the explicit ASCII class
+    ``[ \\t\\n\\r\\f\\v]+`` (not python's unicode ``.split()`` — the
+    DuckDB twin must be byte-equivalent).  Per-document aggregation is
+    embarrassingly parallel, so it runs in ONE Arrow pass (pandas_udf
+    with per-doc Counters) — no (doc, gram) shuffle; grams never leave
+    the python worker.  Exact inline DuckDB twin in oracle_sql().
+    """
+    from collections import Counter
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    from .util import ensure_parallelism
+
+    schema = StructType([
+        StructField('n_lines', IntegerType()),
+        StructField('dup_line_frac', DoubleType()),
+        StructField('dup_line_char_frac', DoubleType()),
+        StructField('top_bigram_frac', DoubleType()),
+    ])
+
+    import re as _re
+
+    ws_split = _re.compile(r'[ \t\n\r\f\v]+').split
+
+    @pandas_udf(schema)
+    def rep_udf(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            lines = [x for x in (s.strip(' \t\r\v\f') for s in (t or '').split('\n')) if x]
+            n = len(lines)
+            if n:
+                counts = Counter(lines)
+                dup_line = (n - len(counts)) / n
+                total_chars = sum(len(x) for x in lines)
+                dup_chars = sum(len(x) * c for x, c in counts.items() if c > 1)
+                dup_char_frac = dup_chars / total_chars if total_chars else 0.0
+            else:
+                dup_line, dup_char_frac = 0.0, 0.0
+            words = [w for w in ws_split(t or '') if w]
+            if len(words) >= 2:
+                # NUL-joined (not tuples): matches the oracle's string
+                # gram key exactly, incl. pathological NUL-bearing words
+                grams = Counter(a + '\0' + b for a, b in zip(words, words[1:]))
+                top_bigram = max(grams.values()) / (len(words) - 1)
+            else:
+                top_bigram = 0.0
+            rows.append((n, round(dup_line, 6), round(dup_char_frac, 6), round(top_bigram, 6)))
+        return pd.DataFrame(rows, columns=['n_lines', 'dup_line_frac',
+                                           'dup_line_char_frac', 'top_bigram_frac'])
+
+    r = F.col('_r')
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias('doc_id'), rep_udf(F.col(text_col)).alias('_r'))
+        .select('doc_id', r['n_lines'].alias('n_lines'),
+                r['dup_line_frac'].alias('dup_line_frac'),
+                r['dup_line_char_frac'].alias('dup_line_char_frac'),
+                r['top_bigram_frac'].alias('top_bigram_frac'))
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:

@@ -50,6 +50,27 @@ class TestBpeOp:
         assert len(bpe.encode(text)) < len(text.encode()) * 0.6
 
 
+class TestRepetitionStats:
+    def test_planted_repetition(self, spark):
+        from markdown_articles_tool_spark.training.textstats import repetition_stats
+
+        docs = spark.createDataFrame([
+            (0, 'alpha beta\ngamma delta\nalpha beta\n\n  \n'),       # 1 of 3 lines repeated
+            (1, 'spam spam spam spam spam'),                           # one bigram everywhere
+            (2, 'all lines unique one\nall lines unique two'),
+            (3, ''),
+            (4, 'single'),
+        ], 'doc_id long, text string')
+        got = {r['doc_id']: r for r in repetition_stats(docs).collect()}
+        assert got[0]['n_lines'] == 3
+        assert got[0]['dup_line_frac'] == round(1 / 3, 6)
+        assert got[0]['dup_line_char_frac'] == round(20 / 31, 6)   # 'alpha beta' x2 chars of 31
+        assert got[1]['top_bigram_frac'] == 1.0                    # 'spam spam' is every bigram
+        assert got[2]['dup_line_frac'] == 0.0
+        assert got[3]['n_lines'] == 0 and got[3]['top_bigram_frac'] == 0.0
+        assert got[4]['top_bigram_frac'] == 0.0                    # < 2 words
+
+
 class TestExactDedup:
     def test_groups(self, spark, docs):
         res = {r['keep_id']: r['n_copies'] for r in dedup.exact_dedup(docs).collect()}
