@@ -222,8 +222,16 @@ def _u16(b: bytes) -> str:
 
 def parse_cmap(text: str):
     """bfchar/bfrange tables of one ToUnicode CMap (spec in the module
-    docstring).  Returns (code_bytes, table) or None when empty."""
-    table: dict = {}
+    docstring).  Returns (code_bytes, entries) or None when empty.
+
+    ``entries`` is an ordered list of ('d', dict) dict batches and
+    ('r', lo, hi, start, width) offset-range rules; lookup scans it in
+    REVERSE so the last-defined mapping wins — identical semantics to
+    materializing every range into one dict, but a 64k identity
+    bfrange (the common Identity-H ToUnicode) stays O(1) per document
+    instead of 65k dict inserts (the r4 bench regression: pdf_text
+    0.76 s → 6.9 s before this representation)."""
+    entries: list = []
     code_bytes = 0
 
     def src_width(b: bytes) -> int:
@@ -242,12 +250,15 @@ def parse_cmap(text: str):
             end = text.find('endbfchar', c)
             body = text[c + 11:end if end >= 0 else len(text)]
             toks = _HEX_TOKEN_RE.findall(body)
+            batch: dict = {}
             for i in range(0, len(toks) - 1, 2):
                 src = _hex_bytes(toks[i])
                 dst = _hex_bytes(toks[i + 1])
                 if src:
                     src_width(src)
-                    table[int.from_bytes(src, 'big')] = _u16(dst)
+                    batch[int.from_bytes(src, 'big')] = _u16(dst)
+            if batch:
+                entries.append(('d', batch))
             pos = (end + 9) if end >= 0 else len(text)
         else:
             end = text.find('endbfrange', r)
@@ -272,8 +283,10 @@ def parse_cmap(text: str):
                     arr = _HEX_TOKEN_RE.findall(body[k:close if close >= 0 else len(body)])
                     if lo_b and 0 <= hi - lo <= 65535:
                         src_width(lo_b)
-                        for i, d in enumerate(arr[:hi - lo + 1]):
-                            table[lo + i] = _u16(_hex_bytes(d))
+                        batch = {lo + i: _u16(_hex_bytes(d))
+                                 for i, d in enumerate(arr[:hi - lo + 1])}
+                        if batch:
+                            entries.append(('d', batch))
                     pos2 = (close + 1) if close >= 0 else len(body)
                 else:
                     m_dst = _HEX_TOKEN_RE.search(body, m_hi.end())
@@ -282,16 +295,28 @@ def parse_cmap(text: str):
                     dst_b = _hex_bytes(m_dst.group(1))
                     if lo_b and dst_b and 0 <= hi - lo <= 65535:
                         src_width(lo_b)
-                        start = int.from_bytes(dst_b, 'big')
-                        width = len(dst_b)
-                        mask = (1 << (8 * width)) - 1
-                        for i in range(hi - lo + 1):
-                            table[lo + i] = _u16(((start + i) & mask).to_bytes(width, 'big'))
+                        entries.append(
+                            ('r', lo, hi, int.from_bytes(dst_b, 'big'), len(dst_b))
+                        )
                     pos2 = m_dst.end()
             pos = (end + 10) if end >= 0 else len(text)
-    if not table or not code_bytes:
+    if not entries or not code_bytes:
         return None
-    return code_bytes, table
+    return code_bytes, entries
+
+
+def _cmap_lookup(entries: list, code: int):
+    for e in reversed(entries):
+        if e[0] == 'd':
+            got = e[1].get(code)
+            if got is not None:
+                return got
+        else:
+            _k, lo, hi, start, width = e
+            if lo <= code <= hi:
+                mask = (1 << (8 * width)) - 1
+                return _u16(((start + code - lo) & mask).to_bytes(width, 'big'))
+    return None
 
 
 def font_cmaps(data: bytes) -> dict:
@@ -332,12 +357,12 @@ def font_cmaps(data: bytes) -> dict:
 
 def apply_cmap(s: str, cmap: CMap) -> str:
     """Re-encode one shown string through a ToUnicode table."""
-    code_bytes, table = cmap
+    code_bytes, entries = cmap
     bs = s.encode('latin-1', errors='replace')
     out: List[str] = []
     for i in range(0, len(bs) - len(bs) % code_bytes, code_bytes):
         code = int.from_bytes(bs[i:i + code_bytes], 'big')
-        mapped = table.get(code)
+        mapped = _cmap_lookup(entries, code)
         if mapped is not None:
             out.append(mapped)
         elif code_bytes == 1:

@@ -549,8 +549,11 @@ def _pdf_hexb(digits: str) -> bytes:
 
 
 def _pdf_cmap_parse(text: str):
-    """(code_bytes, table) or None — twin of pdftext.parse_cmap."""
-    table: dict = {}
+    """(code_bytes, entries) or None — twin of pdftext.parse_cmap.
+    ``entries``: ordered ('d', dict) / ('r', lo, hi, start, width)
+    items; lookup scans reversed (last-defined wins) so identity-style
+    64k bfranges stay lazy (same representation rule as the engine)."""
+    entries: list = []
     width = 0
     pos = 0
     while True:
@@ -562,13 +565,16 @@ def _pdf_cmap_parse(text: str):
             end = text.find('endbfchar', c)
             stop = end if end >= 0 else len(text)
             toks = [t for t, _e in _pdf_hex_tokens(text, c + 11, stop)]
+            batch = {}
             for i in range(0, len(toks) - 1, 2):
                 src = _pdf_hexb(toks[i])
                 if src:
                     if not width:
                         width = len(src)
-                    table[int.from_bytes(src, 'big')] = _pdf_hexb(toks[i + 1]).decode(
+                    batch[int.from_bytes(src, 'big')] = _pdf_hexb(toks[i + 1]).decode(
                         'utf-16-be', errors='replace')
+            if batch:
+                entries.append(('d', batch))
             pos = (end + 9) if end >= 0 else len(text)
         else:
             end = text.find('endbfrange', r)
@@ -592,8 +598,12 @@ def _pdf_cmap_parse(text: str):
                     if lo_b and 0 <= hi - lo <= 65535:
                         if not width:
                             width = len(lo_b)
-                        for i, d in enumerate(arr[:hi - lo + 1]):
-                            table[lo + i] = _pdf_hexb(d).decode('utf-16-be', errors='replace')
+                        batch = {
+                            lo + i: _pdf_hexb(d).decode('utf-16-be', errors='replace')
+                            for i, d in enumerate(arr[:hi - lo + 1])
+                        }
+                        if batch:
+                            entries.append(('d', batch))
                     resume = (arr_stop + 1) if (0 <= close < stop) else stop
                     # skip consumed tokens: drop every token starting before resume
                     ti += 2
@@ -607,17 +617,12 @@ def _pdf_cmap_parse(text: str):
                     if lo_b and dst_b and 0 <= hi - lo <= 65535:
                         if not width:
                             width = len(lo_b)
-                        start_v = int.from_bytes(dst_b, 'big')
-                        w = len(dst_b)
-                        mask = (1 << (8 * w)) - 1
-                        for i in range(hi - lo + 1):
-                            table[lo + i] = (((start_v + i) & mask).to_bytes(w, 'big')).decode(
-                                'utf-16-be', errors='replace')
+                        entries.append(('r', lo, hi, int.from_bytes(dst_b, 'big'), len(dst_b)))
                     ti += 3
             pos = (end + 10) if end >= 0 else len(text)
-    if not table or not width:
+    if not entries or not width:
         return None
-    return width, table
+    return width, entries
 
 
 def _pdf_name_delim(ch: str) -> bool:
@@ -873,12 +878,24 @@ def _pdf_tf_events(text: str) -> list:
 
 
 def _pdf_apply_cmap(s: str, cmap) -> str:
-    width, table = cmap
+    width, entries = cmap
     bs = s.encode('latin-1', errors='replace')
     out = []
     for i in range(0, len(bs) - len(bs) % width, width):
         code = int.from_bytes(bs[i:i + width], 'big')
-        got = table.get(code)
+        got = None
+        for e in reversed(entries):
+            if e[0] == 'd':
+                got = e[1].get(code)
+                if got is not None:
+                    break
+            else:
+                _k, lo, hi, start, w = e
+                if lo <= code <= hi:
+                    mask = (1 << (8 * w)) - 1
+                    got = (((start + code - lo) & mask).to_bytes(w, 'big')).decode(
+                        'utf-16-be', errors='replace')
+                    break
         if got is not None:
             out.append(got)
         elif width == 1:
