@@ -7,10 +7,15 @@ subset extractor rather than a stub: it parses the page content
 streams of a PDF and recovers the text shown by the standard text
 operators.  Scope and limits (documented, not hidden):
 
-* streams: every ``stream ... endstream`` segment; FlateDecode
-  (zlib) is tried first, raw bytes used when decompression fails.
-  Other filters (LZW, DCT, CCITT) are out of scope — their streams
-  simply yield no text operators.
+* streams: every ``stream ... endstream`` segment.  Filter choice
+  (r4): the stream's own dict — the window from the last ``obj``
+  keyword before ``stream`` — is checked for ``/LZWDecode`` (decode
+  with the from-scratch TIFF-style LZW below, EarlyChange=1, raw on
+  error); otherwise FlateDecode (zlib) is tried, raw bytes used when
+  decompression fails.  LZW is never *guessed* — arbitrary bytes
+  usually form a locally-valid LZW prefix, so decoding it without the
+  dict marker would corrupt plain streams.  DCT/CCITT (image codecs)
+  stay out of scope — their streams yield no text operators.
 * text: inside ``BT ... ET`` text objects, the ``(string) Tj``,
   ``(string) '`` and ``[ ... ] TJ`` show operators, in stream order;
   TJ array numbers (kerning) are ignored.  Literal byte strings AND
@@ -70,6 +75,8 @@ _BT_RE = re.compile(r'BT(.*?)ET', re.DOTALL)
 
 
 def _iter_stream_payloads(data: bytes):
+    """(payload, lzw_flag) per stream; lzw_flag = '/LZWDecode' appears
+    in the stream's dict window (last 'obj' keyword → 'stream')."""
     pos = 0
     while True:
         m = _STREAM_START_RE.search(data, pos)
@@ -83,8 +90,50 @@ def _iter_stream_payloads(data: bytes):
             end -= 1
             if data[end - 1:end] == b'\r':
                 end -= 1
-            yield data[m.end():end]
+            w = data.rfind(b'obj', 0, m.start())
+            window = data[w if w >= 0 else 0:m.start()]
+            yield data[m.end():end], b'/LZWDecode' in window
         pos = e + 9
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-style LZW (PDF 32000-1 §7.4.4), EarlyChange=1: MSB-first
+    variable 9-12 bit codes, 256=clear, 257=EOD, code width bumps one
+    code early.  Raises ValueError on an invalid code."""
+    out = bytearray()
+    prefixes: List[bytes] = [bytes([i]) for i in range(256)] + [b'', b'']
+    table = list(prefixes)
+    width = 9
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = list(prefixes)
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < len(table) and code != 256 and code != 257:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError('invalid LZW code')
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            # EarlyChange=1: width bumps when the NEXT code would not fit
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 # a PDF literal string: ( with \-escapes, no nested-paren handling at
 # the regex level (nesting handled by the scanner below)
 _OCTAL_RE = re.compile(r'\\([0-7]{1,3})')
@@ -405,11 +454,17 @@ def extract_pdf_blocks(content) -> List[Tuple[int, int, str]]:
     data = bytes(content)
     cmaps = font_cmaps(data)
     out: List[Tuple[int, int, str]] = []
-    for si, raw in enumerate(_iter_stream_payloads(data)):
-        try:
-            raw = zlib.decompress(raw)
-        except Exception:
-            pass
+    for si, (raw, is_lzw) in enumerate(_iter_stream_payloads(data)):
+        if is_lzw:
+            try:
+                raw = lzw_decode(raw)
+            except Exception:
+                pass
+        else:
+            try:
+                raw = zlib.decompress(raw)
+            except Exception:
+                pass
         text = raw.decode('latin-1', errors='replace')
         tfs = [(m.start(), m.group(1)) for m in _TF_RE.finditer(text)] if cmaps else []
         bi = 0

@@ -241,6 +241,65 @@ def pages_pdf_iter(indices) -> Iterator[Tuple[str, datetime, bytes, str, str]]:
         yield doc_row(int(i))
 
 
+def lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF/PDF LZWDecode-compatible encoder (EarlyChange=1,
+    MSB-first 9-12 bit codes, leading clear, trailing EOD) — used to
+    synthesize /LZWDecode streams for the PDF extraction tier; the two
+    independent decoders (core/pdftext.lzw_decode and the oracle twin)
+    must both round-trip its output.  Emits a clear code when the
+    table approaches the 12-bit ceiling."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def fresh():
+        return {bytes([b]): b for b in range(256)}
+
+    emit(256)
+    table = fresh()
+    next_code = 258
+    w = b''
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder's table trails this one by one entry (it builds
+        # an entry only once it has a previous code), so the width bump
+        # fires at next_code == 2^width — one later than the decoder's
+        # len+1 >= 2^width early-change check, which is the same moment
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                # table ceiling: clear (the decoder made the same final
+                # append and resets on this code)
+                emit(256)
+                table = fresh()
+                next_code = 258
+                width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def doc_pdf(i: int) -> bytes:
     """Deterministic minimal PDF for document ``i``: 1-3 content
     streams (alternating raw / FlateDecode-compressed), each with a
@@ -267,10 +326,16 @@ def doc_pdf(i: int) -> bytes:
             f'BT 72 680 Td <{hex2}> Tj '
             f'[ <2d6d69782d> -200 (lit {i}-{s}) ] TJ ET\n'
         ).encode('latin-1', errors='replace')  # PDF simple strings are 8-bit
-        if (i + s) % 2:
+        # filter rotation: raw / Flate / raw / LZW (the /Filter marker
+        # drives the extractor's dict-window detection)
+        filt = ''
+        if (i + s) % 4 == 1:
             content = _zlib.compress(content)
+        elif (i + s) % 4 == 3:
+            content = lzw_encode(content)
+            filt = ' /Filter /LZWDecode'
         body += (
-            f'{4 + s} 0 obj\n<< /Length {len(content)} >>\nstream\n'.encode('latin-1')
+            f'{4 + s} 0 obj\n<< /Length {len(content)}{filt} >>\nstream\n'.encode('latin-1')
             + content + b'\nendstream\nendobj\n'
         )
     if i % 2 == 0:

@@ -209,7 +209,51 @@ class TestPdfText:
             b"stream\nBT <686F> ' ET\nendstream\n",
             b'stream\nBT <> Tj (x) Tj ET\nendstream\n',
             b'stream\nBT <4A4B> Td (dropped-hex-op) Tj ET\nendstream\n',
-        ] + self.tounicode_frags()
+        ] + self.tounicode_frags() + self.lzw_frags()
+
+    def test_lzw_roundtrip_and_decoders_agree(self):
+        """corpus.lzw_encode → both independent decoders (engine
+        per-byte accumulator vs twin whole-stream bit cursor) recover
+        the input, across width bumps and the 12-bit table-ceiling
+        clear; invalid streams raise in both."""
+        import random
+
+        from markdown_articles_tool_spark.core.pdftext import lzw_decode
+        from markdown_articles_tool_spark.corpus import lzw_encode
+
+        rng = random.Random(11)
+        cases = [b'', b'A', b'TOBEORNOTTOBEORTOBEORNOT', bytes(range(256)) * 2]
+        for n in (700, 760, 3000, 40000):
+            cases.append(bytes(rng.randrange(256) for _ in range(n)))
+            cases.append(bytes(rng.randrange(3) for _ in range(n)))
+        for d in cases:
+            enc = lzw_encode(d)
+            assert lzw_decode(enc) == d
+            assert ok._lzw_decode_twin(enc) == d
+        for bad in (b'\xff\xff\xff', b'\x7f\xff\x00'):
+            for dec in (lzw_decode, ok._lzw_decode_twin):
+                try:
+                    dec(bad)
+                except ValueError:
+                    pass
+
+    @staticmethod
+    def lzw_frags():
+        from markdown_articles_tool_spark.corpus import lzw_encode
+
+        payload = b'BT (lzw text here) Tj ET\nBT [ (a) -2 (b) ] TJ ET'
+        return [
+            b'1 0 obj\n<< /Filter /LZWDecode >>\nstream\n' + lzw_encode(payload)
+            + b'\nendstream\nendobj\n',
+            # marker present but stream is NOT lzw: raw fallback
+            b'1 0 obj\n<< /Filter /LZWDecode >>\nstream\n' + payload
+            + b'\nendstream\nendobj\n',
+            # no marker: lzw bytes stay undecoded (no guessing)
+            b'1 0 obj\n<< >>\nstream\n' + lzw_encode(payload) + b'\nendstream\nendobj\n',
+            # marker in a PREVIOUS object must not leak into this stream
+            b'1 0 obj\n<< /Filter /LZWDecode >>\nendobj\n2 0 obj\n<< >>\nstream\n'
+            + payload + b'\nendstream\nendobj\n',
+        ]
 
     @staticmethod
     def tounicode_frags():

@@ -397,9 +397,52 @@ def main_content_spans(blocks) -> list:
 # engine's regexes, and a table-free escape decoder.
 
 
+def _lzw_decode_twin(data: bytes) -> bytes:
+    """Independent TIFF-style LZW decoder (EarlyChange=1) — whole-
+    stream bit cursor over an int, vs the engine's per-byte
+    accumulator."""
+    big = int.from_bytes(data, 'big')
+    total = len(data) * 8
+    cursor = 0
+    width = 9
+    out = bytearray()
+    table: list = []
+    prev = None
+
+    def clear():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [None, None]
+        width = 9
+        prev = None
+
+    clear()
+    while cursor + width <= total:
+        code = (big >> (total - cursor - width)) & ((1 << width) - 1)
+        cursor += width
+        if code == 256:
+            clear()
+            continue
+        if code == 257:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError('invalid LZW code')
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
 def _pdf_streams(data: bytes) -> list:
-    """Stream payloads (between 'stream' EOL and EOL 'endstream'),
-    Flate-decompressed when possible."""
+    """Stream payloads (between 'stream' EOL and EOL 'endstream');
+    /LZWDecode in the dict window (last 'obj' before 'stream') → LZW,
+    else Flate tried, raw on failure."""
     import zlib as _zlib
 
     out = []
@@ -434,10 +477,17 @@ def _pdf_streams(data: bytes) -> list:
             pos = e + 9
             continue
         raw = data[body_start:body_end]
-        try:
-            raw = _zlib.decompress(raw)
-        except Exception:
-            pass
+        w = data.rfind(b'obj', 0, s)
+        if b'/LZWDecode' in data[w if w >= 0 else 0:s]:
+            try:
+                raw = _lzw_decode_twin(raw)
+            except Exception:
+                pass
+        else:
+            try:
+                raw = _zlib.decompress(raw)
+            except Exception:
+                pass
         out.append(raw.decode('latin-1', errors='replace'))
         pos = e + 9
     return out
