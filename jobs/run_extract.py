@@ -31,12 +31,48 @@ def main() -> None:
     ap.add_argument('--output', required=True)
     ap.add_argument('--spans', action='store_true')
     ap.add_argument('--stream', action='store_true')
+    ap.add_argument('--pdf', action='store_true',
+                    help="input is a (url, pdf binary) table: run the PDF/layout "
+                         "extraction tier (content streams, Flate/LZW filters, "
+                         "hex strings, ToUnicode CMaps) instead of the HTML strip")
+    ap.add_argument('--neardup-stream', action='store_true',
+                    help='incremental MinHash-band near-dup dedup over (url, text) '
+                         'pages: drains new files exactly-once, writes kept/dropped '
+                         'verdicts under out/verdicts')
     args = ap.parse_args()
 
     from markdown_articles_tool_spark.session import get_spark
 
     spark = get_spark(app_name='mats-extract')
 
+    if args.neardup_stream:
+        from markdown_articles_tool_spark.streaming.neardup_dedup import (
+            read_verdicts,
+            start_neardup_dedup,
+        )
+
+        start_neardup_dedup(spark, args.input, args.output)
+        kept = read_verdicts(spark, args.output).where('kept').count()
+        total = read_verdicts(spark, args.output).count()
+        print(f'near-dup stream drained: {kept}/{total} urls kept')
+        spark.stop()
+        return
+    if args.pdf:
+        from pyspark.sql import functions as F
+
+        from markdown_articles_tool_spark.operators.pdfextract import (
+            extract_pdf_spans,
+            extract_pdf_text,
+        )
+
+        pdfs = spark.read.parquet(args.input)
+        extract_pdf_text(pdfs).write.mode('overwrite').parquet(f'{args.output}/pdf_text')
+        if args.spans:
+            extract_pdf_spans(pdfs).write.mode('overwrite').parquet(f'{args.output}/pdf_spans')
+        n = spark.read.parquet(f'{args.output}/pdf_text').count()
+        print(f'extracted {n} pdfs')
+        spark.stop()
+        return
     if args.stream:
         from markdown_articles_tool_spark.streaming.incremental import (
             start_incremental_content_spans,
