@@ -156,6 +156,17 @@ def q_media_decode(spark, sf_dir):
     return decode_images(res.images_out).orderBy('path')
 
 
+def q_media_features(spark, sf_dir):
+    """Byte-histogram feature rows + entropy per media blob (the
+    deterministic stand-in for a real feature encoder; same plan
+    shape)."""
+    from markdown_articles_tool_spark.pipeline import transform_documents
+    from markdown_articles_tool_spark.training.multimodal import extract_features
+
+    res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
+    return extract_features(res.images_out).orderBy('path', 'bucket')
+
+
 def q_media_frames(spark, sf_dir):
     """Multimodal frame sampling over the images table: evenly-spaced
     fingerprinted byte windows per blob (decoder slots in behind the
@@ -376,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_images': q_corpus_images,
         'media_metadata': q_media_metadata,
         'media_decode': q_media_decode,
+        'media_features': q_media_features,
         'media_frames': q_media_frames,
         'pricing_summary': q_pricing_summary,
         'revenue_topk': q_revenue_topk,
@@ -465,6 +477,9 @@ def oracle_sql() -> dict[str, str]:
         'media_frames': _ref(
             'media_frames', 'path, frame_idx, frame_offset, frame_len, frame_sha16',
             _DOC_SKEY, 'path, frame_idx',
+        ),
+        'media_features': _ref(
+            'media_features', 'path, bucket, ratio, entropy', _DOC_SKEY, 'path, bucket'
         ),
         'minhash_candidates': _ref(
             'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'

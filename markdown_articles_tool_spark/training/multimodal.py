@@ -101,6 +101,51 @@ def sample_frames(
     return images.select(path_col, content_col).mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
+FEATURES_SCHEMA = 'path string, bucket int, ratio double, entropy double'
+
+
+def extract_features(images: DataFrame, path_col: str = 'real_path', content_col: str = 'content') -> DataFrame:
+    """Feature extraction over an opaque media binary column: a 16-bin
+    byte histogram (bin = byte >> 4) as per-bucket ratio rows, plus the
+    blob's byte entropy — the deterministic stand-in for a real
+    image/audio feature encoder (which slots into the same mapInPandas
+    pass and schema).
+
+    DETERMINISTIC SPEC (independent oracle twin:
+    tools/oracle_kernels.media_features_seq): ratio_b =
+    round(count_b / size, 6); entropy = round(-Σ p·log2(p), 6) folded
+    over the ROUNDED ratios in bucket order (so both implementations
+    accumulate identical floats); empty blobs emit 16 zero rows with
+    entropy 0.  One Arrow pass, 16 narrow rows per blob, bytes never
+    shuffled."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b''
+                if b:
+                    counts = np.bincount(
+                        np.frombuffer(b, dtype=np.uint8) >> 4, minlength=16
+                    )
+                    ratios = [round(int(c) / len(b), 6) for c in counts]
+                else:
+                    ratios = [0.0] * 16
+                ent = 0.0
+                for p in ratios:
+                    if p > 0:
+                        ent -= p * math.log2(p)
+                ent = round(ent, 6)
+                rows.extend((path, k, ratios[k], ent) for k in range(16))
+            yield pd.DataFrame(rows, columns=['path', 'bucket', 'ratio', 'entropy'])
+
+    return images.select(path_col, content_col).mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
 DECODED_SCHEMA = 'path string, width int, height int, n_channels int, decoder string'
 
 

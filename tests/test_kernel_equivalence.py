@@ -513,6 +513,34 @@ class TestExtraction:
         assert ox.filename_from_url('http://h/Caf%C3%A9 Pic.PNG', 'image/png') == 'cafc3a9-pic.png'
 
 
+class TestMediaFeatures:
+    def test_engine_matches_twin(self):
+        """numpy bincount histogram vs the twin's pure byte loop —
+        identical rounded ratios and sequential-fold entropy."""
+        import math
+
+        import numpy as np
+
+        blobs = [b'', b'\x00', b'\xff' * 100, bytes(range(256)) * 7,
+                 b'mixed bytes \x01\x80\xf0' * 33]
+        for b in blobs:
+            twin = ok.media_features_seq(b)
+            if b:
+                counts = np.bincount(np.frombuffer(b, dtype=np.uint8) >> 4, minlength=16)
+                ratios = [round(int(c) / len(b), 6) for c in counts]
+            else:
+                ratios = [0.0] * 16
+            ent = 0.0
+            for p in ratios:
+                if p > 0:
+                    ent -= p * math.log2(p)
+            ent = round(ent, 6)
+            assert twin == [(k, ratios[k], ent) for k in range(16)]
+        # goldens
+        assert ok.media_features_seq(b'\x00\x10')[:2] == [(0, 0.5, 1.0), (1, 0.5, 1.0)]
+        assert ok.media_features_seq(b'')[0] == (0, 0.0, 0.0)
+
+
 class TestSniff:
     def test_magic(self):
         from markdown_articles_tool_spark.training.multimodal import _sniff

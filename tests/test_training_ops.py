@@ -50,6 +50,39 @@ class TestBpeOp:
         assert len(bpe.encode(text)) < len(text.encode()) * 0.6
 
 
+class TestMediaFeatures:
+    def test_features_feed_the_ann_operators(self, spark):
+        """End-to-end multimodal → embedding → similarity: histogram
+        feature rows pivot into vectors that the ANN family consumes —
+        near-identical blobs are each other's top neighbor."""
+        from pyspark.sql import functions as F
+
+        from markdown_articles_tool_spark.training.multimodal import extract_features
+        from markdown_articles_tool_spark.training.similarity import cosine_topk
+
+        blobs = [(f'p{i}', bytes([i * 16 % 256, 255 - i]) * (40 + i)) for i in range(6)]
+        blobs.append(('p6', blobs[0][1] + b'\x01'))          # near-dup of p0
+        imgs = spark.createDataFrame(blobs, 'real_path string, content binary')
+        vecs = (
+            extract_features(imgs)
+            .groupBy('path')
+            .agg(F.array_sort(F.collect_list(F.struct('bucket', 'ratio'))).alias('s'))
+            .select(
+                F.monotonically_increasing_id().alias('_'),
+                'path',
+                F.transform('s', lambda x: x['ratio']).alias('embedding'),
+            )
+        )
+        idx = vecs.select('path').orderBy('path').collect()
+        ids = {r['path']: i for i, r in enumerate(idx)}
+        emb = vecs.select(
+            F.udf(lambda p: ids[p], 'long')('path').alias('vec_id'), 'embedding'
+        )
+        queries = spark.createDataFrame([(ids['p0'],)], 'query_id long')
+        top = cosine_topk(emb, queries, k=1).collect()
+        assert top[0]['neighbor_id'] == ids['p6']
+
+
 class TestRepetitionStats:
     def test_planted_repetition(self, spark):
         from markdown_articles_tool_spark.training.textstats import repetition_stats

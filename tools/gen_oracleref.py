@@ -119,6 +119,10 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
         )
         for k, off, ln, sha16 in sample_frames_seq(content):
             out['media_frames'].append((skey, path, k, off, ln, sha16))
+        from oracle_kernels import media_features_seq
+
+        for bucket, ratio, ent in media_features_seq(content):
+            out['media_features'].append((skey, path, bucket, ratio, ent))
 
 
 def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
@@ -370,6 +374,10 @@ SCHEMAS = {
     'media_metadata': pa.schema(
         [('skey', pa.int64()), ('path', pa.string()), ('size_bytes', pa.int64()),
          ('magic', pa.string()), ('media_type', pa.string()), ('fake_checksum', pa.string())]
+    ),
+    'media_features': pa.schema(
+        [('skey', pa.int64()), ('path', pa.string()), ('bucket', pa.int32()),
+         ('ratio', pa.float64()), ('entropy', pa.float64())]
     ),
     'media_frames': pa.schema(
         [('skey', pa.int64()), ('path', pa.string()), ('frame_idx', pa.int32()),

@@ -1127,6 +1127,25 @@ _MAGIC = [
 ]
 
 
+def media_features_seq(content: bytes) -> list:
+    """Independent twin of training/multimodal.extract_features: pure
+    byte loop histogram vs the engine's numpy bincount.  Returns
+    [(bucket, ratio, entropy)] — 16 rows."""
+    import math
+
+    counts = [0] * 16
+    for byte in content:
+        counts[byte >> 4] += 1
+    n = len(content)
+    ratios = [round(c / n, 6) if n else 0.0 for c in counts]
+    ent = 0.0
+    for p in ratios:
+        if p > 0:
+            ent -= p * math.log2(p)
+    ent = round(ent, 6)
+    return [(k, ratios[k], ent) for k in range(16)]
+
+
 def sniff_magic(content: bytes):
     for magic, name, mtype in _MAGIC:
         if content[: len(magic)] == magic:
