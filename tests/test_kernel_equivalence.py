@@ -643,3 +643,23 @@ class TestPropertyEquivalence:
                 return (type(e).__name__, None)
 
         assert call(ww.filename_from_url) == call(ox.filename_from_url)
+
+    @given(st.lists(_md_soup, min_size=1, max_size=4))
+    @settings(max_examples=120, deadline=None)
+    def test_full_transform_oracles_agree_on_soup(self, texts):
+        """Whole-corpus transform on random markdown soup: the engine
+        oracle and the independent oracle produce identical rewritten
+        texts AND image stores — fuzzes the complete fold (resolve,
+        MIME gate, fetch model, dedup state, paths, ordered rewrite),
+        not just the extraction kernels."""
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+        from markdown_articles_tool_spark.oracle import ReferenceOracle
+
+        docs = [(f'https://h{i}.example/d/x{i}.md', t) for i, t in enumerate(texts)]
+        cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+        store = corpus.ModelAssetStore()
+        eng = ReferenceOracle(cfg, store).run(docs)
+        twin = ox.IndependentOracle(cfg, store).run(docs)
+        assert eng.texts == twin.texts
+        assert eng.images == twin.images
