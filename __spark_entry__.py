@@ -280,6 +280,14 @@ def q_minhash_candidates(spark, sf_dir):
     return minhash_lsh_candidates(_t(spark, sf_dir, 'documents')).orderBy('a_id', 'b_id')
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Cross-document duplicated-span detection via robust winnowing
+    fingerprints (the decontamination / train-test-overlap primitive)."""
+    from markdown_articles_tool_spark.training.dedup import winnow_duplicate_pairs
+
+    return winnow_duplicate_pairs(_t(spark, sf_dir, 'documents')).orderBy('a_id', 'b_id')
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Corpus dedup decision: MinHash-LSH candidates → exact Jaccard
     verify → connected components → deterministic representative."""
@@ -396,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_adjacent': q_ngram_jaccard_adjacent,
         'minhash_candidates': q_minhash_candidates,
+        'winnow_pairs': q_winnow_pairs,
         'neardup_clusters': q_neardup_clusters,
         'simhash_neardup': q_simhash_neardup,
         'bpe_tokens': q_bpe_tokens,
@@ -483,6 +492,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         'minhash_candidates': _ref(
             'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'
+        ),
+        'winnow_pairs': _ref(
+            'winnow_pairs', 'a_id, b_id, n_shared', _DOC_SKEY, 'a_id, b_id'
         ),
         'neardup_clusters': _ref('neardup_clusters', 'doc_id, cluster_rep', _DOC_SKEY, 'doc_id'),
         'simhash_neardup': _ref('simhash_neardup', 'a_id, b_id, hamming', _DOC_SKEY, 'a_id, b_id'),

@@ -148,6 +148,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'exact_dedup',
         'ngram_jaccard_adjacent',
         'minhash_candidates',
+        'winnow_pairs',
         'neardup_clusters',
         'simhash_neardup',
         'bpe_tokens',

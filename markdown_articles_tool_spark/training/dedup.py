@@ -131,17 +131,16 @@ def _minhash_params(k: int) -> List[tuple]:
 _POLY_B = 0x100000001B3  # FNV-ish odd multiplier for the rolling poly hash
 
 
-def _shingle_hashes(t: str, shingle: int):
-    """Distinct 64-bit hashes of the char ``shingle``-grams of the
+def _window_hashes(t: str, shingle: int):
+    """POSITIONAL 64-bit hashes of the char ``shingle``-grams of the
     whitespace-normalized, lowercased text — fully numpy-vectorized
     (no per-shingle Python loop: the r01 per-shingle blake2b loop was
     the CPU hog of the whole minhash stage).
 
     Scheme: codepoint array → sliding windows → polynomial hash with
-    wraparound uint64 arithmetic → splitmix64 finalizer for mixing →
-    ``np.unique`` for the distinct-shingle set.  Private sketch, not a
-    contract — any well-mixed 64-bit hash gives the same MinHash
-    guarantees.
+    wraparound uint64 arithmetic → splitmix64 finalizer for mixing.
+    Private sketch, not a contract — any well-mixed 64-bit hash gives
+    the same MinHash/winnowing guarantees.
     """
     import numpy as np
 
@@ -167,7 +166,14 @@ def _shingle_hashes(t: str, shingle: int):
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     z = z ^ (z >> np.uint64(31))
-    return np.unique(z)
+    return z
+
+
+def _shingle_hashes(t: str, shingle: int):
+    """Distinct shingle hashes (the MinHash input set)."""
+    import numpy as np
+
+    return np.unique(_window_hashes(t, shingle))
 
 
 def minhash_signature(t: str, k: int = 64, shingle: int = 5, _params=None):
@@ -246,6 +252,91 @@ def minhash_near_duplicates(
     cand = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **kw).select('a_id', 'b_id')
     verified = jaccard_pairs(df, cand, n=3, id_col=id_col, text_col=text_col)
     return verified.where(F.col('jaccard') >= threshold)
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def winnow_select(hs, w: int = 16):
+    """Robust winnowing (Schleimer/Wilkerson/Aiken 2003 §3) over a
+    positional hash sequence: for each window of ``w`` consecutive
+    k-gram hashes select the minimum (RIGHTMOST on ties); the
+    fingerprint set is the distinct selected hashes.  Guarantees any
+    shared substring of length >= k + w - 1 chars contributes at least
+    one shared fingerprint.  Fewer than ``w`` hashes → one window over
+    all of them.  numpy-vectorized; signed-int64 output."""
+    import numpy as np
+
+    n = len(hs)
+    if n == 0:
+        return []
+    if n <= w:
+        win = hs[None, :]
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(hs, w)
+    # rightmost argmin: argmin of the reversed window is leftmost-in-
+    # reverse == rightmost-in-forward
+    rev = win[:, ::-1]
+    j = rev.argmin(axis=1)
+    pos = np.arange(len(win)) + (win.shape[1] - 1) - j
+    sel = np.unique(hs[np.unique(pos)])
+    return [int(x) for x in sel.astype(np.int64)]
+
+
+def winnow_fingerprints(t: str, k: int = 25, w: int = 16):
+    """Distinct winnowing fingerprints of one document (k-char grams,
+    window w) — sorted signed int64 list."""
+    return winnow_select(_window_hashes(t, k), w)
+
+
+def make_winnow_udf(k: int = 25, w: int = 16):
+    @pandas_udf(ArrayType(LongType()))
+    def winnow_udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: winnow_fingerprints(t, k, w))
+
+    return winnow_udf
+
+
+def winnow_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 25,
+    w: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the decontamination /
+    train-test-overlap primitive): documents sharing any substring of
+    >= k+w-1 chars share winnowing fingerprints; pairs are counted per
+    shared distinct fingerprint.
+
+    Scale shape: one Arrow pass computes per-doc fingerprints; the
+    inverted index is an equi-join on the 64-bit fingerprint — narrow
+    rows, AQE-splittable.  Fingerprints appearing in more than
+    ``max_bucket`` documents are DROPPED before pairing (boilerplate
+    stop-grams — standard winnowing practice; without the cap one
+    ubiquitous footer gram would emit O(N^2) pairs).  Returns
+    (a_id, b_id, n_shared) with a_id < b_id.
+    """
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    fps = df.select(
+        F.col(id_col).alias('doc_id'),
+        F.explode(make_winnow_udf(k, w)(F.col(text_col))).alias('fp'),
+    )
+    light = fps.groupBy('fp').count().where(F.col('count') <= max_bucket).select('fp')
+    fps = fps.join(light, 'fp')
+    a = fps.selectExpr('doc_id as a_id', 'fp')
+    b = fps.selectExpr('doc_id as b_id', 'fp')
+    return (
+        a.join(b, 'fp')
+        .where(F.col('a_id') < F.col('b_id'))
+        .groupBy('a_id', 'b_id')
+        .agg(F.count(F.lit(1)).alias('n_shared'))
+    )
 
 
 # -------------------------------------------------------------- simhash

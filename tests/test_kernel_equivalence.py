@@ -75,6 +75,26 @@ class TestTextKernels:
         assert ok.simhash64('the quick brown fox') == 202806156967688757
         assert ok.simhash64('') == 0
 
+    @pytest.mark.parametrize('t', TEXTS)
+    def test_winnow_fingerprints(self, t):
+        assert set(D.winnow_fingerprints(t or '', 25, 16)) == ok.winnow_fingerprint_set(t or '', 25, 16)
+        assert set(D.winnow_fingerprints(t or '', 5, 4)) == ok.winnow_fingerprint_set(t or '', 5, 4)
+
+    def test_winnow_guarantee_and_ties(self):
+        """Winnowing guarantee: any shared substring of >= k+w-1 chars
+        yields >= 1 shared fingerprint; rightmost-tie selection agrees
+        between the numpy reversed-argmin and the scan twin on
+        repetitive (tie-heavy) inputs."""
+        shared = 'this exact span of text is long enough to fingerprint reliably'
+        a = 'prefix one two three ' + shared + ' suffix alpha'
+        b = 'completely different lead-in ' + shared + ' other tail'
+        fa, fb = set(D.winnow_fingerprints(a)), set(D.winnow_fingerprints(b))
+        assert fa & fb
+        assert not (set(D.winnow_fingerprints('nothing in common here at all qqq'))
+                    & set(D.winnow_fingerprints('zzz totally unrelated content')))
+        for rep in ('ab' * 200, 'x' * 500, 'abcabcabc' * 40):
+            assert set(D.winnow_fingerprints(rep, 5, 8)) == ok.winnow_fingerprint_set(rep, 5, 8)
+
 
 class TestEmbeddingKernels:
     @pytest.fixture(scope='class')

@@ -50,6 +50,31 @@ class TestBpeOp:
         assert len(bpe.encode(text)) < len(text.encode()) * 0.6
 
 
+class TestWinnowPairs:
+    def test_planted_shared_span(self, spark):
+        """Two docs sharing one long span are paired; unrelated docs are
+        not; a boilerplate span present in MANY docs is stop-gram
+        dropped by the bucket cap."""
+        from markdown_articles_tool_spark.training.dedup import winnow_duplicate_pairs
+
+        span = ('a distinctive duplicated passage that exceeds the winnowing '
+                'guarantee length k plus w minus one by a comfortable margin')
+        boiler = 'shared footer boilerplate appearing on absolutely every page here'
+        rows = [(0, f'first document intro. {span} first tail. {boiler}'),
+                (1, f'second document lead. {span} second ending. {boiler}'),
+                (2, f'third unrelated text about completely other topics. {boiler}')]
+        # many extra docs carrying ONLY the boilerplate → its fingerprints
+        # exceed the bucket cap and stop linking documents
+        rows += [(10 + i, f'filler number {i} with nothing shared. {boiler}') for i in range(60)]
+        docs = spark.createDataFrame(rows, 'doc_id long, text string')
+        pairs = {(r['a_id'], r['b_id']): r['n_shared']
+                 for r in winnow_duplicate_pairs(docs, max_bucket=10).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+        assert not any(2 in p for p in pairs)
+        # boilerplate-only links are gone: no filler-filler pair floods
+        assert not any(a >= 10 and b >= 10 for a, b in pairs)
+
+
 class TestMediaFeatures:
     def test_features_feed_the_ann_operators(self, spark):
         """End-to-end multimodal → embedding → similarity: histogram

@@ -194,6 +194,31 @@ def gen_minhash(sf_dir: str, skey: int, out: dict, k=64, bands=16, shingle=5) ->
         out['minhash_candidates'].append((skey, a, b, c))
 
 
+def gen_winnow(sf_dir: str, skey: int, out: dict, k=25, w=16, max_bucket=50) -> None:
+    """Sequential winnowing-pairs twin: per-doc fingerprint sets
+    (oracle_kernels.winnow_fingerprint_set), inverted index, fps in
+    more than ``max_bucket`` docs dropped, shared-fp counts per pair."""
+    from oracle_kernels import winnow_fingerprint_set
+
+    t = _read(sf_dir, 'documents')
+    ids = t['doc_id'].to_pylist()
+    texts = t['text'].to_pylist()
+    index = defaultdict(list)
+    for doc_id, text in zip(ids, texts):
+        for fp in winnow_fingerprint_set(text, k, w):
+            index[fp].append(doc_id)
+    counts = defaultdict(int)
+    for members in index.values():
+        if len(members) > max_bucket:
+            continue
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                counts[(members[i], members[j])] += 1
+    for (a, b), c in sorted(counts.items()):
+        out['winnow_pairs'].append((skey, a, b, c))
+
+
 def gen_neardup_clusters(
     sf_dir: str, skey: int, out: dict, threshold=0.8, k=64, bands=16, shingle=5, n=3
 ) -> None:
@@ -405,6 +430,10 @@ SCHEMAS = {
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
          ('n_bands_matched', pa.int64())]
     ),
+    'winnow_pairs': pa.schema(
+        [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64()),
+         ('n_shared', pa.int64())]
+    ),
     'neardup_clusters': pa.schema(
         [('skey', pa.int64()), ('doc_id', pa.int64()), ('cluster_rep', pa.int64())]
     ),
@@ -440,6 +469,7 @@ def main() -> None:
         gen_main_content(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
+        gen_winnow(sf_dir, dk, out)
         gen_neardup_clusters(sf_dir, dk, out)
         gen_simhash(sf_dir, dk, out)
         gen_bpe(sf_dir, dk, out)

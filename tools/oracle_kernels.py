@@ -93,6 +93,50 @@ def shingle_hash_set(t: str, shingle: int = 5) -> set:
     return out
 
 
+def window_hash_list(t: str, shingle: int = 25) -> list:
+    """POSITIONAL shingle hashes (same scheme as shingle_hash_set,
+    order preserved, duplicates kept) — the winnowing input."""
+    t = ' '.join((t or '').lower().split())
+    if not t:
+        return []
+    cp = [ord(c) for c in t]
+    n = min(len(cp), shingle)
+    windows = [cp] if len(cp) <= shingle else [
+        cp[i:i + shingle] for i in range(len(cp) - shingle + 1)
+    ]
+    out = []
+    for win in windows:
+        h = 0
+        for c in win[:n]:
+            h = (h * _POLY_B + c) & _M64
+        out.append(_splitmix64(h))
+    return out
+
+
+def winnow_fingerprint_set(t: str, k: int = 25, w: int = 16) -> set:
+    """Independent twin of training/dedup.winnow_fingerprints: explicit
+    per-window min scan with rightmost tie-break, pure-Python big ints
+    vs the engine's reversed-argmin numpy trick.  Returns the distinct
+    selected hashes as SIGNED int64."""
+    hs = window_hash_list(t, k)
+    if not hs:
+        return set()
+    n = len(hs)
+    width = n if n <= w else w
+    picked = set()
+    for i in range(n - width + 1):
+        best = i
+        for j in range(i, i + width):
+            if hs[j] <= hs[best]:
+                best = j          # <= keeps the RIGHTMOST minimum
+        picked.add(best)
+    out = set()
+    for p in picked:
+        v = hs[p]
+        out.add(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
 def minhash_params(k: int) -> List[tuple]:
     return [
         (1 + hash64(f'mh-a-{i}') % (_MERSENNE - 1), hash64(f'mh-b-{i}') % _MERSENNE)
