@@ -65,6 +65,16 @@ def main() -> None:
             extract_pdf_text,
         )
 
+        if args.stream:
+            from markdown_articles_tool_spark.streaming.incremental import (
+                start_incremental_pdf_text,
+            )
+
+            q = start_incremental_pdf_text(spark, args.input, args.output)
+            q.awaitTermination()
+            print('pdf stream drained')
+            spark.stop()
+            return
         pdfs = spark.read.parquet(args.input)
         extract_pdf_text(pdfs).write.mode('overwrite').parquet(f'{args.output}/pdf_text')
         if args.spans:

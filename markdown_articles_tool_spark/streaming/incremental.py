@@ -89,6 +89,32 @@ def start_incremental_main_content(
     return writer.start()
 
 
+def start_incremental_pdf_text(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming PDF/layout extraction over a landing (url, pdf binary)
+    directory: same native stateless-mapInPandas shape as the
+    main-content stream — exactly-once per file, no shuffle, no state
+    store; the full parser (Flate/LZW filters, hex strings, ToUnicode
+    CMaps) runs per micro-batch."""
+    from ..operators.pdfextract import extract_pdf_text
+
+    stream = spark.readStream.schema(corpus.PDFS_SCHEMA).parquet(input_dir)
+    writer = (
+        extract_pdf_text(stream)
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'pdf_text'))
+        .option('checkpointLocation', os.path.join(output_dir, '_pdf_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_content_spans(
     spark: SparkSession,
     input_dir: str,

@@ -74,6 +74,34 @@ class TestStreamingIngest:
         q2.awaitTermination(240)
         assert spark.read.parquet(os.path.join(out_dir, 'docs')).count() == 18
 
+    def test_streaming_pdf_text_native_and_delta_only(self, spark, tmp_path):
+        """PDF extraction as a native streaming transform: availableNow
+        drains the backlog exactly once, a second start processes only
+        new files, rows match the batch kernel byte-for-byte (incl.
+        Flate/LZW/ToUnicode docs)."""
+        from markdown_articles_tool_spark.core import pdftext as P
+        from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_pdf_text,
+        )
+
+        in_dir = str(tmp_path / 'in')
+        out_dir = str(tmp_path / 'out')
+        rows0 = [(corpus.doc_url(i), corpus.doc_pdf(i)) for i in range(8)]
+        spark.createDataFrame(rows0, corpus.PDFS_SCHEMA).write.mode('overwrite').parquet(in_dir)
+        q = start_incremental_pdf_text(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        got = {r['url']: r['text'] for r in spark.read.parquet(
+            os.path.join(out_dir, 'pdf_text')).collect()}
+        assert len(got) == 8
+        for i in range(8):
+            assert got[corpus.doc_url(i)] == P.pdf_text(P.extract_pdf_blocks(corpus.doc_pdf(i)))
+
+        rows1 = [(corpus.doc_url(i), corpus.doc_pdf(i)) for i in range(8, 12)]
+        spark.createDataFrame(rows1, corpus.PDFS_SCHEMA).write.mode('append').parquet(in_dir)
+        q2 = start_incremental_pdf_text(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        assert spark.read.parquet(os.path.join(out_dir, 'pdf_text')).count() == 12
+
     def test_streaming_main_content_native_and_delta_only(self, spark, tmp_path):
         """Main-content extraction runs as a NATIVE streaming transform
         (no foreachBatch): availableNow drains the backlog exactly
