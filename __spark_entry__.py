@@ -260,6 +260,28 @@ def q_url_algebra(spark, sf_dir):
     )
 
 
+def q_host_stats(spark, sf_dir):
+    """Crawl frontier analytics over the pages table: per-host page
+    counts, mean body size, language mix — pure Column algebra with a
+    narrow groupBy on the extracted host (the hot-host skew the fetch
+    stage salts against is visible here)."""
+    from markdown_articles_tool_spark.corpus import pages_df
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    host = F.regexp_extract('url', r'^[a-zA-Z]+://([^/]+)', 1)
+    return (
+        pages.groupBy(host.alias('host'))
+        .agg(
+            F.count(F.lit(1)).alias('n_pages'),
+            F.sum(F.length('text')).alias('text_chars'),
+            F.sum(F.when(F.col('lang') == 'en', 1).otherwise(0)).alias('n_en'),
+            F.min(F.unix_timestamp('warc_ts')).alias('first_epoch'),
+            F.max(F.unix_timestamp('warc_ts')).alias('last_epoch'),
+        )
+        .orderBy('host')
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     from markdown_articles_tool_spark.training.dedup import exact_dedup
 
@@ -401,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'revenue_topk': q_revenue_topk,
         'events_sessionize': q_events_sessionize,
         'url_algebra': q_url_algebra,
+        'host_stats': q_host_stats,
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_adjacent': q_ngram_jaccard_adjacent,
         'minhash_candidates': q_minhash_candidates,
@@ -489,6 +512,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         'media_features': _ref(
             'media_features', 'path, bucket, ratio, entropy', _DOC_SKEY, 'path, bucket'
+        ),
+        'host_stats': _ref(
+            'host_stats', 'host, n_pages, text_chars, n_en, first_epoch, last_epoch',
+            _DOC_SKEY, 'host',
         ),
         'minhash_candidates': _ref(
             'minhash_candidates', 'a_id, b_id, n_bands_matched', _DOC_SKEY, 'a_id, b_id'

@@ -125,6 +125,30 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
             out['media_features'].append((skey, path, bucket, ratio, ent))
 
 
+def gen_host_stats(sf_dir: str, skey: int, out: dict) -> None:
+    """Sequential host aggregation over the synthetic pages corpus
+    (plain dict fold over the input model; warc_ts = 1_600_000_000+i
+    by construction, corpus.doc_row)."""
+    import re as _re
+
+    n = _corpus_n(sf_dir)
+    langs = ('en', 'ru', 'de')
+    agg: dict = {}
+    for i in range(n):
+        url = corpus.doc_url(i)
+        host = _re.match(r'^[a-zA-Z]+://([^/]+)', url).group(1)
+        a = agg.setdefault(host, [0, 0, 0, None, None])
+        a[0] += 1
+        a[1] += len(corpus.doc_text(i))
+        a[2] += 1 if langs[i % 3] == 'en' else 0
+        ts = 1_600_000_000 + i
+        a[3] = ts if a[3] is None else min(a[3], ts)
+        a[4] = ts if a[4] is None else max(a[4], ts)
+    for host in sorted(agg):
+        c, chars, en, lo, hi = agg[host]
+        out['host_stats'].append((skey, host, c, chars, en, lo, hi))
+
+
 def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
     """Sequential twin of operators/maincontent.py over the pages
     table — computed with the INDEPENDENT kernel (oracle_kernels
@@ -409,6 +433,11 @@ SCHEMAS = {
          ('frame_offset', pa.int64()), ('frame_len', pa.int32()),
          ('frame_sha16', pa.string())]
     ),
+    'host_stats': pa.schema(
+        [('skey', pa.int64()), ('host', pa.string()), ('n_pages', pa.int64()),
+         ('text_chars', pa.int64()), ('n_en', pa.int64()),
+         ('first_epoch', pa.int64()), ('last_epoch', pa.int64())]
+    ),
     'main_content': pa.schema(
         [('skey', pa.int64()), ('url', pa.string()), ('main_sha', pa.string()),
          ('n_blocks', pa.int32()), ('n_kept', pa.int32())]
@@ -466,6 +495,7 @@ def main() -> None:
         dk, ek = doc_skey(sf_dir), emb_skey(sf_dir)
         print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
         gen_corpus(sf_dir, dk, out)
+        gen_host_stats(sf_dir, dk, out)
         gen_main_content(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
