@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import html as _html
 import re
-from typing import Iterator, List
+from typing import List
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F

@@ -10,7 +10,6 @@ implementation.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import pandas as pd
 from pyspark.sql import functions as F
