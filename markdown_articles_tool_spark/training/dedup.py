@@ -312,13 +312,17 @@ def winnow_duplicate_pairs(
     >= k+w-1 chars share winnowing fingerprints; pairs are counted per
     shared distinct fingerprint.
 
-    Scale shape: one Arrow pass computes per-doc fingerprints; the
-    inverted index is an equi-join on the 64-bit fingerprint — narrow
-    rows, AQE-splittable.  Fingerprints appearing in more than
-    ``max_bucket`` documents are DROPPED before pairing (boilerplate
-    stop-grams — standard winnowing practice; without the cap one
-    ubiquitous footer gram would emit O(N^2) pairs).  Returns
-    (a_id, b_id, n_shared) with a_id < b_id.
+    Scale shape: one Arrow pass computes per-doc fingerprints, then ONE
+    groupBy(fp) builds the inverted-index buckets (collect_list is
+    bounded by the cap) and pairs expand from each bucket array with
+    pure Column algebra — the fingerprint UDF is consumed exactly once
+    (a self-join formulation evaluated it 4x) and the narrow
+    (doc_id, fp) rows shuffle once.  Fingerprints appearing in more
+    than ``max_bucket`` documents are DROPPED before pairing
+    (boilerplate stop-grams — standard winnowing practice; without the
+    cap one ubiquitous footer gram would emit O(N^2) pairs and an
+    unbounded collect_list).  Returns (a_id, b_id, n_shared) with
+    a_id < b_id.
     """
     from .util import ensure_parallelism
 
@@ -327,13 +331,28 @@ def winnow_duplicate_pairs(
         F.col(id_col).alias('doc_id'),
         F.explode(make_winnow_udf(k, w)(F.col(text_col))).alias('fp'),
     )
-    light = fps.groupBy('fp').count().where(F.col('count') <= max_bucket).select('fp')
-    fps = fps.join(light, 'fp')
-    a = fps.selectExpr('doc_id as a_id', 'fp')
-    b = fps.selectExpr('doc_id as b_id', 'fp')
+    buckets = (
+        fps.groupBy('fp')
+        .agg(F.collect_list('doc_id').alias('docs'))
+        .where((F.size('docs') >= 2) & (F.size('docs') <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        'docs',
+                        lambda a: F.transform(
+                            'docs', lambda b: F.struct(a.alias('a_id'), b.alias('b_id'))
+                        ),
+                    )
+                ),
+                lambda p: p['a_id'] < p['b_id'],
+            )
+        ).alias('p')
+    )
     return (
-        a.join(b, 'fp')
-        .where(F.col('a_id') < F.col('b_id'))
+        pairs.select('p.a_id', 'p.b_id')
         .groupBy('a_id', 'b_id')
         .agg(F.count(F.lit(1)).alias('n_shared'))
     )

@@ -148,6 +148,25 @@ class TestExactDedupPlan:
             )
 
 
+class TestWinnowPlan:
+    def test_fingerprint_udf_evaluated_once(self, spark):
+        """The bucket-pairing formulation consumes the fingerprint UDF
+        exactly once — the self-join version evaluated it 4x (the same
+        per-consumer fan-out class as the r2 extraction regression)."""
+        from markdown_articles_tool_spark.training.dedup import winnow_duplicate_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f'document number {i} body text') for i in range(12)],
+            'doc_id long, text string',
+        )
+        jdf = winnow_duplicate_pairs(docs)._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        assert len(re.findall(r'ArrowEvalPython', plan_str)) <= 2, plan_str
+        assert len(re.findall(r'\(\d+\) Exchange', plan_str)) <= 2
+        assert 'CartesianProduct' not in plan_str
+
+
 class TestPdfExtractPlan:
     def test_pruned_scan_no_shuffle_and_kernel_match(self, spark, tmp_path_factory):
         from markdown_articles_tool_spark.core import pdftext as P
