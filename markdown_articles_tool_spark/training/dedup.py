@@ -231,11 +231,17 @@ def minhash_lsh_candidates(
             )
         ).alias('band', 'band_hash'),
     )
-    left = banded.selectExpr('doc_id as a_id', 'band', 'band_hash')
-    right = banded.selectExpr('doc_id as b_id', 'band', 'band_hash')
+    # bucket-pairing: ONE groupBy builds each (band, band_hash) bucket
+    # and pairs expand from the bucket array in Column algebra — a
+    # band self-join consumed `banded` twice and re-ran the signature
+    # UDF per side (r4 plan audit); this shape evaluates it once and
+    # shuffles the narrow band rows once
     return (
-        left.join(right, on=['band', 'band_hash'])
-        .where(F.col('a_id') < F.col('b_id'))
+        banded.groupBy('band', 'band_hash')
+        .agg(F.collect_list('doc_id').alias('docs'))
+        .where(F.size('docs') >= 2)
+        .select(F.explode(_array_pairs(F.col('docs'))).alias('p'))
+        .select('p.a_id', 'p.b_id')
         .groupBy('a_id', 'b_id')
         .agg(F.count(F.lit(1)).alias('n_bands_matched'))
     )
@@ -252,6 +258,23 @@ def minhash_near_duplicates(
     cand = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **kw).select('a_id', 'b_id')
     verified = jaccard_pairs(df, cand, n=3, id_col=id_col, text_col=text_col)
     return verified.where(F.col('jaccard') >= threshold)
+
+
+def _array_pairs(docs):
+    """All (a_id, b_id) with a_id < b_id from an id array — pure Column
+    algebra (nested transform → flatten → filter), used by the bucket-
+    pairing dedup shapes so each sketch UDF is consumed exactly once."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                docs,
+                lambda a: F.transform(
+                    docs, lambda b: F.struct(a.alias('a_id'), b.alias('b_id'))
+                ),
+            )
+        ),
+        lambda p: p['a_id'] < p['b_id'],
+    )
 
 
 # ------------------------------------------------------------ winnowing
@@ -331,28 +354,12 @@ def winnow_duplicate_pairs(
         F.col(id_col).alias('doc_id'),
         F.explode(make_winnow_udf(k, w)(F.col(text_col))).alias('fp'),
     )
-    buckets = (
+    return (
         fps.groupBy('fp')
         .agg(F.collect_list('doc_id').alias('docs'))
         .where((F.size('docs') >= 2) & (F.size('docs') <= max_bucket))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        'docs',
-                        lambda a: F.transform(
-                            'docs', lambda b: F.struct(a.alias('a_id'), b.alias('b_id'))
-                        ),
-                    )
-                ),
-                lambda p: p['a_id'] < p['b_id'],
-            )
-        ).alias('p')
-    )
-    return (
-        pairs.select('p.a_id', 'p.b_id')
+        .select(F.explode(_array_pairs(F.col('docs'))).alias('p'))
+        .select('p.a_id', 'p.b_id')
         .groupBy('a_id', 'b_id')
         .agg(F.count(F.lit(1)).alias('n_shared'))
     )
@@ -429,18 +436,36 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     sigs = ensure_parallelism(df).select('doc_id', make_simhash_udf()(F.col('text')).alias('simhash'))
     banded = sigs.select(
-        'doc_id',
-        'simhash',
+        F.struct(F.col('doc_id').alias('id'), F.col('simhash').alias('sh')).alias('rec'),
         F.posexplode(
             F.array(*[F.shiftrightunsigned(F.col('simhash'), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
         ).alias('band', 'band_key'),
     )
-    l = banded.selectExpr('doc_id as a_id', 'simhash as a_sh', 'band', 'band_key')
-    r = banded.selectExpr('doc_id as b_id', 'simhash as b_sh', 'band', 'band_key')
+    # bucket-pairing (one consumption of the sketch UDF — the band
+    # self-join re-evaluated it per side, r4 plan audit); pair expansion
+    # carries (id, simhash) structs so Hamming verifies in-bucket
     pairs = (
-        l.join(r, on=['band', 'band_key'])
-        .where(F.col('a_id') < F.col('b_id'))
-        .select('a_id', 'b_id', F.bit_count(F.col('a_sh').bitwiseXOR(F.col('b_sh'))).alias('hamming'))
+        banded.groupBy('band', 'band_key')
+        .agg(F.collect_list('rec').alias('recs'))
+        .where(F.size('recs') >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            'recs',
+                            lambda a: F.transform('recs', lambda b: F.struct(a.alias('a'), b.alias('b'))),
+                        )
+                    ),
+                    lambda p: p['a']['id'] < p['b']['id'],
+                )
+            ).alias('p')
+        )
+        .select(
+            F.col('p.a.id').alias('a_id'),
+            F.col('p.b.id').alias('b_id'),
+            F.bit_count(F.col('p.a.sh').bitwiseXOR(F.col('p.b.sh'))).alias('hamming'),
+        )
         .distinct()
     )
     return pairs.where(F.col('hamming') <= max_hamming)

@@ -312,12 +312,17 @@ def embedding_near_duplicates(
     banded = emb.select(
         'vec_id', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key')
     )
-    a = banded.selectExpr('vec_id as a_id', 'band', 'band_key')
-    b = banded.selectExpr('vec_id as b_id', 'band', 'band_key')
+    # bucket-pairing: one groupBy per bucket, pair expansion in Column
+    # algebra — the band self-join evaluated the signature UDF once per
+    # side (r4 plan audit); this consumes it exactly once
+    from .dedup import _array_pairs
+
     cand = (
-        a.join(b, on=['band', 'band_key'])
-        .where(F.col('a_id') < F.col('b_id'))
-        .select('a_id', 'b_id')
+        banded.groupBy('band', 'band_key')
+        .agg(F.collect_list('vec_id').alias('docs'))
+        .where(F.size('docs') >= 2)
+        .select(F.explode(_array_pairs(F.col('docs'))).alias('p'))
+        .select('p.a_id', 'p.b_id')
         .distinct()
     )
     cand = cand.join(emb.selectExpr('vec_id as a_id', 'embedding as a_emb'), 'a_id').join(

@@ -148,23 +148,47 @@ class TestExactDedupPlan:
             )
 
 
-class TestWinnowPlan:
-    def test_fingerprint_udf_evaluated_once(self, spark):
-        """The bucket-pairing formulation consumes the fingerprint UDF
-        exactly once — the self-join version evaluated it 4x (the same
-        per-consumer fan-out class as the r2 extraction regression)."""
-        from markdown_articles_tool_spark.training.dedup import winnow_duplicate_pairs
+class TestSketchPlans:
+    """Every bucketed sketch operator must consume its (expensive)
+    signature UDF exactly ONCE — the band self-join formulations
+    evaluated it once per join side (minhash 2x, simhash 4x, winnow
+    4x: the same per-consumer fan-out class as the r2 extraction
+    regression).  Bucket-pairing (groupBy + collect_list + Column-
+    algebra pair expansion) is the locked shape."""
+
+    def _plan(self, spark, df):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        return df._jdf.queryExecution().explainString(mode)
+
+    def test_sketch_udfs_evaluated_once(self, spark):
+        import numpy as np
+
+        from markdown_articles_tool_spark.training.dedup import (
+            minhash_lsh_candidates,
+            simhash_near_duplicates,
+            winnow_duplicate_pairs,
+        )
+        from markdown_articles_tool_spark.training.similarity import embedding_near_duplicates
 
         docs = spark.createDataFrame(
             [(i, f'document number {i} body text') for i in range(12)],
             'doc_id long, text string',
         )
-        jdf = winnow_duplicate_pairs(docs)._jdf
-        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
-        plan_str = jdf.queryExecution().explainString(mode)
-        assert len(re.findall(r'ArrowEvalPython', plan_str)) <= 2, plan_str
-        assert len(re.findall(r'\(\d+\) Exchange', plan_str)) <= 2
-        assert 'CartesianProduct' not in plan_str
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in np.random.default_rng(i).standard_normal(8)])
+             for i in range(12)],
+            'vec_id long, embedding array<double>',
+        )
+        for df in (
+            winnow_duplicate_pairs(docs),
+            minhash_lsh_candidates(docs),
+            simhash_near_duplicates(docs),
+            embedding_near_duplicates(emb, threshold=0.4),
+        ):
+            plan_str = self._plan(spark, df)
+            # one ArrowEvalPython node + its detail line in formatted plans
+            assert len(re.findall(r'ArrowEvalPython', plan_str)) <= 2, plan_str
+            assert 'CartesianProduct' not in plan_str
 
 
 class TestPdfExtractPlan:
