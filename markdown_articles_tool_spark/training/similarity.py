@@ -161,14 +161,20 @@ def lsh_cosine_topk(
     # through the exploded band join (×n_bands amplification); they
     # join back once per distinct candidate pair
     signed = emb.select('vec_id', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key'))
-    q = query_ids.join(signed, query_ids['query_id'] == signed['vec_id']).select(
-        'query_id', 'band', 'band_key'
+    # bucket-grouping: ONE signature-UDF evaluation (the old query-side
+    # join re-ran it over the whole table, r4 plan audit); bucket member
+    # arrays carry alongside the exploded query member, the tiny query
+    # set broadcast-filters, then neighbors explode from the same array
+    buckets = (
+        signed.groupBy('band', 'band_key')
+        .agg(F.collect_list('vec_id').alias('ids'))
+        .where(F.size('ids') >= 2)
     )
-    cand = signed.selectExpr('vec_id as neighbor_id', 'band', 'band_key')
     bucket_pairs = (
-        q.join(cand, on=['band', 'band_key'])
+        buckets.select(F.explode('ids').alias('query_id'), 'ids')
+        .join(F.broadcast(query_ids), 'query_id')
+        .select('query_id', F.explode('ids').alias('neighbor_id'))
         .where(F.col('query_id') != F.col('neighbor_id'))
-        .select('query_id', 'neighbor_id')
         .distinct()
         .join(emb.selectExpr('vec_id as query_id', 'embedding as q_emb'), 'query_id')
         .join(emb.selectExpr('vec_id as neighbor_id', 'embedding as n_emb'), 'neighbor_id')

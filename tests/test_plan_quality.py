@@ -179,11 +179,15 @@ class TestSketchPlans:
              for i in range(12)],
             'vec_id long, embedding array<double>',
         )
+        from markdown_articles_tool_spark.training.similarity import lsh_cosine_topk
+
+        queries = spark.createDataFrame([(0,), (5,)], 'query_id long')
         for df in (
             winnow_duplicate_pairs(docs),
             minhash_lsh_candidates(docs),
             simhash_near_duplicates(docs),
             embedding_near_duplicates(emb, threshold=0.4),
+            lsh_cosine_topk(emb, queries, k=3),
         ):
             plan_str = self._plan(spark, df)
             # one ArrowEvalPython node + its detail line in formatted plans
