@@ -156,3 +156,36 @@ def test_live_fetcher_per_host_politeness(monkeypatch):
     b_first = per_host['b.example'][0]
     a_last = per_host['a.example'][-1]
     assert b_first - a_last < 0.5
+
+
+def test_salt_by_host_reaches_the_fetch_exchange(spark):
+    """ADVICE r3: salt_fetch_by_host must actually wire through to
+    fetch_distinct — the salted plan partitions the fetch exchange on
+    (xxhash64(host), pmod salt) instead of the plain key hash, and the
+    transform output is byte-identical either way."""
+    from markdown_articles_tool_spark import corpus
+    from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformConfig
+    from markdown_articles_tool_spark.operators.fetch import fetch_distinct, model_fetcher
+    from markdown_articles_tool_spark.pipeline import transform_documents
+
+    links = spark.createDataFrame(
+        [(f'https://h{i % 3}.example/p{i}.png',) for i in range(30)], 'link string'
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+
+    salted = fetch_distinct(links, 'link', model_fetcher, salt_by_host=True)
+    plan = salted._jdf.queryExecution().explainString(mode)
+    assert 'pmod' in plan and 'regexp_extract' in plan, plan
+
+    plain = fetch_distinct(links, 'link', model_fetcher, salt_by_host=False)
+    plan2 = plain._jdf.queryExecution().explainString(mode)
+    assert 'pmod' not in plan2
+
+    docs = spark.createDataFrame([corpus.doc_row(i) for i in range(12)], corpus.PAGES_SCHEMA
+                                 ).select('url', 'text')
+    base = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+    salted_cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH,
+                                 salt_fetch_by_host=True)
+    a = {r['url']: r['text_out'] for r in transform_documents(docs, base).docs_out.collect()}
+    b = {r['url']: r['text_out'] for r in transform_documents(docs, salted_cfg).docs_out.collect()}
+    assert a == b
