@@ -98,11 +98,21 @@ def jaccard_pairs(
     id_col: str = 'doc_id',
     text_col: str = 'text',
 ) -> DataFrame:
-    """n-gram Jaccard for explicit (a_id, b_id) pairs."""
+    """n-gram Jaccard for explicit (a_id, b_id) pairs.
+
+    Grams are computed only for documents that actually appear in
+    ``pairs`` (semi-join first): in the LSH-verify path the candidate
+    set is a sliver of the corpus, and the gram construction (split +
+    n zip_with folds over full text) was previously evaluated for
+    EVERY document on both join branches."""
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    g = df.select(F.col(id_col).alias('doc_id'), word_ngrams(F.col(text_col), n).alias('grams'))
+    ids = pairs.select(
+        F.explode(F.array(F.col('a_id'), F.col('b_id'))).alias(id_col)
+    ).distinct()
+    sub = df.join(ids, id_col, 'left_semi')
+    g = sub.select(F.col(id_col).alias('doc_id'), word_ngrams(F.col(text_col), n).alias('grams'))
     a = g.selectExpr('doc_id as a_id', 'grams as a_grams')
     b = g.selectExpr('doc_id as b_id', 'grams as b_grams')
     return (
