@@ -325,7 +325,7 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 def q_bpe_tokens(spark, sf_dir):
-    """Real byte-pair-merge tokenization (embedded 256-merge vocab);
+    """Real byte-pair-merge tokenization (embedded 607-merge vocab);
     the regex proxy in token_stats stays as the cheap estimator."""
     from markdown_articles_tool_spark.training.bpe import bpe_token_stats
 

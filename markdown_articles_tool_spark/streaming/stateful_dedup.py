@@ -66,6 +66,18 @@ def dedup_stream(pages):
     dropped distinct documents; 256 bits pushes the first expected
     collision past 10^38 docs.  State stays tiny: one 64-char hex key +
     a boolean + the winner url per distinct content.
+
+    COMPATIBILITY (r4 key change): pre-r4 runs keyed state on
+    ``xxhash64(text)`` (a *long*).  Spark's state store pins the
+    grouping-key schema at checkpoint creation, so restarting a pre-r4
+    query against this code fails with a state-schema mismatch, and
+    appending to a parquet sink written under the old
+    ``content_key long`` schema fails the same way.  There is no
+    in-place migration (the old key cannot be inverted to recompute the
+    digest): point the restarted query at a FRESH ``checkpointLocation``
+    and a fresh output directory, and re-feed the source from the
+    beginning (exactly-once semantics make the replay safe).  This
+    mirrors the staged-shard compat rule in ``checkpoint.py``.
     """
     keyed = pages.select(
         F.sha2('text', 256).alias('content_key'), 'url', 'text'
