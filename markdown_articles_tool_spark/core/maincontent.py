@@ -102,6 +102,20 @@ class Block:
 
 
 class _Extractor(HTMLParser):
+    def parse_marked_section(self, i: int, report: int = 1) -> int:
+        # Same web-soup armor as mdparse._ImgSrcGrabber (r4, DIVERGENCES
+        # #14): the stdlib parser raises AssertionError on unknown
+        # marked-section keywords ('<![foo]') and NotImplementedError on
+        # invalid names ('<![[') — a crawl-scale extractor must survive
+        # one bad document per task. Fall back to the parser's own
+        # bogus-declaration behavior: skip through the next '>', or
+        # return -1 (wait for more data / EOF) when none is buffered.
+        try:
+            return super().parse_marked_section(i, report)
+        except (AssertionError, NotImplementedError):
+            j = self.rawdata.find('>', i + 1)
+            return j + 1 if j >= 0 else -1
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.drop_stack: List[List] = []   # [root_tag, same_tag_depth]

@@ -459,6 +459,22 @@ class TestExtraction:
                   '<![CDATA[<img src="no.png">]]>', '<![weird']:
             assert mp.extract_image_links(t) == ox.md_image_links(t), repr(t)
 
+    def test_marked_section_soup_never_crashes_maincontent(self):
+        # r5 (ADVICE r4): the same stdlib crash class existed in
+        # maincontent._Extractor — one '<![foo]' document would kill a
+        # whole Spark task in the main_content / content_spans batch
+        # queries and the streaming main-content path. Engine and twin
+        # must both survive and agree.
+        from markdown_articles_tool_spark.core import maincontent as mc
+
+        for t in ['<p>x</p><![weird]', '<![a][r]', '<![[x]]>', '<![ ]>',
+                  '<![if x]><p>cond</p>', '<![CDATA[secret]]><p>y</p>', '<![trunc']:
+            html = t.encode('utf-8')
+            eng = mc.extract_blocks(html)
+            ora = ok.main_content_blocks(html)
+            assert [(b.ord, b.tag, b.text, b.total_raw, b.link_raw, b.kept)
+                    for b in eng] == ora, repr(t)
+
     def test_transform_fold_agrees_across_configs(self):
         """Full sequential transform: engine ReferenceOracle vs the
         independent IndependentOracle — texts and images byte-equal
@@ -580,6 +596,9 @@ _html_soup = st.lists(
         '</script>', '<nav>', '</nav>', '<br/>', '<li>', '</li>', '&amp;', '&#65;',
         '<div class="comment">', '<div id=sidebar>', '<p class="x menu y">',
         '<div class="ok">', '<span id="share-bar">', '</span>',
+        # r5: marked-section soup — the stdlib parser raises on these
+        # shapes unless parse_marked_section is overridden (ADVICE r4)
+        '<![a]', '<![[', '<![CDATA[x]]>', '<![if x]>', '<![weird', '<![ ]>',
     ]),
     max_size=40,
 ).map(''.join)

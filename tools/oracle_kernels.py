@@ -307,6 +307,20 @@ def _mc_events(html: str):
     events = []
 
     class P(HTMLParser):
+        def parse_marked_section(self, i, report=1):
+            # Web-soup armor, twin of maincontent._Extractor: the stdlib
+            # parser raises on '<![foo]' / '<![[' shapes. Recover the way
+            # its bogus-declaration path does — consume up to and
+            # including the next '>' if one is buffered, else signal
+            # "need more data" with -1.
+            try:
+                return HTMLParser.parse_marked_section(self, i, report)
+            except (AssertionError, NotImplementedError):
+                end = self.rawdata.find('>', i + 1)
+                if end < 0:
+                    return -1
+                return end + 1
+
         def handle_starttag(self, tag, attrs):
             events.append(('open', tag, attrs))
 
