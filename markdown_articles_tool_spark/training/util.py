@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, functions as F
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -21,3 +23,68 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
+
+
+_obs_counter = itertools.count()
+
+
+def capped_buckets(
+    banded: DataFrame,
+    group_cols,
+    item_col: str,
+    max_bucket: int,
+    op_name: str,
+    observation=None,
+):
+    """groupBy(group_cols) → (*group_cols, items array) inverted-index
+    buckets, with buckets larger than ``max_bucket`` DROPPED and the
+    drops LOGGED as Spark observed metrics.
+
+    This is the scale armor shared by every banded sketch operator
+    (minhash / simhash / winnow / hyperplane-LSH).  Why a cap is load-
+    bearing at 10^9+ docs: bucket membership grows linearly with corpus
+    size once a band-key space saturates (a 16-bit band has 65,536
+    buckets *total*), and the downstream in-bucket pair expansion is
+    quadratic — one degenerate bucket (mass exact-dups, empty docs, a
+    ubiquitous boilerplate fingerprint) concentrates O(n²) pair structs
+    in a single row on a single task and OOMs the executor.  Dropping
+    an oversized bucket is the standard stop-gram rule (winnowing
+    practice; exact duplicates belong to ``exact_dedup``, which runs
+    first in a real pipeline and has no quadratic stage).
+
+    Memory note: the transient aggregation buffer still holds the
+    oversized bucket's id array once (O(bucket), ~8 bytes/member —
+    a 10^6-member degenerate bucket is an 8 MB buffer, survivable);
+    what the cap prevents is the O(bucket²) pair materialization
+    (10^12 structs, fatal).  The filter runs before any expansion.
+
+    Drop accounting: the bucket stream passes through a
+    ``CollectMetrics`` node (``DataFrame.observe``) recording
+    ``dropped_buckets``, ``dropped_members`` and ``max_bucket_seen``.
+    Pass an explicit ``pyspark.sql.Observation`` to read them after an
+    action (how the tests assert drops); by default a uniquely-named
+    named-observe is attached, visible to QueryExecutionListeners and
+    the Spark UI on a real cluster.  Names are auto-uniqued so two
+    capped operators can share one plan.
+
+    AQE caveat (measured on Spark 4.1): if EVERY bucket is dropped the
+    downstream query collapses to an empty relation and adaptive
+    empty-relation propagation erases the CollectMetrics node — the
+    query still completes correctly (that is the cap doing its job) but
+    ``Observation.get`` then raises instead of returning the drop
+    counts.  Metrics are reliable whenever at least one bucket
+    survives; for a guaranteed read on a fully-degenerate corpus set
+    ``spark.sql.adaptive.enabled=false`` for that query.
+    """
+    b = banded.groupBy(*group_cols).agg(F.collect_list(item_col).alias('items'))
+    b = b.withColumn('bucket_n', F.size('items'))
+    metrics = [
+        F.sum(F.when(F.col('bucket_n') > max_bucket, 1).otherwise(0)).alias('dropped_buckets'),
+        F.sum(F.when(F.col('bucket_n') > max_bucket, F.col('bucket_n')).otherwise(0)).alias('dropped_members'),
+        F.max('bucket_n').alias('max_bucket_seen'),
+    ]
+    if observation is not None:
+        b = b.observe(observation, *metrics)
+    else:
+        b = b.observe(f'{op_name}_bucket_cap_{next(_obs_counter)}', *metrics)
+    return b.where((F.col('bucket_n') >= 2) & (F.col('bucket_n') <= F.lit(max_bucket))).drop('bucket_n')

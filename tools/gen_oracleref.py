@@ -197,7 +197,7 @@ def gen_pdf(sf_dir: str, skey: int, out: dict) -> None:
 # ----------------------------------------------------------- text sketches
 
 
-def gen_minhash(sf_dir: str, skey: int, out: dict, k=64, bands=16, shingle=5) -> None:
+def gen_minhash(sf_dir: str, skey: int, out: dict, k=64, bands=16, shingle=5, max_bucket=512) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
     texts = t['text'].to_pylist()
@@ -210,6 +210,8 @@ def gen_minhash(sf_dir: str, skey: int, out: dict, k=64, bands=16, shingle=5) ->
             buckets[key].append(doc_id)
     counts = defaultdict(int)
     for members in buckets.values():
+        if len(members) > max_bucket:  # r5: mirrors the engine bucket cap
+            continue
         members = sorted(members)
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
@@ -264,6 +266,8 @@ def gen_neardup_clusters(
             buckets[(b, tuple(sig[b * rows_per_band:(b + 1) * rows_per_band]))].append(doc_id)
     cand = set()
     for members in buckets.values():
+        if len(members) > 512:  # r5: mirrors the engine bucket cap
+            continue
         members = sorted(members)
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
@@ -313,6 +317,8 @@ def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
             buckets[(b, (u >> (b * 16)) & 0xFFFF)].append(d)
     pairs = set()
     for members in buckets.values():
+        if len(members) > 1024:  # r5: mirrors the engine bucket cap
+            continue
         members = sorted(members)
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
@@ -347,7 +353,10 @@ def gen_ann_lsh(sf_dir: str, skey: int, out: dict, k=5, n_planes=32, band_bits=8
     for qid in sorted(i for i in ids if i % 50 == 0):
         cands = set()
         for band, bk in enumerate(keys[ids.index(qid)]):
-            cands |= buckets[(band, int(bk))]
+            members = buckets[(band, int(bk))]
+            if len(members) > 512:  # r5: mirrors the engine bucket cap
+                continue
+            cands |= members
         cands.discard(qid)
         scored = sorted(
             ((spark_round9(cosine_seq(by_id[qid], by_id[c])), c) for c in cands),
@@ -397,6 +406,8 @@ def gen_embedding_neardup(sf_dir: str, skey: int, out: dict, threshold=0.45, n_p
             buckets[(band, int(bk))].append(vid)
     pairs = set()
     for members in buckets.values():
+        if len(members) > 512:  # r5: mirrors the engine bucket cap
+            continue
         members = sorted(members)
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
