@@ -48,6 +48,33 @@ operators.  Scope and limits (documented, not hidden):
 * PDF string escapes: ``\\n \\r \\t \\b \\f \\( \\) \\\\``, octal
   ``\\ddd``, backslash-newline continuation, and the "ignore the
   backslash" fallback — per PDF 32000-1 §7.3.4.2.
+* object streams (r5, PDF 1.5+ §7.5.7): a top-level object whose body
+  contains ``/ObjStm`` and a stream is an object container — modern
+  writers serialize most non-stream objects (font dicts, resource
+  dicts) inside it, invisible to the raw ``N G obj`` scan.  Spec:
+  payload decoded by the filter rule above (LZW marker else Flate else
+  raw) → latin-1 text; ``/N <int>`` and ``/First <int>`` from the
+  container body; the first ``First`` chars yield up to 2N integers
+  (objnum, offset) pairs; embedded body i runs from First+off_i to
+  First+off_{i+1} (last: end of payload).  Missing N/First or a
+  too-short header → container skipped.  Embedded objects OVERRIDE
+  same-numbered top-level ones; ``/Font <<...>>`` resource scanning
+  covers the main view first, then each payload in stream order (last
+  name binding wins).  ObjStm and ``/XRef`` (xref-stream, binary)
+  containers are NOT content: they are excluded from the text-stream
+  enumeration (stream_idx counts content streams only).
+* font /Encoding fallback (r5, §9.6.5 + Annex D): a /Font WITHOUT a
+  parseable ToUnicode CMap but WITH ``/Encoding`` re-encodes its
+  1-byte show strings through an encoding table.  ``/Encoding`` may
+  be a direct name (``/WinAnsiEncoding`` → cp1252 per code with
+  U+FFFD for the five unassigned bytes, ``/MacRomanEncoding`` →
+  mac_roman), an indirect ref, or an inline ``<<...>>`` dict (first
+  ``>>`` closes it) carrying optional ``/BaseEncoding <name>``
+  (default: identity chr(code) — the documented simplification of
+  StandardEncoding) and optional ``/Differences [ ... ]`` (int sets
+  the current code, ``/name`` assigns AGL_SUBSET lookup — or
+  ``uniXXXX``/``uXXXX[XX]`` hex names — then increments; unknown
+  names map to U+FFFD).  ToUnicode always wins when both exist.
 
 DETERMINISTIC SPEC (the independent oracle twin in
 tools/oracle_kernels.py reimplements exactly this):
@@ -92,7 +119,11 @@ def _iter_stream_payloads(data: bytes):
                 end -= 1
             w = data.rfind(b'obj', 0, m.start())
             window = data[w if w >= 0 else 0:m.start()]
-            yield data[m.end():end], b'/LZWDecode' in window
+            # r5: ObjStm / XRef containers hold objects or binary xref
+            # rows, not page content — excluded from the text-stream
+            # enumeration (stream_idx counts content streams only)
+            if b'/ObjStm' not in window and b'/XRef' not in window:
+                yield data[m.end():end], b'/LZWDecode' in window
         pos = e + 9
 
 
@@ -368,13 +399,209 @@ def _cmap_lookup(entries: list, code: int):
     return None
 
 
+# ------------------------------------------- object streams (r5, §7.5.7)
+
+_N_RE = re.compile(r'/N\s+(\d+)')
+_FIRST_RE = re.compile(r'/First\s+(\d+)')
+_INT_RE = re.compile(r'\d+')
+
+
+def objstm_objects(view: str):
+    """(embedded objects {num: body}, [payload texts]) from every
+    ``/ObjStm`` container in the document (spec in the module
+    docstring).  Malformed containers are skipped whole."""
+    objs: dict = {}
+    texts: List[str] = []
+    for m in _OBJ_RE.finditer(view):
+        body = m.group(2)
+        # container detection over the DICT WINDOW (before the first
+        # 'stream' keyword), so page content mentioning '/ObjStm'
+        # can't be misread as a container
+        window = body[:body.find('stream')] if 'stream' in body else body
+        if '/ObjStm' not in window:
+            continue
+        sm = _STREAM_IN_OBJ_RE.search(body.encode('latin-1'))
+        if not sm:
+            continue
+        payload = sm.group(1)
+        if '/LZWDecode' in window:
+            try:
+                payload = lzw_decode(payload)
+            except Exception:
+                pass
+        else:
+            try:
+                payload = zlib.decompress(payload)
+            except Exception:
+                pass
+        nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        text = payload.decode('latin-1', errors='replace')
+        if first > len(text):
+            continue
+        ints = _INT_RE.findall(text[:first])
+        pairs = [(int(ints[2 * i]), int(ints[2 * i + 1]))
+                 for i in range(min(n, len(ints) // 2))]
+        for i, (num, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(text)
+            objs[num] = text[first + off:end]
+        texts.append(text)
+    return objs, texts
+
+
+# -------------------------------- font /Encoding fallback (r5, §9.6.5)
+
+#: Adobe Glyph List subset (public AGL 2.0 spec data — glyph name →
+#: unicode).  Covers ASCII names, Latin-1 accents, and the common
+#: typographic names real /Differences arrays carry; ``uniXXXX`` /
+#: ``uXXXX..`` names resolve by the hex rule in _glyph_char.  The
+#: oracle twin imports THIS TABLE as spec data (like the BPE merge
+#: table) — the parsing machinery around it stays independent.
+AGL_SUBSET = {
+    **{name: chr(32 + i) for i, name in enumerate([
+        'space', 'exclam', 'quotedbl', 'numbersign', 'dollar', 'percent',
+        'ampersand', 'quotesingle', 'parenleft', 'parenright', 'asterisk',
+        'plus', 'comma', 'hyphen', 'period', 'slash', 'zero', 'one', 'two',
+        'three', 'four', 'five', 'six', 'seven', 'eight', 'nine', 'colon',
+        'semicolon', 'less', 'equal', 'greater', 'question', 'at'])},
+    **{c: c for c in 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'},
+    'bracketleft': '[', 'backslash': '\\', 'bracketright': ']',
+    'asciicircum': '^', 'underscore': '_', 'grave': '`',
+    **{c: c for c in 'abcdefghijklmnopqrstuvwxyz'},
+    'braceleft': '{', 'bar': '|', 'braceright': '}', 'asciitilde': '~',
+    # Latin-1 supplement
+    'exclamdown': '¡', 'cent': '¢', 'sterling': '£', 'currency': '¤',
+    'yen': '¥', 'brokenbar': '¦', 'section': '§', 'dieresis': '¨',
+    'copyright': '©', 'ordfeminine': 'ª', 'guillemotleft': '«',
+    'logicalnot': '¬', 'registered': '®', 'macron': '¯', 'degree': '°',
+    'plusminus': '±', 'acute': '´', 'mu': 'µ', 'paragraph': '¶',
+    'periodcentered': '·', 'cedilla': '¸', 'ordmasculine': 'º',
+    'guillemotright': '»', 'onequarter': '¼', 'onehalf': '½',
+    'threequarters': '¾', 'questiondown': '¿',
+    'Agrave': 'À', 'Aacute': 'Á', 'Acircumflex': 'Â', 'Atilde': 'Ã',
+    'Adieresis': 'Ä', 'Aring': 'Å', 'AE': 'Æ', 'Ccedilla': 'Ç',
+    'Egrave': 'È', 'Eacute': 'É', 'Ecircumflex': 'Ê', 'Edieresis': 'Ë',
+    'Igrave': 'Ì', 'Iacute': 'Í', 'Icircumflex': 'Î', 'Idieresis': 'Ï',
+    'Eth': 'Ð', 'Ntilde': 'Ñ', 'Ograve': 'Ò', 'Oacute': 'Ó',
+    'Ocircumflex': 'Ô', 'Otilde': 'Õ', 'Odieresis': 'Ö', 'multiply': '×',
+    'Oslash': 'Ø', 'Ugrave': 'Ù', 'Uacute': 'Ú', 'Ucircumflex': 'Û',
+    'Udieresis': 'Ü', 'Yacute': 'Ý', 'Thorn': 'Þ', 'germandbls': 'ß',
+    'agrave': 'à', 'aacute': 'á', 'acircumflex': 'â', 'atilde': 'ã',
+    'adieresis': 'ä', 'aring': 'å', 'ae': 'æ', 'ccedilla': 'ç',
+    'egrave': 'è', 'eacute': 'é', 'ecircumflex': 'ê', 'edieresis': 'ë',
+    'igrave': 'ì', 'iacute': 'í', 'icircumflex': 'î', 'idieresis': 'ï',
+    'eth': 'ð', 'ntilde': 'ñ', 'ograve': 'ò', 'oacute': 'ó',
+    'ocircumflex': 'ô', 'otilde': 'õ', 'odieresis': 'ö', 'divide': '÷',
+    'oslash': 'ø', 'ugrave': 'ù', 'uacute': 'ú', 'ucircumflex': 'û',
+    'udieresis': 'ü', 'yacute': 'ý', 'thorn': 'þ', 'ydieresis': 'ÿ',
+    # common typographic names
+    'quoteleft': '‘', 'quoteright': '’', 'quotedblleft': '“',
+    'quotedblright': '”', 'quotesinglbase': '‚',
+    'quotedblbase': '„', 'endash': '–', 'emdash': '—',
+    'bullet': '•', 'ellipsis': '…', 'dagger': '†',
+    'daggerdbl': '‡', 'perthousand': '‰', 'guilsinglleft':
+    '‹', 'guilsinglright': '›', 'trademark': '™',
+    'fi': 'ﬁ', 'fl': 'ﬂ', 'florin': 'ƒ', 'fraction':
+    '⁄', 'circumflex': 'ˆ', 'caron': 'ˇ', 'tilde':
+    '˜', 'breve': '˘', 'dotaccent': '˙', 'ring': '˚',
+    'ogonek': '˛', 'hungarumlaut': '˝', 'OE': 'Œ',
+    'oe': 'œ', 'Scaron': 'Š', 'scaron': 'š',
+    'Ydieresis': 'Ÿ', 'Zcaron': 'Ž', 'zcaron': 'ž',
+    'Euro': '€', 'minus': '−',
+    # Greek (Symbol-font Differences show up in real math PDFs)
+    'alpha': 'α', 'beta': 'β', 'gamma': 'γ', 'delta': 'δ',
+    'epsilon': 'ε', 'lambda': 'λ', 'pi': 'π', 'sigma': 'σ',
+    'tau': 'τ', 'phi': 'φ', 'omega': 'ω', 'Delta': 'Δ',
+    'Omega': 'Ω', 'Sigma': 'Σ', 'theta': 'θ', 'eta': 'η',
+}
+
+_UNI_NAME_RE = re.compile(r'(?:uni([0-9A-Fa-f]{4})|u([0-9A-Fa-f]{4,6}))$')
+_ENCODING_NAME_RE = re.compile(r'/Encoding\s*/(WinAnsiEncoding|MacRomanEncoding)')
+_ENCODING_REF_RE = re.compile(r'/Encoding\s+(\d+)\s+\d+\s+R')
+_ENCODING_DICT_RE = re.compile(r'/Encoding\s*<<')
+_BASEENC_RE = re.compile(r'/BaseEncoding\s*/(WinAnsiEncoding|MacRomanEncoding)')
+_DIFF_TOKEN_RE = re.compile(r'(\d+)|/([^\s/<>\[\]()%]+)')
+
+
+def _glyph_char(name: str) -> str:
+    got = AGL_SUBSET.get(name)
+    if got is not None:
+        return got
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1) or m.group(2), 16))
+        except ValueError:
+            return '�'
+    return '�'
+
+
+def _base_table(enc_name) -> List[str]:
+    if enc_name == 'WinAnsiEncoding':
+        codec = 'cp1252'
+    elif enc_name == 'MacRomanEncoding':
+        codec = 'mac_roman'
+    else:
+        return [chr(c) for c in range(256)]   # identity simplification
+    out = []
+    for c in range(256):
+        try:
+            out.append(bytes([c]).decode(codec))
+        except UnicodeDecodeError:
+            out.append('�')
+    return out
+
+
+def encoding_table(font_body: str, objs: dict):
+    """256-entry code→char table from a font's ``/Encoding`` (direct
+    name, indirect ref, or inline dict with /BaseEncoding +
+    /Differences), or None when the font has no /Encoding."""
+    m = _ENCODING_NAME_RE.search(font_body)
+    if m:
+        return _base_table(m.group(1))
+    rm = _ENCODING_REF_RE.search(font_body)
+    if rm:
+        enc_body = objs.get(int(rm.group(1)))
+        if enc_body is None:
+            return None
+    else:
+        dm = _ENCODING_DICT_RE.search(font_body)
+        if not dm:
+            return None
+        close = font_body.find('>>', dm.end())
+        enc_body = font_body[dm.end():close if close >= 0 else len(font_body)]
+    bm = _BASEENC_RE.search(enc_body)
+    table = _base_table(bm.group(1) if bm else None)
+    d = enc_body.find('/Differences')
+    if d >= 0:
+        o = enc_body.find('[', d)
+        c = enc_body.find(']', o) if o >= 0 else -1
+        if o >= 0:
+            code = 0
+            for tm in _DIFF_TOKEN_RE.finditer(enc_body[o + 1:c if c >= 0 else len(enc_body)]):
+                if tm.group(1) is not None:
+                    code = int(tm.group(1))
+                else:
+                    if 0 <= code <= 255:
+                        table[code] = _glyph_char(tm.group(2))
+                    code += 1
+    return table
+
+
 def font_cmaps(data: bytes) -> dict:
-    """{font resource name: CMap} for every /Font entry whose font
-    object carries a parseable /ToUnicode CMap stream."""
+    """{font resource name: decoder} for every /Font entry that can
+    re-encode its show strings — decoder is ``('cmap', code_bytes,
+    entries)`` from a parseable /ToUnicode CMap stream, else
+    ``('enc', table)`` from a /Encoding fallback (r5).  Objects and
+    /Font resource dicts inside ObjStm containers are visible (r5)."""
     view = data.decode('latin-1')
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(view)}
+    stm_objs, stm_texts = objstm_objects(view)
+    objs.update(stm_objs)   # embedded objects override top-level ones
     names: dict = {}
-    for body in [view]:   # resource dicts can sit in objects or inline
+    for body in [view] + stm_texts:   # resource dicts: view, then ObjStm payloads
         for fm in _FONT_DICT_RE.finditer(body):
             close = body.find('>>', fm.end())
             for em in _FONT_ENTRY_RE.finditer(body[fm.end():close if close >= 0 else len(body)]):
@@ -385,28 +612,33 @@ def font_cmaps(data: bytes) -> dict:
         if font_body is None:
             continue
         tm = _TOUNICODE_RE.search(font_body)
-        if not tm:
-            continue
-        cmap_body = objs.get(int(tm.group(1)))
-        if cmap_body is None:
-            continue
-        sm = _STREAM_IN_OBJ_RE.search(cmap_body.encode('latin-1'))
-        if not sm:
-            continue
-        payload = sm.group(1)
-        try:
-            payload = zlib.decompress(payload)
-        except Exception:
-            pass
-        cmap = parse_cmap(payload.decode('latin-1', errors='replace'))
-        if cmap:
-            out[name] = cmap
+        if tm:
+            cmap_body = objs.get(int(tm.group(1)))
+            if cmap_body is not None:
+                sm = _STREAM_IN_OBJ_RE.search(cmap_body.encode('latin-1'))
+                if sm:
+                    payload = sm.group(1)
+                    try:
+                        payload = zlib.decompress(payload)
+                    except Exception:
+                        pass
+                    cmap = parse_cmap(payload.decode('latin-1', errors='replace'))
+                    if cmap:
+                        out[name] = ('cmap',) + cmap
+                        continue
+        table = encoding_table(font_body, objs)
+        if table is not None:
+            out[name] = ('enc', table)
     return out
 
 
-def apply_cmap(s: str, cmap: CMap) -> str:
-    """Re-encode one shown string through a ToUnicode table."""
-    code_bytes, entries = cmap
+def apply_cmap(s: str, decoder) -> str:
+    """Re-encode one shown string through a font decoder (ToUnicode
+    CMap or /Encoding table)."""
+    if decoder[0] == 'enc':
+        table = decoder[1]
+        return ''.join(table[b] for b in s.encode('latin-1', errors='replace'))
+    _kind, code_bytes, entries = decoder
     bs = s.encode('latin-1', errors='replace')
     out: List[str] = []
     for i in range(0, len(bs) - len(bs) % code_bytes, code_bytes):

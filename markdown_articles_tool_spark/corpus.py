@@ -354,13 +354,64 @@ def doc_pdf(i: int) -> bytes:
             shown = f'map {i}: {s9}'.encode('latin-1', errors='replace').hex()
         if i % 3 == 0:
             cmap = _zlib.compress(cmap)
+        o20 = b'<< /Type /Page /Resources << /Font << /FU 21 0 R >> >> >>'
+        o21 = b'<< /Type /Font /Subtype /Type0 /ToUnicode 22 0 R >>'
+        if i % 6 == 4:
+            # ObjStm tier (r5, PDF 1.5 layout): the page + font dicts
+            # live INSIDE a compressed object stream — the dominant
+            # modern layout, where the raw `N G obj` scan can't see
+            # the /Font dict or the /ToUnicode ref; Flate-compressed
+            # payload on every other rotation, raw otherwise
+            header = f'20 0 21 {len(o20) + 1}'.encode('latin-1')
+            first = len(header) + 1
+            payload = header + b'\n' + o20 + b'\n' + o21
+            filt = b''
+            if (i // 6) % 2 == 0:
+                payload = _zlib.compress(payload)
+                filt = b' /Filter /FlateDecode'
+            body += (
+                b'19 0 obj\n<< /Type /ObjStm /N 2 /First '
+                + str(first).encode('latin-1') + filt
+                + f' /Length {len(payload)} >>\nstream\n'.encode('latin-1')
+                + payload + b'\nendstream\nendobj\n'
+            )
+        else:
+            body += (
+                b'20 0 obj\n' + o20 + b'\nendobj\n'
+                b'21 0 obj\n' + o21 + b'\nendobj\n'
+            )
         body += (
-            b'20 0 obj\n<< /Type /Page /Resources << /Font << /FU 21 0 R >> >> >>\nendobj\n'
-            b'21 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 22 0 R >>\nendobj\n'
-            + f'22 0 obj\n<< /Length {len(cmap)} >>\nstream\n'.encode('latin-1')
+            f'22 0 obj\n<< /Length {len(cmap)} >>\nstream\n'.encode('latin-1')
             + cmap + b'\nendstream\nendobj\n'
             b'23 0 obj\n<< >>\nstream\n'
             + f'BT /FU 11 Tf <{shown}> Tj ET\n'.encode('latin-1')
+            + b'\nendstream\nendobj\n'
+        )
+    if i % 4 == 1:
+        # /Encoding fallback tier (r5): a font WITHOUT ToUnicode whose
+        # 1-byte show strings re-encode through WinAnsi / MacRoman /
+        # Differences tables (variant rotates with the doc index)
+        variant = (i // 4) % 4
+        if variant == 0:
+            font = b'<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>'
+            extra = b''
+        elif variant == 1:
+            font = b'<< /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >>'
+            extra = b''
+        elif variant == 2:
+            font = (b'<< /Type /Font /Encoding << /BaseEncoding /WinAnsiEncoding'
+                    b' /Differences [ 97 /alpha 98 /eacute /notaname 101 /Euro ] >> >>')
+            extra = b''
+        else:
+            font = b'<< /Type /Font /Encoding 27 0 R >>'
+            extra = (b'27 0 obj\n<< /BaseEncoding /MacRomanEncoding'
+                     b' /Differences [ 233 /uni0394 128 /bullet ] >>\nendobj\n')
+        s8 = _FILLER_SENTENCES[(i * 17) % len(_FILLER_SENTENCES)][:30]
+        body += (
+            b'25 0 obj\n<< /Type /Page /Resources << /Font << /FE 26 0 R >> >> >>\nendobj\n'
+            b'26 0 obj\n' + font + b'\nendobj\n' + extra +
+            b'28 0 obj\n<< >>\nstream\n'
+            + f'BT /FE 10 Tf (enc {i}: {s8} \\351\\200abe) Tj ET\n'.encode('latin-1')
             + b'\nendstream\nendobj\n'
         )
     return body + b'%%EOF\n'

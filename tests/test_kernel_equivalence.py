@@ -229,7 +229,7 @@ class TestPdfText:
             b"stream\nBT <686F> ' ET\nendstream\n",
             b'stream\nBT <> Tj (x) Tj ET\nendstream\n',
             b'stream\nBT <4A4B> Td (dropped-hex-op) Tj ET\nendstream\n',
-        ] + self.tounicode_frags() + self.lzw_frags()
+        ] + self.tounicode_frags() + self.lzw_frags() + self.objstm_frags() + self.encoding_frags()
 
     def test_lzw_roundtrip_and_decoders_agree(self):
         """corpus.lzw_encode → both independent decoders (engine
@@ -322,6 +322,104 @@ class TestPdfText:
             # unknown font name in Tf: raw
             doc(one, b'BT /NOPE 9 Tf (Aa) Tj ET\n'),
         ]
+
+    @staticmethod
+    def objstm_frags():
+        """PDF 1.5 object-stream shapes (r5): font + resource dicts
+        packed inside /ObjStm containers (Flate and raw), malformed
+        headers, a container whose stream must be excluded from text
+        enumeration, and an xref-stream exclusion case."""
+        import zlib
+
+        o20 = b'<< /Type /Page /Resources << /Font << /FZ 21 0 R >> >> >>'
+        o21 = b'<< /Type /Font /ToUnicode 22 0 R >>'
+        # objects serialized o21 first (offset 0) then o20 — the header
+        # binds numbers to offsets positionally
+        header = ('21 0 20 %d' % (len(o21) + 1)).encode()
+        first = len(header) + 1
+        payload = header + b'\n' + o21 + b'\n' + o20
+        cmap = b'1 beginbfchar <41> <03A9> endbfchar'
+        tail = (b'22 0 obj\n<< >>\nstream\n' + cmap + b'\nendstream\nendobj\n'
+                b'30 0 obj\n<< >>\nstream\nBT /FZ 9 Tf (AB) Tj ET\nendstream\nendobj\n')
+
+        def stm(pl, dict_extra=b''):
+            return (b'19 0 obj\n<< /Type /ObjStm /N 2 /First '
+                    + str(first).encode() + dict_extra
+                    + b' >>\nstream\n' + pl + b'\nendstream\nendobj\n')
+
+        return [
+            stm(zlib.compress(payload), b' /Filter /FlateDecode') + tail,
+            stm(payload) + tail,                             # raw payload
+            # malformed: /First beyond payload -> container skipped
+            (b'19 0 obj\n<< /Type /ObjStm /N 2 /First 9999 >>\nstream\n'
+             + payload + b'\nendstream\nendobj\n' + tail),
+            # missing /N -> skipped
+            (b'19 0 obj\n<< /Type /ObjStm /First ' + str(first).encode()
+             + b' >>\nstream\n' + payload + b'\nendstream\nendobj\n' + tail),
+            # header shorter than 2N ints -> partial pairs only
+            (b'19 0 obj\n<< /Type /ObjStm /N 5 /First ' + str(first).encode()
+             + b' >>\nstream\n' + payload + b'\nendstream\nendobj\n' + tail),
+            # a BT inside an ObjStm payload must NOT become text
+            (b'19 0 obj\n<< /Type /ObjStm /N 1 /First 4 >>\nstream\n'
+             + b'7 0 BT (hidden in container) Tj ET\nendstream\nendobj\n'
+             b'30 0 obj\n<< >>\nstream\nBT (visible) Tj ET\nendstream\nendobj\n'),
+            # xref streams are binary, excluded from enumeration
+            (b'40 0 obj\n<< /Type /XRef /W [1 2 1] >>\nstream\n'
+             b'\x01\x02BT (junk) Tj ET\x03\nendstream\nendobj\n'
+             b'30 0 obj\n<< >>\nstream\nBT (real) Tj ET\nendstream\nendobj\n'),
+        ]
+
+    @staticmethod
+    def encoding_frags():
+        """Font /Encoding fallback shapes (r5): WinAnsi / MacRoman
+        direct names, inline dict with /Differences, indirect encoding
+        object, uniXXXX names, unknown names, ToUnicode priority."""
+        def doc(font, extra=b'', content=b'BT /FE 9 Tf (abe \\351\\200) Tj ET'):
+            return (b'2 0 obj\n<< /Resources << /Font << /FE 3 0 R >> >> >>\nendobj\n'
+                    b'3 0 obj\n' + font + b'\nendobj\n' + extra +
+                    b'40 0 obj\n<< >>\nstream\n' + content + b'\nendstream\nendobj\n')
+
+        return [
+            doc(b'<< /Type /Font /Encoding /WinAnsiEncoding >>'),
+            doc(b'<< /Type /Font /Encoding /MacRomanEncoding >>'),
+            doc(b'<< /Type /Font /Encoding << /BaseEncoding /WinAnsiEncoding'
+                b' /Differences [ 97 /alpha /nosuchglyph 101 /uni0041 /u00E9 ] >> >>'),
+            doc(b'<< /Type /Font /Encoding 7 0 R >>',
+                extra=b'7 0 obj\n<< /Differences [ 98 /Euro 233 /oe ] >>\nendobj\n'),
+            # dangling encoding ref -> no table, raw text
+            doc(b'<< /Type /Font /Encoding 99 0 R >>'),
+            # unknown direct encoding name -> no table
+            doc(b'<< /Type /Font /Encoding /PDFDocEncoding >>'),
+            # ToUnicode beats /Encoding when both parse
+            doc(b'<< /Type /Font /Encoding /WinAnsiEncoding /ToUnicode 8 0 R >>',
+                extra=b'8 0 obj\n<< >>\nstream\n1 beginbfchar <61> <005A> endbfchar'
+                      b'\nendstream\nendobj\n'),
+            # Differences with out-of-range and wrapping codes
+            doc(b'<< /Type /Font /Encoding << /Differences'
+                b' [ 300 /A 255 /bullet /ignored-wraps-past-255 ] >> >>'),
+        ]
+
+    def test_objstm_and_encoding_golden(self):
+        """Pinned end-to-end behavior of the r5 PDF tier."""
+        from markdown_articles_tool_spark.core import pdftext as P
+
+        flate = self.objstm_frags()[0]
+        assert P.extract_pdf_blocks(flate) == [(1, 0, 'ΩB')]
+        raw = self.objstm_frags()[1]
+        assert P.extract_pdf_blocks(raw) == [(1, 0, 'ΩB')]
+        hidden = self.objstm_frags()[5]
+        assert P.extract_pdf_blocks(hidden) == [(0, 0, 'visible')]
+        xref = self.objstm_frags()[6]
+        assert P.extract_pdf_blocks(xref) == [(0, 0, 'real')]
+        win = self.encoding_frags()[0]
+        assert P.extract_pdf_blocks(win) == [(0, 0, 'abe é€')]
+        diff = self.encoding_frags()[2]
+        # 97->alpha, 98->nosuchglyph(U+FFFD), 101->uni0041; e9/80 from cp1252
+        assert P.extract_pdf_blocks(diff) == [(0, 0, 'α�A é€')]
+        pri = self.encoding_frags()[6]
+        # ToUnicode wins: 'a'->Z via bfchar, other bytes chr() fallback
+        # (the CMap stream precedes the content stream -> stream_idx 1)
+        assert P.extract_pdf_blocks(pri) == [(1, 0, 'Zbe \xe9\x80')]
 
     def test_kernels_agree(self):
         from markdown_articles_tool_spark.core import pdftext as P

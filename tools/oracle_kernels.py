@@ -536,7 +536,13 @@ def _pdf_streams(data: bytes) -> list:
             continue
         raw = data[body_start:body_end]
         w = data.rfind(b'obj', 0, s)
-        if b'/LZWDecode' in data[w if w >= 0 else 0:s]:
+        window = data[w if w >= 0 else 0:s]
+        if b'/ObjStm' in window or b'/XRef' in window:
+            # r5: object-stream / xref-stream containers are not page
+            # content — excluded from the text-stream enumeration
+            pos = e + 9
+            continue
+        if b'/LZWDecode' in window:
             try:
                 raw = _lzw_decode_twin(raw)
             except Exception:
@@ -739,7 +745,12 @@ def _pdf_name_delim(ch: str) -> bool:
 
 def _pdf_objects(view: str) -> dict:
     """{obj number: body through first endobj} — twin of _OBJ_RE."""
-    objs: dict = {}
+    return dict(_pdf_objects_list(view))
+
+
+def _pdf_objects_list(view: str) -> list:
+    """[(obj number, body)] in document order, duplicates kept."""
+    objs: list = []
     pos = 0
     n = len(view)
     while True:
@@ -774,7 +785,7 @@ def _pdf_objects(view: str) -> dict:
         e = view.find('endobj', i + 3)
         if e < 0:
             break
-        objs[int(view[m:k])] = view[i + 3:e]
+        objs.append((int(view[m:k]), view[i + 3:e]))
         pos = e + 6
     return objs
 
@@ -821,57 +832,281 @@ def _pdf_ref_after(body: str, key: str):
         return num
 
 
+def _pdf_objstm(view: str):
+    """Twin of pdftext.objstm_objects: embedded objects + payload
+    texts from /ObjStm containers.  Manual machinery: per-char integer
+    scanner over the header instead of the engine's regex findall."""
+    import zlib as _zlib
+
+    objs: dict = {}
+    texts: list = []
+    for _num, body in _pdf_objects_list(view):
+        sidx = body.find('stream')
+        window = body[:sidx] if sidx >= 0 else body
+        if '/ObjStm' not in window:
+            continue
+        payload_s = _pdf_obj_stream_raw(body)
+        if payload_s is None:
+            continue
+        if '/LZWDecode' in window:
+            try:
+                payload_s = _lzw_decode_twin(payload_s)
+            except Exception:
+                pass
+        else:
+            try:
+                payload_s = _zlib.decompress(payload_s)
+            except Exception:
+                pass
+        n = _pdf_int_after(window, '/N')
+        first = _pdf_int_after(window, '/First')
+        if n is None or first is None:
+            continue
+        text = payload_s.decode('latin-1', errors='replace')
+        if first > len(text):
+            continue
+        # header integers, scanned by hand
+        ints: list = []
+        d0 = None
+        for i, ch in enumerate(text[:first] + ' '):
+            if ch.isdigit():
+                if d0 is None:
+                    d0 = i
+            elif d0 is not None:
+                ints.append(int(text[d0:i]))
+                d0 = None
+        pairs = [(ints[2 * i], ints[2 * i + 1]) for i in range(min(n, len(ints) // 2))]
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(text)
+            objs[onum] = text[first + off:end]
+        texts.append(text)
+    return objs, texts
+
+
+def _pdf_int_after(body: str, key: str):
+    """Integer value of ``key \\s+ <int>`` where key is a complete
+    name token (so '/N' never matches '/Name')."""
+    pos = 0
+    while True:
+        i = body.find(key, pos)
+        if i < 0:
+            return None
+        j = i + len(key)
+        if j < len(body) and not _pdf_name_delim(body[j]):
+            pos = i + 1
+            continue
+        k = j
+        while k < len(body) and body[k].isspace():
+            k += 1
+        if k == j:
+            pos = i + 1
+            continue
+        d0 = k
+        while k < len(body) and body[k].isdigit():
+            k += 1
+        if k == d0:
+            pos = i + 1
+            continue
+        return int(body[d0:k])
+
+
+def _pdf_obj_stream_raw(body: str):
+    """Raw (undecoded) stream payload bytes inside an object body —
+    same boundary rule as _pdf_obj_stream / the engine regex: the
+    first ``endstream`` PRECEDED by an EOL closes the payload."""
+    bs = body.encode('latin-1')
+    s = bs.find(b'stream')
+    while s >= 0:
+        b0 = s + 6
+        if bs[b0:b0 + 2] == b'\r\n':
+            b0 += 2
+        elif bs[b0:b0 + 1] == b'\n':
+            b0 += 1
+        else:
+            s = bs.find(b'stream', s + 1)
+            continue
+        e = b0
+        while True:
+            e = bs.find(b'endstream', e)
+            if e < 0:
+                return None
+            end = e
+            if bs[end - 1:end] == b'\n':
+                end -= 1
+                if bs[end - 1:end] == b'\r':
+                    end -= 1
+                return bs[b0:end]
+            e += 1
+    return None
+
+
+def _pdf_glyph_char(name: str) -> str:
+    # AGL_SUBSET is SPEC DATA (the public Adobe Glyph List subset),
+    # imported from the engine like the BPE merge table — the parsing
+    # machinery around it is independent.  uniXXXX / uXXXXXX hex names
+    # resolve by hand here.
+    from markdown_articles_tool_spark.core.pdftext import AGL_SUBSET
+
+    got = AGL_SUBSET.get(name)
+    if got is not None:
+        return got
+    hexpart = None
+    if name.startswith('uni') and len(name) == 7:
+        hexpart = name[3:]
+    elif name.startswith('u') and 5 <= len(name) <= 7:
+        hexpart = name[1:]
+    if hexpart and all(c in '0123456789abcdefABCDEF' for c in hexpart):
+        try:
+            return chr(int(hexpart, 16))
+        except ValueError:
+            return '�'
+    return '�'
+
+
+def _pdf_base_table(enc_name):
+    if enc_name == 'WinAnsiEncoding':
+        codec = 'cp1252'
+    elif enc_name == 'MacRomanEncoding':
+        codec = 'mac_roman'
+    else:
+        return [chr(c) for c in range(256)]
+    table = []
+    for c in range(256):
+        try:
+            table.append(bytes([c]).decode(codec))
+        except UnicodeDecodeError:
+            table.append('�')
+    return table
+
+
+def _pdf_name_after(body: str, key: str):
+    """``key \\s* /Name`` → Name, or None; key must end at a delim."""
+    pos = 0
+    while True:
+        i = body.find(key, pos)
+        if i < 0:
+            return None
+        j = i + len(key)
+        if j < len(body) and not _pdf_name_delim(body[j]):
+            pos = i + 1
+            continue
+        while j < len(body) and body[j].isspace():
+            j += 1
+        if j >= len(body) or body[j] != '/':
+            pos = i + 1
+            continue
+        e = j + 1
+        while e < len(body) and not _pdf_name_delim(body[e]):
+            e += 1
+        return body[j + 1:e]
+
+
+def _pdf_encoding_table(font_body: str, objs: dict):
+    """Twin of pdftext.encoding_table — manual token scanner."""
+    direct = _pdf_name_after(font_body, '/Encoding')
+    if direct in ('WinAnsiEncoding', 'MacRomanEncoding'):
+        return _pdf_base_table(direct)
+    ref = _pdf_ref_after(font_body, '/Encoding')
+    if ref is not None:
+        enc_body = objs.get(ref)
+        if enc_body is None:
+            return None
+    else:
+        i = font_body.find('/Encoding')
+        if i < 0:
+            return None
+        j = i + 9
+        while j < len(font_body) and font_body[j].isspace():
+            j += 1
+        if font_body[j:j + 2] != '<<':
+            return None
+        close = font_body.find('>>', j + 2)
+        enc_body = font_body[j + 2:close if close >= 0 else len(font_body)]
+    base = _pdf_name_after(enc_body, '/BaseEncoding')
+    table = _pdf_base_table(base)
+    d = enc_body.find('/Differences')
+    if d >= 0:
+        o = enc_body.find('[', d)
+        if o >= 0:
+            c = enc_body.find(']', o)
+            seg = enc_body[o + 1:c if c >= 0 else len(enc_body)]
+            code = 0
+            k = 0
+            while k < len(seg):
+                ch = seg[k]
+                if ch.isdigit():
+                    d0 = k
+                    while k < len(seg) and seg[k].isdigit():
+                        k += 1
+                    code = int(seg[d0:k])
+                elif ch == '/':
+                    e = k + 1
+                    while e < len(seg) and not _pdf_name_delim(seg[e]):
+                        e += 1
+                    if 0 <= code <= 255:
+                        table[code] = _pdf_glyph_char(seg[k + 1:e])
+                    code += 1
+                    k = e
+                else:
+                    k += 1
+    return table
+
+
 def _pdf_font_cmaps(data: bytes) -> dict:
     view = data.decode('latin-1')
     objs = _pdf_objects(view)
+    stm_objs, stm_texts = _pdf_objstm(view)
+    objs.update(stm_objs)   # ObjStm-embedded objects override (r5)
     names: dict = {}
-    pos = 0
-    while True:
-        i = view.find('/Font', pos)
-        if i < 0:
-            break
-        j = i + 5
-        while j < len(view) and view[j].isspace():
-            j += 1
-        if view[j:j + 2] != '<<':
-            pos = i + 1
-            continue
-        close = view.find('>>', j + 2)
-        seg = view[j + 2:close if close >= 0 else len(view)]
-        p2 = 0
+    for body in [view] + stm_texts:
+        pos = 0
         while True:
-            s = seg.find('/', p2)
-            if s < 0:
+            i = body.find('/Font', pos)
+            if i < 0:
                 break
-            e = s + 1
-            while e < len(seg) and not _pdf_name_delim(seg[e]):
-                e += 1
-            if e == s + 1:
-                p2 = s + 1
+            j = i + 5
+            while j < len(body) and body[j].isspace():
+                j += 1
+            if body[j:j + 2] != '<<':
+                pos = i + 1
                 continue
-            # the ``\s+N\s+G\s+R`` must start right after the name
-            ref = _pdf_ref_strict(seg, e)
-            if ref is not None:
-                names[seg[s + 1:e]] = ref
-            p2 = e
-        pos = (close + 2) if close >= 0 else len(view)
+            close = body.find('>>', j + 2)
+            seg = body[j + 2:close if close >= 0 else len(body)]
+            p2 = 0
+            while True:
+                s = seg.find('/', p2)
+                if s < 0:
+                    break
+                e = s + 1
+                while e < len(seg) and not _pdf_name_delim(seg[e]):
+                    e += 1
+                if e == s + 1:
+                    p2 = s + 1
+                    continue
+                # the ``\s+N\s+G\s+R`` must start right after the name
+                ref = _pdf_ref_strict(seg, e)
+                if ref is not None:
+                    names[seg[s + 1:e]] = ref
+                p2 = e
+            pos = (close + 2) if close >= 0 else len(body)
     out: dict = {}
     for name, ref in names.items():
         font_body = objs.get(ref)
         if font_body is None:
             continue
         cm_ref = _pdf_ref_after(font_body, '/ToUnicode')
-        if cm_ref is None:
-            continue
-        cmap_body = objs.get(cm_ref)
-        if cmap_body is None:
-            continue
-        payload = _pdf_obj_stream(cmap_body)
-        if payload is None:
-            continue
-        cmap = _pdf_cmap_parse(payload)
-        if cmap:
-            out[name] = cmap
+        if cm_ref is not None:
+            cmap_body = objs.get(cm_ref)
+            if cmap_body is not None:
+                payload = _pdf_obj_stream(cmap_body)
+                if payload is not None:
+                    cmap = _pdf_cmap_parse(payload)
+                    if cmap:
+                        out[name] = ('cmap',) + cmap
+                        continue
+        table = _pdf_encoding_table(font_body, objs)
+        if table is not None:
+            out[name] = ('enc', table)
     return out
 
 
@@ -985,8 +1220,11 @@ def _pdf_tf_events(text: str) -> list:
         pos = w + 2
 
 
-def _pdf_apply_cmap(s: str, cmap) -> str:
-    width, entries = cmap
+def _pdf_apply_cmap(s: str, decoder) -> str:
+    if decoder[0] == 'enc':
+        table = decoder[1]
+        return ''.join(table[b] for b in s.encode('latin-1', errors='replace'))
+    _kind, width, entries = decoder
     bs = s.encode('latin-1', errors='replace')
     out = []
     for i in range(0, len(bs) - len(bs) % width, width):
