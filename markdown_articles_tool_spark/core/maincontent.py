@@ -38,8 +38,18 @@ tests/test_kernel_equivalence.py):
   resolved by convert_charrefs).
 * a flushed segment becomes a block iff its whitespace-normalized
   text (' '.join(raw.split())) is non-empty.
-* keep rule (integer arithmetic — no float threshold edges):
-  kept = len(norm) >= 25 AND 3 * link_raw_len <= total_raw_len.
+* CORE keep rule (integer arithmetic — no float threshold edges):
+  core = len(norm) >= 25 AND 3 * link_raw_len <= total_raw_len.
+* CONTINUATION rule (r5): a non-core block is also kept iff it is
+  link-sparse (3 * link_raw <= total_raw), shares its tag with the
+  document-adjacent block (ord +/- 1), and that neighbor is kept —
+  chaining allowed, i.e. the final kept set is the fixpoint: every
+  maximal run of same-tag link-sparse blocks touching a core block
+  on either end is kept in full.  This recovers tweet-length
+  paragraphs inside articles (the r4 short-article recall gap)
+  while leaving link-dense nav/list items dropped: eligibility
+  still requires the density test, and isolated short boilerplate
+  with no kept same-tag neighbor stays out.
 * main_text = '\n'.join(norm of kept blocks); spans carry
   (ord, tag, n_chars, link_density, kept, start, end) where
   start/end are [start, end) offsets into main_text for kept blocks
@@ -91,14 +101,39 @@ class Block:
     text: str           # whitespace-normalized
     total_raw: int
     link_raw: int
+    kept: bool = False  # finalized by _finalize_keeps (core + continuation)
 
     @property
-    def kept(self) -> bool:
+    def core(self) -> bool:
         return len(self.text) >= MIN_CHARS and LINK_DENSITY_NUM * self.link_raw <= self.total_raw
 
     @property
     def link_density(self) -> float:
         return round(self.link_raw / self.total_raw, 6) if self.total_raw else 0.0
+
+
+def _finalize_keeps(blocks: List['Block']) -> None:
+    """Core rule, then the continuation fixpoint (module docstring).
+
+    One forward + one backward sweep reaches the fixpoint: keeps only
+    ever propagate through a contiguous run of same-tag link-sparse
+    blocks, so rightward spread from any kept block is complete after
+    the forward pass and leftward spread after the backward pass.
+    """
+    for b in blocks:
+        b.kept = b.core
+
+    def eligible(b: 'Block') -> bool:
+        return LINK_DENSITY_NUM * b.link_raw <= b.total_raw
+
+    for i in range(1, len(blocks)):
+        b, prev = blocks[i], blocks[i - 1]
+        if not b.kept and prev.kept and prev.tag == b.tag and eligible(b):
+            b.kept = True
+    for i in range(len(blocks) - 2, -1, -1):
+        b, nxt = blocks[i], blocks[i + 1]
+        if not b.kept and nxt.kept and nxt.tag == b.tag and eligible(b):
+            b.kept = True
 
 
 class _Extractor(HTMLParser):
@@ -197,6 +232,7 @@ def extract_blocks(html: bytes | str | None) -> List[Block]:
     p.feed(html)
     p.close()
     p._flush(p._cur_tag())  # trailing text outside any block
+    _finalize_keeps(p.blocks)
     return p.blocks
 
 

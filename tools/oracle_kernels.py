@@ -380,8 +380,7 @@ def main_content_blocks(html) -> list:
         norm = ' '.join(''.join(t for t, _l in pieces).split())
         pieces = []
         if norm:
-            kept = len(norm) >= _MC_MIN_CHARS and 3 * link_raw <= total
-            blocks.append((len(blocks), tag, norm, total, link_raw, kept))
+            blocks.append((len(blocks), tag, norm, total, link_raw))
 
     for kind, payload, attrs in _mc_events(html):
         if kind == 'data':
@@ -425,7 +424,29 @@ def main_content_blocks(html) -> list:
             elif tag in ('br', 'hr') or tag in _MC_BLOCK:
                 flush(stack[-1] if stack else 'body')
     flush(stack[-1] if stack else 'body')
-    return blocks
+
+    # keep finalization, TWIN MACHINERY: core rule, then the r5
+    # continuation fixpoint as an iterate-until-stable loop checking
+    # BOTH neighbors each round (the engine uses one forward + one
+    # backward sweep; the spec result — every maximal run of same-tag
+    # link-sparse blocks touching a core block is kept — is identical)
+    n = len(blocks)
+    kept = [len(b[2]) >= _MC_MIN_CHARS and 3 * b[4] <= b[3] for b in blocks]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n):
+            if kept[i]:
+                continue
+            _ordi, tag, _norm, total, link_raw = blocks[i]
+            if 3 * link_raw > total:
+                continue
+            near = ((i > 0 and kept[i - 1] and blocks[i - 1][1] == tag) or
+                    (i + 1 < n and kept[i + 1] and blocks[i + 1][1] == tag))
+            if near:
+                kept[i] = True
+                changed = True
+    return [b + (kept[i],) for i, b in enumerate(blocks)]
 
 
 def main_content_text(blocks) -> str:
