@@ -39,6 +39,10 @@ def main() -> None:
                     help='incremental MinHash-band near-dup dedup over (url, text) '
                          'pages: drains new files exactly-once, writes kept/dropped '
                          'verdicts under out/verdicts')
+    ap.add_argument('--verify-threshold', type=float, default=None,
+                    help='with --neardup-stream: rescore dropped candidates by exact '
+                         'word-3-gram Jaccard against their collision partners; keep '
+                         'unless any partner scores >= this (writes out/verified)')
     args = ap.parse_args()
 
     from markdown_articles_tool_spark.session import get_spark
@@ -48,13 +52,18 @@ def main() -> None:
     if args.neardup_stream:
         from markdown_articles_tool_spark.streaming.neardup_dedup import (
             read_verdicts,
+            read_verified,
             start_neardup_dedup,
         )
 
-        start_neardup_dedup(spark, args.input, args.output)
+        start_neardup_dedup(spark, args.input, args.output,
+                            verify_threshold=args.verify_threshold)
         kept = read_verdicts(spark, args.output).where('kept').count()
         total = read_verdicts(spark, args.output).count()
         print(f'near-dup stream drained: {kept}/{total} urls kept')
+        if args.verify_threshold is not None:
+            vk = read_verified(spark, args.output).where('kept_verified').count()
+            print(f'verified at jaccard<{args.verify_threshold}: {vk}/{total} urls kept')
         spark.stop()
         return
     if args.pdf:

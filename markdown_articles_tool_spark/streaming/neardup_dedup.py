@@ -26,13 +26,35 @@ SEMANTICS (documented contract, deliberately different from batch
 independent set in arrival order over the LSH candidate graph — a doc
 is dropped when ANY band bucket collides with ANY earlier doc
 (including an earlier *dropped* doc, whose fresh buckets register).
-This is candidate-level dedup: there is NO exact-Jaccard verify pass,
-so precision is bounded by the banding false-positive rate (two docs
-sharing one 4-row band at k=64/b=16 ≈ J^4 per band); recall of true
-near-dups equals the batch LSH candidate recall (1-(1-J^r)^b).  The
-batch path keeps the min-id representative per connected component;
-the streaming path keeps the earliest arrival — same cardinality
-class, different (order-dependent) representatives.
+By default this is candidate-level dedup: there is NO exact-Jaccard
+verify pass, so precision is bounded by the banding false-positive
+rate (two docs sharing one 4-row band at k=64/b=16 ≈ J^4 per band);
+recall of true near-dups equals the batch LSH candidate recall
+(1-(1-J^r)^b).  The batch path keeps the min-id representative per
+connected component; the streaming path keeps the earliest arrival —
+same cardinality class, different (order-dependent) representatives.
+
+**Optional exact-Jaccard verify** (``verify_threshold=``, r4 judge #7):
+stage B records WHICH earlier docs a candidate collided with (the
+bucket registrants, ``partners``), and a downstream idempotent batch
+pass per invocation (`verify_verdicts`) joins both texts from the
+landing table — never from state — and scores each dropped candidate's
+max word-n-gram Jaccard against its partners with the batch
+``jaccard_pairs`` kernel (``prefilter=True``: the collision set is a
+sliver of the corpus).  ``kept_verified = kept OR max_partner_jaccard
+< threshold`` — banding false positives are rescued, true near-dups
+stay dropped, closing the documented precision gap to the batch
+contract.  The verify output (``verified/``) is exactly-once across
+invocations and restarts via a left-anti join on already-verified
+urls.  A rescued doc's fresh buckets stay registered (stage A already
+committed them), so later docs colliding with a rescued doc verify
+against the rescued doc's text — the same semantics as the batch
+LSH-verify path, which scores candidates regardless of keep status.
+
+COMPAT: r5 widened the stage outputs (stage A gained ``first_url``,
+stage B gained ``partners``) — pre-r5 ``bands``/``verdicts`` sinks and
+their checkpoints must be reset (same rule as the stateful exact
+dedup's r4 key change, see ``stateful_dedup.py``).
 
 Scale shape: state is one (band_hash, first_url) row per distinct
 bucket in stage A (the streaming dedup index; RocksDB backend on a
@@ -52,16 +74,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .. import corpus
-from ..training.dedup import make_minhash_udf
+from ..training.dedup import jaccard_pairs, make_minhash_udf
 
 K = 64
 BANDS = 16
 
-BAND_OUTPUT = 'band int, band_hash long, url string, is_first boolean'
+BAND_OUTPUT = 'band int, band_hash long, url string, is_first boolean, first_url string'
 BAND_STATE = 'first_url string'
 
-VERDICT_OUTPUT = 'url string, kept boolean, n_matched int'
-VERDICT_STATE = 'n_seen int, n_matched int, emitted boolean'
+VERDICT_OUTPUT = 'url string, kept boolean, n_matched int, partners array<string>'
+VERDICT_STATE = 'n_seen int, n_matched int, emitted boolean, partners string'
+
+# partner urls are \x1f-joined inside the (flat-typed) GroupState row
+_PARTNER_SEP = '\x1f'
 
 
 def band_rows(pages, k: int = K, bands: int = BANDS):
@@ -101,6 +126,8 @@ def _register_fn(
         'url': batch['url'],
         # only the single registrant of a previously-empty bucket
         'is_first': [u == first for u in batch['url']],
+        # the registrant = the collision partner for every other row
+        'first_url': first,
     })
 
 
@@ -114,19 +141,25 @@ def _make_fold_fn(n_bands: int):
         batch = pd.concat(dfs, ignore_index=True)
         if not len(batch):
             return
-        n_seen, n_matched, emitted = state.get if state.exists else (0, 0, False)
+        n_seen, n_matched, emitted, partners = (
+            state.get if state.exists else (0, 0, False, '')
+        )
         if emitted:
             return
         n_seen += len(batch)
-        n_matched += int((~batch['is_first']).sum())
+        collided = batch.loc[~batch['is_first'], 'first_url']
+        n_matched += len(collided)
+        seen = set(partners.split(_PARTNER_SEP)) if partners else set()
+        seen.update(collided)
+        partners = _PARTNER_SEP.join(sorted(seen))
         if n_seen >= n_bands:
-            state.update((n_seen, n_matched, True))
+            state.update((n_seen, n_matched, True, partners))
             yield pd.DataFrame(
-                [(key[0], n_matched == 0, n_matched)],
-                columns=['url', 'kept', 'n_matched'],
+                [(key[0], n_matched == 0, n_matched, sorted(seen))],
+                columns=['url', 'kept', 'n_matched', 'partners'],
             )
         else:
-            state.update((n_seen, n_matched, False))
+            state.update((n_seen, n_matched, False, partners))
 
     return fold_fn
 
@@ -153,6 +186,57 @@ def fold_verdicts(bands_stream, bands: int = BANDS):
     )
 
 
+def verify_verdicts(
+    spark: SparkSession,
+    output_dir: str,
+    input_dir: str,
+    threshold: float,
+    ngram_n: int = 3,
+) -> None:
+    """Downstream batch verify pass (module docstring, 'Optional
+    exact-Jaccard verify'): for every verdict url not yet verified,
+    score dropped candidates' word-``ngram_n``-gram Jaccard against
+    each collision partner's text from the landing table and append
+    ``(url, kept, n_matched, max_partner_jaccard, kept_verified)`` to
+    ``output_dir/verified``.  Idempotent across invocations/restarts:
+    already-verified urls are anti-joined away, and a failed append
+    leaves only uncommitted staging files."""
+    verified_path = os.path.join(output_dir, 'verified')
+    new = read_verdicts(spark, output_dir)
+    try:
+        done = spark.read.parquet(verified_path).select('url')
+    except Exception:
+        done = None
+    if done is not None:
+        new = new.join(done, 'url', 'left_anti')
+    if not new.take(1):
+        return
+    pages = (
+        spark.read.schema(corpus.PAGES_SCHEMA).parquet(input_dir)
+        .select(F.col('url').alias('doc_id'), 'text')
+    )
+    pairs = (
+        new.where(~F.col('kept'))
+        .select(F.col('url').alias('a_id'), F.explode('partners').alias('b_id'))
+    )
+    # collisions are a sliver of the corpus -> keep the gram prefilter on
+    maxj = (
+        jaccard_pairs(pages, pairs, n=ngram_n, prefilter=True)
+        .groupBy('a_id').agg(F.max('jaccard').alias('max_partner_jaccard'))
+        .withColumnRenamed('a_id', 'url')
+    )
+    (
+        new.join(maxj, 'url', 'left')
+        .select(
+            'url', 'kept', 'n_matched',
+            F.coalesce('max_partner_jaccard', F.lit(0.0)).alias('max_partner_jaccard'),
+            (F.col('kept') | (F.coalesce('max_partner_jaccard', F.lit(0.0)) < threshold))
+            .alias('kept_verified'),
+        )
+        .write.mode('append').parquet(verified_path)
+    )
+
+
 def start_neardup_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -160,11 +244,16 @@ def start_neardup_dedup(
     k: int = K,
     bands: int = BANDS,
     max_files_per_trigger: int | None = None,
+    verify_threshold: float | None = None,
+    ngram_n: int = 3,
 ) -> None:
     """Run both stages with availableNow triggers: drains the new input
     files through stage A into ``output_dir/bands``, then stage B into
     ``output_dir/verdicts``.  Each url gets exactly one verdict row
-    across all invocations and restarts (both stages checkpoint)."""
+    across all invocations and restarts (both stages checkpoint).
+    With ``verify_threshold`` set, a third idempotent batch pass
+    (`verify_verdicts`) rescores dropped candidates by exact n-gram
+    Jaccard into ``output_dir/verified``."""
     reader = spark.readStream.schema(corpus.PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option('maxFilesPerTrigger', max_files_per_trigger)
@@ -192,15 +281,28 @@ def start_neardup_dedup(
         .start()
     )
     qb.awaitTermination()
+    if verify_threshold is not None:
+        verify_verdicts(spark, output_dir, input_dir, verify_threshold, ngram_n)
 
 
 def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, 'verdicts'))
 
 
-def read_kept(spark: SparkSession, output_dir: str, input_dir: str) -> DataFrame:
+def read_verified(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, 'verified'))
+
+
+def read_kept(
+    spark: SparkSession, output_dir: str, input_dir: str, verified: bool = False
+) -> DataFrame:
     """Kept documents with their text (batch join of the tiny verdict
-    table back to the page store — content never rode the stream)."""
-    kept = read_verdicts(spark, output_dir).where('kept').select('url')
+    table back to the page store — content never rode the stream).
+    ``verified=True`` uses the exact-Jaccard-verified keep set
+    (requires a ``verify_threshold`` run)."""
+    if verified:
+        kept = read_verified(spark, output_dir).where('kept_verified').select('url')
+    else:
+        kept = read_verdicts(spark, output_dir).where('kept').select('url')
     pages = spark.read.schema(corpus.PAGES_SCHEMA).parquet(input_dir).select('url', 'text')
     return pages.join(kept, 'url')
