@@ -408,6 +408,27 @@ def q_embedding_neardup_exact(spark, sf_dir):
     ).orderBy('a_id', 'b_id')
 
 
+def q_lineage(spark, sf_dir):
+    """North rule: per-partition lineage + metrics as a first-class
+    queryable output, over a genuinely RESUMED sharded run — the
+    checkpointed transform runs once (4 shards), then again (the resume
+    must skip every committed shard), and the per-(pass, shard, status)
+    lineage table is what both runs agree on.  Oracle twin: shard
+    assignment re-derived via a stdlib XXH64 reimplementation + the
+    sequential per-link status taxonomy (tools/oracle_extract.py)."""
+    import tempfile
+
+    from markdown_articles_tool_spark.checkpoint import lineage_df, run_with_resume
+
+    out_dir = tempfile.mkdtemp(prefix='mats-lineage-')
+    docs = _corpus_docs(spark, sf_dir)
+    cfg = _transform_cfg()
+    run_with_resume(spark, docs, cfg, out_dir, n_shards=4)
+    rep = run_with_resume(spark, docs, cfg, out_dir, n_shards=4)
+    assert rep.shards_run == [], 'resumed run must skip all committed shards'
+    return lineage_df(spark, out_dir).orderBy('pass_idx', 'shard', 'status')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         'transform_corpus': q_transform_corpus,
@@ -442,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_topk': q_ann_ivf_topk,
         'embedding_neardup': q_embedding_neardup,
         'embedding_neardup_exact': q_embedding_neardup_exact,
+        'lineage': q_lineage,
     }
 
 
@@ -537,6 +559,10 @@ def oracle_sql() -> dict[str, str]:
             'ann_ivf_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'
         ),
         'embedding_neardup': _ref('embedding_neardup', 'a_id, b_id', _EMB_SKEY, 'a_id, b_id'),
+        'lineage': _ref(
+            'lineage', 'pass_idx, shard, n_docs, n_links, status, n_status',
+            _DOC_SKEY, 'pass_idx, shard, status',
+        ),
         'pricing_summary': """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -238,6 +238,37 @@ def lineage(out_dir: str) -> List[dict]:
     return _lineage_rows(out_dir, 'shard-')
 
 
+def lineage_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Shard lineage as a queryable DataFrame (north rule: per-partition
+    lineage + metrics are a first-class OUTPUT, not a log) — one row per
+    (pass, shard, link status) with the shard's doc/link totals.
+    Deterministic columns only: ``wall_sec`` stays in the JSON (it is a
+    metric, not a fact about the data).  ``explode_outer`` + '(none)'
+    keeps shards that staged zero links visible with their n_docs —
+    at corpus scale an empty shard is a skew signal, not a non-event."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, MapType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField('pass', IntegerType()),
+        StructField('shard', IntegerType()),
+        StructField('n_docs', LongType()),
+        StructField('n_links', LongType()),
+        StructField('status_counts', MapType(StringType(), LongType())),
+        StructField('wall_sec', DoubleType()),
+    ])
+    raw = spark.read.schema(schema).json(os.path.join(out_dir, 'lineage', 'shard-*.json'))
+    return (
+        raw.select(
+            F.col('pass').alias('pass_idx'), 'shard', 'n_docs', 'n_links',
+            F.explode_outer('status_counts').alias('status', 'n_status'),
+        )
+        .withColumn('status', F.coalesce('status', F.lit('(none)')))
+        .withColumn('n_status', F.coalesce('n_status', F.lit(0)))
+    )
+
+
 def pass_lineage(out_dir: str) -> List[dict]:
     """Per-pass global rows (phase B)."""
     return _lineage_rows(out_dir, 'pass-')

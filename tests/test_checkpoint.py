@@ -79,6 +79,68 @@ def test_lineage_rows(spark, docs, tmp_path):
     assert len(prows) == 1 and prows[0]['n_docs_out'] == 24
 
 
+def test_xxhash64_twin_matches_spark(spark):
+    """The stdlib XXH64 reimplementation the lineage oracle shards with
+    is bit-identical to Spark's xxhash64() over UTF-8 string bytes —
+    empty, short, 8/4-byte-word, 32-byte-stripe, and multibyte cases."""
+    import random
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    from oracle_extract import xxhash64_spark
+
+    rng = random.Random(42)
+    cases = ['', 'a', 'abc', 'x' * 31, 'y' * 32, 'z' * 100,
+             'https://h0.example.com/articles/7.md', 'héllo wörld ü££'] + [
+        ''.join(rng.choices('abcdefghij:/._-é', k=rng.randint(0, 90))) for _ in range(30)
+    ]
+    got = {r['u']: r['h'] for r in spark.createDataFrame(
+        [(c,) for c in cases], 'u string'
+    ).selectExpr('u', 'xxhash64(u) as h').collect()}
+    for c in cases:
+        assert got[c] == xxhash64_spark(c.encode('utf-8')), c
+
+
+def test_lineage_df_matches_independent_twin(spark, docs, tmp_path):
+    """lineage_df over a RESUMED run == the sequential twin: shard
+    assignment via the XXH64 reimplementation, per-link statuses via
+    oracle_extract.link_status — the engine's staged-links lineage and
+    an independent single-threaded walk must agree row-for-row."""
+    import sys as _sys
+    from collections import defaultdict
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    from oracle_extract import link_status, md_image_links, shard_of
+
+    from markdown_articles_tool_spark.checkpoint import lineage_df
+
+    out = str(tmp_path / 'out')
+    cfg = TransformConfig(skip_all_errors=True)
+    run_with_resume(spark, docs, cfg, out, n_shards=3)
+    rep = run_with_resume(spark, docs, cfg, out, n_shards=3)  # resumed
+    assert rep.shards_run == []
+
+    got = sorted(
+        tuple(r) for r in lineage_df(spark, out)
+        .select('pass_idx', 'shard', 'n_docs', 'n_links', 'status', 'n_status').collect()
+    )
+
+    assets = corpus.ModelAssetStore()
+    n_docs, n_links = defaultdict(int), defaultdict(int)
+    counts = defaultdict(lambda: defaultdict(int))
+    for url, text in corpus.docs_list(24):
+        k = shard_of(url, 3)
+        n_docs[k] += 1
+        for src, _w, _h in md_image_links(text):
+            n_links[k] += 1
+            counts[k][link_status(cfg, url, src, assets)] += 1
+    want = sorted(
+        (0, k, n_docs[k], n_links[k], s, c)
+        for k in range(3) for s, c in counts[k].items()
+    )
+    assert got == want
+
+
 def test_sharded_equals_global_on_dup_heavy_corpus(spark, tmp_path):
     """The r2 gate: sharded-resume output == non-sharded output,
     byte-for-byte, on a dup-heavy corpus with content-hash dedup —

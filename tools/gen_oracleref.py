@@ -49,7 +49,12 @@ from markdown_articles_tool_spark.core.linkflow import DedupVariant, TransformCo
 # ModelAssetStore) and the TransformConfig dataclass (configuration,
 # duck-typed by the independent oracle) — no extraction/fold code.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from oracle_extract import IndependentOracle, md_image_links  # noqa: E402
+from oracle_extract import (  # noqa: E402
+    IndependentOracle,
+    link_status,
+    md_image_links,
+    shard_of,
+)
 from oracle_kernels import (  # noqa: E402
     cosine as cosine_seq,
     ivf_assign,
@@ -123,6 +128,34 @@ def gen_corpus(sf_dir: str, skey: int, out: dict) -> None:
 
         for bucket, ratio, ent in media_features_seq(content):
             out['media_features'].append((skey, path, bucket, ratio, ent))
+
+
+def gen_lineage(sf_dir: str, skey: int, out: dict, n_shards: int = 4) -> None:
+    """Sequential twin of the shard lineage a resumed
+    checkpoint.run_with_resume writes (surfaced by lineage_df): shard
+    assignment via the XXH64-at-seed-42 reimplementation (Spark's
+    xxhash64 pmod), per-link statuses via oracle_extract.link_status.
+    Single-pass configs only (the driver query's cfg is ('md',))."""
+    n = _corpus_n(sf_dir)
+    docs = corpus.docs_list(n)
+    cfg = TransformConfig(skip_all_errors=True, deduplication=DedupVariant.CONTENT_HASH)
+    assert len(cfg.input_formats) == 1
+    assets = corpus.ModelAssetStore()
+    n_docs = [0] * n_shards
+    n_links = [0] * n_shards
+    counts: list = [defaultdict(int) for _ in range(n_shards)]
+    for url, text in docs:
+        k = shard_of(url, n_shards)
+        n_docs[k] += 1
+        for src, _w, _h in md_image_links(text):
+            n_links[k] += 1
+            counts[k][link_status(cfg, url, src, assets)] += 1
+    for k in range(n_shards):
+        if not counts[k]:
+            out['lineage'].append((skey, 0, k, n_docs[k], 0, '(none)', 0))
+            continue
+        for status, c in sorted(counts[k].items()):
+            out['lineage'].append((skey, 0, k, n_docs[k], n_links[k], status, c))
 
 
 def gen_host_stats(sf_dir: str, skey: int, out: dict) -> None:
@@ -496,6 +529,11 @@ SCHEMAS = {
     'embedding_neardup': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64())]
     ),
+    'lineage': pa.schema(
+        [('skey', pa.int64()), ('pass_idx', pa.int32()), ('shard', pa.int32()),
+         ('n_docs', pa.int64()), ('n_links', pa.int64()),
+         ('status', pa.string()), ('n_status', pa.int64())]
+    ),
 }
 
 
@@ -506,6 +544,7 @@ def main() -> None:
         dk, ek = doc_skey(sf_dir), emb_skey(sf_dir)
         print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
         gen_corpus(sf_dir, dk, out)
+        gen_lineage(sf_dir, dk, out)
         gen_host_stats(sf_dir, dk, out)
         gen_main_content(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)

@@ -966,3 +966,125 @@ class IndependentOracle:
         if not need_rescaling:
             return content
         return b'RESIZED:%dx%d:' % (w if w is not None else -1, h if h is not None else -1) + content
+
+
+# --------------------------------------------------------------------------
+# Shard-lineage twins (checkpoint.run_with_resume's per-(pass, shard)
+# metrics rows, surfaced as a queryable table by checkpoint.lineage_df).
+# Two pieces, both stdlib-only second implementations:
+#   * xxhash64_spark — the XXH64 spec (public, xxhash.com) at seed 42,
+#     which is exactly Spark's `xxhash64()` over a string column's
+#     UTF-8 bytes; shard assignment in run_with_resume is
+#     pmod(xxhash64(url), n).  Pinned bit-for-bit against Spark in
+#     tests/test_checkpoint.py.
+#   * link_status — the per-link status taxonomy of
+#     pipeline.extract_pass_links (skipped / mime_drop / error /
+#     no_filename / ok) re-derived sequentially from the same
+#     reference semantics the fold above mirrors.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XXP2) & _M64
+    return (_rotl64(acc, 31) * _XXP1) & _M64
+
+
+def xxhash64_spark(data: bytes, seed: int = 42) -> int:
+    """XXH64(data, seed) as a SIGNED 64-bit int — bit-identical to
+    Spark SQL's ``xxhash64(<string col>)`` (whose default seed is 42)
+    over the column's UTF-8 bytes."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            v1 = _xx_round(v1, int.from_bytes(data[i:i + 8], 'little')); i += 8
+            v2 = _xx_round(v2, int.from_bytes(data[i:i + 8], 'little')); i += 8
+            v3 = _xx_round(v3, int.from_bytes(data[i:i + 8], 'little')); i += 8
+            v4 = _xx_round(v4, int.from_bytes(data[i:i + 8], 'little')); i += 8
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xx_round(0, int.from_bytes(data[i:i + 8], 'little'))
+        h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], 'little') * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def shard_of(url: str, n_shards: int) -> int:
+    """checkpoint.run_with_resume's pmod(xxhash64(url), n) twin —
+    Python's % on the signed hash IS pmod for positive n."""
+    return xxhash64_spark(url.encode('utf-8')) % n_shards
+
+
+def link_status(cfg, url: str, src: str, remote_assets,
+                local_assets: Optional[Dict[str, bytes]] = None) -> str:
+    """Status taxonomy twin of pipeline.extract_pass_links (the staged
+    links rows whose per-shard counts run_with_resume records as
+    lineage): 'skipped' (P2 skip list, checked first), 'mime_drop'
+    (P3 gate on the RESOLVED url), 'error' (failed/4xx fetch or the
+    content-type KeyError quirk), 'no_filename' (F7 returned None),
+    else 'ok'.  One status per extracted link OCCURRENCE — the links
+    table never dedupes srcs (dedup happens in the fold, not here)."""
+    if src in cfg.skip_list:
+        return 'skipped'
+    if cfg.derive_base_url_from_doc_url:
+        base_url = get_base_url(url) or ''
+    else:
+        base_url = cfg.paths.article_base_url or ''
+    if is_url(src):
+        download_url = src
+    elif base_url:
+        download_url = f'{base_url}/{src}'
+    else:
+        download_url = _pp_str(*_pp_join(_pp_parent(cfg.paths.article_file_path), src))
+    if not cfg.download_incorrect_mime_types and guess_mime(download_url) is None:
+        return 'mime_drop'
+    if is_url(download_url):
+        key = fetch_key(download_url)
+        asset = remote_assets.get(key)
+        if asset is None or asset.status >= 400:
+            return 'error'
+        try:
+            filename = filename_from_url(
+                asset.final_url or key, asset.content_type, asset.content_disposition
+            )
+        except KeyError:
+            return 'error'   # req.headers['content-type'] quirk
+    else:
+        if local_assets is None or download_url not in local_assets:
+            return 'error'
+        filename = download_url.rsplit('/', 1)[-1]
+    if filename is None:
+        return 'no_filename'
+    return 'ok'
