@@ -405,8 +405,105 @@ def run_dual() -> None:
     }))
 
 
+def run_skew() -> None:
+    """Measured hot-host skew row (r4 judge #8): time a POLITENESS-
+    constrained fetch (per-host interval floor, the live fetcher's
+    mechanics over modeled bytes) of a deliberately skewed key corpus
+    (>=50% of URLs on ONE host) under three partitionings:
+
+    * even_key_spread — the modeled-fetcher default.  Fastest wall, but
+      the hot host is hit from EVERY partition concurrently: the
+      per-host interval is only enforced per-worker, so the cluster-
+      wide rate against the host is partitions/interval — the
+      politeness contract is broken.  Reference upper bound.
+    * host_colocated_unsalted — repartition by host alone.  Politeness
+      holds (1 stream), but the hot host serializes into ONE task
+      while the rest of the cluster idles: the skew failure mode.
+    * host_salted_4 — the production salt_by_host path
+      (repartition on (xxhash64(host), pmod(xxhash64(key), 4))): the
+      hot host spreads over exactly 4 partitions, bounding the
+      cluster-wide rate at 4/interval while recovering 4x the
+      parallelism the unsalted co-location threw away.
+
+    Emits ONE JSON line with wall seconds + the number of partitions
+    the hot host actually lands on (the politeness bound) per variant.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from markdown_articles_tool_spark.operators.fetch import (
+        FETCH_DERIVED_SCHEMA,
+        derive_fetched,
+        fetch_distinct,
+        polite_model_fetcher,
+    )
+    from markdown_articles_tool_spark.session import get_spark
+
+    n_hot = int(os.environ.get('SPARK_GRAFT_SKEW_HOT', '1200'))
+    n_cold = int(os.environ.get('SPARK_GRAFT_SKEW_COLD', '800'))
+    interval = float(os.environ.get('SPARK_GRAFT_SKEW_INTERVAL', '0.01'))
+    spark = get_spark(app_name='mats-skew', master=f'local[{CPUS}]', shuffle_partitions=CPUS)
+
+    urls = [f'https://hot.example.com/img/{i}.png' for i in range(n_hot)] + [
+        f'https://c{i % 40}.example.com/img/{i}.png' for i in range(n_cold)
+    ]
+    links = spark.createDataFrame([(u,) for u in urls], 'fetch_key string')
+    fetcher = polite_model_fetcher(interval)
+    host = F.regexp_extract('fetch_key', r'^[a-zA-Z]+://([^/]+)', 1)
+    base = links.distinct()
+
+    variants = {
+        'even_key_spread': base.repartition(CPUS, F.xxhash64('fetch_key')),
+        'host_colocated_unsalted': base.repartition(CPUS, F.xxhash64(host)),
+    }
+
+    walls, hot_parts = {}, {}
+    for name, keys in variants.items():
+        hot_parts[name] = (
+            keys.withColumn('p', F.spark_partition_id())
+            .where(host == 'hot.example.com').select('p').distinct().count()
+        )
+        best = float('inf')
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(keys.mapInPandas(derive_fetched(fetcher), schema=FETCH_DERIVED_SCHEMA))
+            best = min(best, time.perf_counter() - t0)
+        walls[name] = round(best, 3)
+
+    # the production path, exactly as pipeline.extract_pass_links calls it
+    salt = F.pmod(F.xxhash64('fetch_key'), F.lit(4))
+    hot_parts['host_salted_4'] = (
+        base.repartition(CPUS, F.xxhash64(host), salt)
+        .withColumn('p', F.spark_partition_id())
+        .where(host == 'hot.example.com').select('p').distinct().count()
+    )
+    best = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(fetch_distinct(links, 'fetch_key', fetcher, parallelism=CPUS, salt_by_host=True))
+        best = min(best, time.perf_counter() - t0)
+    walls['host_salted_4'] = round(best, 3)
+
+    print(json.dumps({
+        'metric': 'polite fetch wall over a hot-host key corpus (politeness-conforming '
+                  'variants: host_salted_4 vs host_colocated_unsalted; even_key_spread '
+                  'is the rate-UNBOUNDED reference)',
+        'value': walls['host_salted_4'],
+        'unit': 'sec',
+        'walls_sec': walls,
+        'hot_host_partitions': hot_parts,
+        'salted_speedup_vs_unsalted_colocation': round(
+            walls['host_colocated_unsalted'] / walls['host_salted_4'], 2
+        ),
+        'n_hot': n_hot, 'n_cold': n_cold, 'per_host_interval_sec': interval,
+        'cpus': CPUS,
+    }))
+
+
 if __name__ == '__main__':
     if '--dual' in sys.argv:
         run_dual()
+    elif '--skew' in sys.argv:
+        run_skew()
     else:
         run_bench()

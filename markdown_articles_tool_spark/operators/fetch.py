@@ -104,6 +104,48 @@ def model_fetcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def polite_model_fetcher(per_host_interval: float = 0.0) -> Fetcher:
+    """The modeled fetcher behind the live fetcher's POLITENESS loop —
+    host-grouped batches with a per-host interval floor (the same
+    last-hit/sleep mechanics as ``live_fetcher``), serving
+    deterministic corpus bytes instead of HTTP.  Exists so the
+    salt-by-host skew behavior is MEASURABLE offline (bench.py --skew):
+    a politeness-constrained fetch is exactly where hot-host skew
+    bites, and the sandbox has no network to show it with."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        from ..corpus import model_asset
+
+        last_hit: dict = {}
+        for pdf in batches:
+            pdf = pdf.assign(_host=pdf['fetch_key'].str.extract(r'^[a-zA-Z]+://([^/]+)')[0])
+            rows = []
+            for _host, grp in pdf.groupby('_host', dropna=False, sort=True):
+                for key in grp['fetch_key']:
+                    if per_host_interval > 0:
+                        prev = last_hit.get(_host)
+                        now = time.monotonic()
+                        if prev is not None and now - prev < per_host_interval:
+                            time.sleep(per_host_interval - (now - prev))
+                        last_hit[_host] = time.monotonic()
+                    a = model_asset(key)
+                    if a is None:
+                        rows.append((key, None, None, None, None, 599))
+                    else:
+                        rows.append(
+                            (key, a.final_url or key, a.content, a.content_type,
+                             a.content_disposition, a.status)
+                        )
+            yield pd.DataFrame(
+                rows, columns=['fetch_key', 'final_url', 'content', 'content_type',
+                               'content_disposition', 'fetch_status']
+            )
+
+    return fetch
+
+
 def local_store_fetcher(local_assets: dict) -> Fetcher:
     """Local-file reads modeled from an in-memory dict (S5)."""
 

@@ -189,3 +189,46 @@ def test_salt_by_host_reaches_the_fetch_exchange(spark):
     a = {r['url']: r['text_out'] for r in transform_documents(docs, base).docs_out.collect()}
     b = {r['url']: r['text_out'] for r in transform_documents(docs, salted_cfg).docs_out.collect()}
     assert a == b
+
+
+def test_polite_model_fetcher_matches_model_fetcher(monkeypatch):
+    """polite_model_fetcher == model_fetcher row-for-row (modeled
+    corpus URLs and unknown-host 599s alike) — only ORDER differs
+    (host-grouped) — and it sleeps exactly the same-host gaps the
+    live fetcher would (bench.py --skew relies on both properties)."""
+    import time as time_mod
+
+    from markdown_articles_tool_spark.corpus import doc_text, doc_url
+    from markdown_articles_tool_spark.operators.fetch import (
+        model_fetcher,
+        polite_model_fetcher,
+    )
+    from markdown_articles_tool_spark.core.mdparse import extract_md_img_srcs
+    from markdown_articles_tool_spark.core.wwwtools import get_base_url
+
+    # real modeled-corpus image URLs (resolved like the pipeline does)
+    urls = []
+    for i in range(4):
+        base = get_base_url(doc_url(i))
+        for src in extract_md_img_srcs(doc_text(i)):
+            urls.append(src if src.startswith('http') else f'{base}/{src}')
+    urls = sorted(set(urls))[:10] + ['https://nowhere.example/missing.png']
+
+    sleeps = []
+    monkeypatch.setattr(time_mod, 'sleep', lambda s: sleeps.append(round(s, 3)))
+
+    def rows(fetcher):
+        batch = pd.DataFrame({'fetch_key': urls})
+        out = pd.concat(list(fetcher(iter([batch]))), ignore_index=True)
+        return {
+            r.fetch_key: (r.final_url, bytes(r.content) if r.content is not None else None,
+                          r.content_type, r.fetch_status)
+            for r in out.itertuples()
+        }
+
+    assert rows(polite_model_fetcher(0.5)) == rows(model_fetcher)
+    # same-host gaps slept: hosts with k>1 urls contribute k-1 sleeps
+    from collections import Counter
+    per_host = Counter(u.split('/')[2] for u in urls)
+    assert len(sleeps) == sum(k - 1 for k in per_host.values())
+    assert all(0 < s <= 0.5 for s in sleeps)
