@@ -44,6 +44,58 @@ def exact_dedup(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
     )
 
 
+def dedup_lines(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Corpus-wide exact LINE dedup (the CCNet-style boilerplate
+    remover: repeated nav/footer/banner lines across a crawl collapse
+    to their first occurrence).
+
+    Spec: lines = split(text, '\\n'); norm = trim (ASCII-space) of the
+    line; content lines (norm != '') dedupe corpus-wide on the EXACT
+    normalized string with the winner = minimum (id, line index) — the
+    same line repeated later in the SAME document also drops.  Output
+    one row per document with at least one content line: (id,
+    n_lines, n_kept, text_dedup = '\\n'-join of kept norms in document
+    order).
+
+    Plan shape: posexplode to narrow (id, idx, norm) rows, ONE hash
+    exchange on ``sha2(norm, 256)`` — a fixed 32-byte shuffle key, the
+    raw line never keys an exchange (same digest-key rule as
+    exact_dedup; sha equality stands in at 2^-128 odds) — a window
+    row_number picks winners, then one exchange back on id for the
+    per-document fold.  Dup-group sizes are bounded by corpus
+    repetition, not corpus size, so the window sort is O(group) —
+    scales to crawl corpora.
+    """
+    from pyspark.sql import Window
+
+    from .util import ensure_parallelism
+
+    lines = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias('_id'),
+            F.posexplode(F.split(F.col(text_col), '\n')).alias('idx', 'line'),
+        )
+        .select('_id', 'idx', F.trim('line').alias('norm'))
+        .where(F.col('norm') != '')
+    )
+    w = Window.partitionBy(F.sha2(F.encode('norm', 'utf-8'), 256)).orderBy('_id', 'idx')
+    flagged = lines.withColumn('rn', F.row_number().over(w))
+    kept_struct = F.when(F.col('rn') == 1, F.struct('idx', 'norm'))
+    return (
+        flagged.groupBy('_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_lines'),
+            F.sum(F.when(F.col('rn') == 1, 1).otherwise(0)).cast('long').alias('n_kept'),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s['norm']),
+                '\n',
+            ).alias('text_dedup'),
+        )
+        .withColumnRenamed('_id', id_col)
+    )
+
+
 # ------------------------------------------------------- n-gram jaccard
 
 

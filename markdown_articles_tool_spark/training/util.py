@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -25,9 +23,6 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-_obs_counter = itertools.count()
-
-
 def capped_buckets(
     banded: DataFrame,
     group_cols,
@@ -37,8 +32,8 @@ def capped_buckets(
     observation=None,
 ):
     """groupBy(group_cols) → (*group_cols, items array) inverted-index
-    buckets, with buckets larger than ``max_bucket`` DROPPED and the
-    drops LOGGED as Spark observed metrics.
+    buckets, with buckets larger than ``max_bucket`` DROPPED — and the
+    drops observable as Spark metrics when asked for (see below).
 
     This is the scale armor shared by every banded sketch operator
     (minhash / simhash / winnow / hyperplane-LSH).  Why a cap is load-
@@ -58,14 +53,20 @@ def capped_buckets(
     what the cap prevents is the O(bucket²) pair materialization
     (10^12 structs, fatal).  The filter runs before any expansion.
 
-    Drop accounting: the bucket stream passes through a
-    ``CollectMetrics`` node (``DataFrame.observe``) recording
-    ``dropped_buckets``, ``dropped_members`` and ``max_bucket_seen``.
-    Pass an explicit ``pyspark.sql.Observation`` to read them after an
-    action (how the tests assert drops); by default a uniquely-named
-    named-observe is attached, visible to QueryExecutionListeners and
-    the Spark UI on a real cluster.  Names are auto-uniqued so two
-    capped operators can share one plan.
+    Drop accounting is OPT-IN: pass a ``pyspark.sql.Observation`` (or
+    a name string) and the bucket stream gains a ``CollectMetrics``
+    node recording ``dropped_buckets``, ``dropped_members`` and
+    ``max_bucket_seen`` — how the tests assert drops and how a
+    production monitoring cadence reads them.  It is NOT attached by
+    default because the node is a measured standing tax on the hot
+    path: CollectMetrics between the hash aggregate and the pair
+    expansion breaks whole-stage fusion there, and the r5 A/B at sf0.1
+    (5-trial min, 16 pinned cores) priced it at 13-29% of the whole
+    query (minhash 0.78→1.09 s, simhash 0.72→1.01 s; a bare count
+    metric still cost most of it, so it is the fence, not the
+    expressions).  Without it the cap still protects unconditionally,
+    and dropped-bucket counts stay derivable on any cluster UI as
+    (aggregate output rows − post-filter rows).
 
     AQE caveat (measured on Spark 4.1): if EVERY bucket is dropped the
     downstream query collapses to an empty relation and adaptive
@@ -78,13 +79,11 @@ def capped_buckets(
     """
     b = banded.groupBy(*group_cols).agg(F.collect_list(item_col).alias('items'))
     b = b.withColumn('bucket_n', F.size('items'))
-    metrics = [
-        F.sum(F.when(F.col('bucket_n') > max_bucket, 1).otherwise(0)).alias('dropped_buckets'),
-        F.sum(F.when(F.col('bucket_n') > max_bucket, F.col('bucket_n')).otherwise(0)).alias('dropped_members'),
-        F.max('bucket_n').alias('max_bucket_seen'),
-    ]
     if observation is not None:
-        b = b.observe(observation, *metrics)
-    else:
-        b = b.observe(f'{op_name}_bucket_cap_{next(_obs_counter)}', *metrics)
+        b = b.observe(
+            observation,
+            F.sum(F.when(F.col('bucket_n') > max_bucket, 1).otherwise(0)).alias('dropped_buckets'),
+            F.sum(F.when(F.col('bucket_n') > max_bucket, F.col('bucket_n')).otherwise(0)).alias('dropped_members'),
+            F.max('bucket_n').alias('max_bucket_seen'),
+        )
     return b.where((F.col('bucket_n') >= 2) & (F.col('bucket_n') <= F.lit(max_bucket))).drop('bucket_n')

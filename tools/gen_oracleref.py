@@ -158,6 +158,20 @@ def gen_lineage(sf_dir: str, skey: int, out: dict, n_shards: int = 4) -> None:
             out['lineage'].append((skey, 0, k, n_docs[k], n_links[k], status, c))
 
 
+def gen_line_dedup(sf_dir: str, skey: int, out: dict) -> None:
+    """Corpus-wide exact line dedup (CCNet shape) over the synthetic
+    pages corpus — sequential twin in oracle_kernels.line_dedup_seq."""
+    from oracle_kernels import line_dedup_seq
+
+    for url, n_lines, n_kept, text_dedup in line_dedup_seq(
+        corpus.docs_list(_corpus_n(sf_dir))
+    ):
+        out['line_dedup'].append(
+            (skey, url, n_lines, n_kept,
+             hashlib.sha256(text_dedup.encode('utf-8')).hexdigest())
+        )
+
+
 def gen_host_stats(sf_dir: str, skey: int, out: dict) -> None:
     """Sequential host aggregation over the synthetic pages corpus
     (plain dict fold over the input model; warc_ts = 1_600_000_000+i
@@ -534,6 +548,10 @@ SCHEMAS = {
          ('n_docs', pa.int64()), ('n_links', pa.int64()),
          ('status', pa.string()), ('n_status', pa.int64())]
     ),
+    'line_dedup': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('n_lines', pa.int64()),
+         ('n_kept', pa.int64()), ('dedup_sha', pa.string())]
+    ),
 }
 
 
@@ -545,6 +563,7 @@ def main() -> None:
         print(f'{sf_dir}: doc_skey={dk} emb_skey={ek}', flush=True)
         gen_corpus(sf_dir, dk, out)
         gen_lineage(sf_dir, dk, out)
+        gen_line_dedup(sf_dir, dk, out)
         gen_host_stats(sf_dir, dk, out)
         gen_main_content(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)

@@ -1468,3 +1468,34 @@ def sniff_magic(content: bytes):
         if content[: len(magic)] == magic:
             return name, mtype
     return 'unknown', 'binary'
+
+
+# ----------------------------------------------------- line-dedup twin
+
+
+def line_dedup_seq(docs):
+    """Sequential twin of training.dedup.dedup_lines: docs is
+    [(id, text)]; corpus-wide first-wins (= min (id, idx) winner,
+    realized by walking docs in sorted id order with one global seen
+    set) over exact trimmed content lines.  Returns
+    [(id, n_lines, n_kept, text_dedup)] for docs with >=1 content
+    line, different machinery than the engine (dict scan vs hash
+    window + struct-sort fold)."""
+    import hashlib as _hl
+
+    seen = set()
+    out = []
+    for doc_id, text in sorted(docs, key=lambda d: d[0]):
+        kept = []
+        n_lines = 0
+        for line in text.split('\n'):
+            norm = line.strip(' ')
+            if norm == '':
+                continue
+            n_lines += 1
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(norm)
+        if n_lines:
+            out.append((doc_id, n_lines, len(kept), '\n'.join(kept)))
+    return out
