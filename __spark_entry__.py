@@ -408,6 +408,20 @@ def q_embedding_neardup_exact(spark, sf_dir):
     ).orderBy('a_id', 'b_id')
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact LINE dedup (CCNet-style boilerplate removal)
+    over the synthetic pages corpus: repeated template/banner lines
+    collapse to their first (min url, idx) occurrence; per-doc content
+    line counts + sha of the deduplicated text."""
+    from markdown_articles_tool_spark.training.dedup import dedup_lines
+
+    docs = _corpus_docs(spark, sf_dir)
+    return dedup_lines(docs, id_col='url', text_col='text').select(
+        'url', 'n_lines', 'n_kept',
+        F.sha2(F.encode('text_dedup', 'utf-8'), 256).alias('dedup_sha'),
+    ).orderBy('url')
+
+
 def q_lineage(spark, sf_dir):
     """North rule: per-partition lineage + metrics as a first-class
     queryable output, over a genuinely RESUMED sharded run — the
@@ -464,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_neardup': q_embedding_neardup,
         'embedding_neardup_exact': q_embedding_neardup_exact,
         'lineage': q_lineage,
+        'line_dedup': q_line_dedup,
     }
 
 
@@ -562,6 +577,9 @@ def oracle_sql() -> dict[str, str]:
         'lineage': _ref(
             'lineage', 'pass_idx, shard, n_docs, n_links, status, n_status',
             _DOC_SKEY, 'pass_idx, shard, status',
+        ),
+        'line_dedup': _ref(
+            'line_dedup', 'url, n_lines, n_kept, dedup_sha', _DOC_SKEY, 'url'
         ),
         'pricing_summary': """
             SELECT l_returnflag, l_linestatus,

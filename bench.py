@@ -146,6 +146,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'revenue_topk',
         'events_sessionize',
         'exact_dedup',
+        'line_dedup',
         'ngram_jaccard_adjacent',
         'minhash_candidates',
         'winnow_pairs',

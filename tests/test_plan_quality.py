@@ -147,8 +147,34 @@ class TestExactDedupPlan:
                 f'raw text column rides the exchange: {cols}'
             )
 
+    def test_line_dedup_plan_shape(self, spark):
+        """dedup_lines: the window exchange keys on the sha2 digest of
+        the normalized line (never the raw line string), the scan is
+        pruned to (id, text), and no Python UDF enters the plan."""
+        from markdown_articles_tool_spark.training.dedup import dedup_lines
 
-class TestSketchPlans:
+        docs = spark.createDataFrame(
+            [(i, 'line a\nline b\nline a') for i in range(40)], 'doc_id long, text string'
+        )
+        jdf = dedup_lines(docs)._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        # the window key is projected as _wN = sha2(encode(norm, utf-8))
+        # and the exchange partitions on that digest column, never on
+        # the raw norm string
+        m = re.search(
+            r'sha2\([^\n]*norm#\d+[^\n]*\), 256\) AS (_w\d+)#(\d+)', plan_str
+        )
+        assert m, 'no sha2-digest window key projection in plan'
+        assert re.search(rf'hashpartitioning\({m.group(1)}#{m.group(2)}', plan_str), (
+            'window exchange does not key on the digest column'
+        )
+        assert not re.search(r'hashpartitioning\(norm#\d+', plan_str), (
+            'raw line string keys an exchange'
+        )
+        for udf_node in ('ArrowEvalPython', 'BatchEvalPython', 'PythonUDF', 'MapInPandas'):
+            assert udf_node not in plan_str, f'python UDF in plan: {udf_node}'
+        assert plan_str.count('Exchange') <= 4  # widen + digest + per-doc fold
     """Every bucketed sketch operator must consume its (expensive)
     signature UDF exactly ONCE — the band self-join formulations
     evaluated it once per join side (minhash 2x, simhash 4x, winnow
