@@ -422,6 +422,35 @@ def q_line_dedup(spark, sf_dir):
     ).orderBy('url')
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization for crawl dedup: deterministic messy-URL
+    variants derived from doc_id (mixed-case scheme/host, default and
+    non-default explicit ports, tracker params, unsorted query, empty
+    paths, fragments) normalized by the JVM Column kernel; the DuckDB
+    oracle synthesizes the identical inputs and canonicalizes them with
+    its OWN independent SQL implementation of the same spec."""
+    from markdown_articles_tool_spark.training.urlnorm import canonicalize_url
+
+    d = F.col('doc_id')
+    s = lambda c: c.cast('string')  # noqa: E731
+    raw = F.concat(
+        F.lit('HTTP'), F.when(d % 2 == 0, F.lit('S')).otherwise(F.lit('')),
+        F.lit('://WWW.Site'), s(d % 5), F.lit('.Example.COM'),
+        F.when(d % 3 == 0, F.lit(':443')).when(d % 3 == 1, F.lit(':8080')).otherwise(F.lit(':80')),
+        F.when(d % 7 == 0, F.lit('')).otherwise(F.concat(F.lit('/Articles/Item'), s(d))),
+        F.when(d % 4 == 0, F.lit('?utm_source=feed&b=2&a=1'))
+        .when(d % 4 == 1, F.lit('?z=9&utm_campaign=x&y=1'))
+        .when(d % 4 == 2, F.lit('?gclid=abc')).otherwise(F.lit('')),
+        F.when(d % 2 == 0, F.lit('#Section-2')).otherwise(F.lit('')),
+    )
+    return (
+        _t(spark, sf_dir, 'documents')
+        .select('doc_id', raw.alias('url_raw'))
+        .select('doc_id', 'url_raw', canonicalize_url(F.col('url_raw')).alias('url_canon'))
+        .orderBy('doc_id')
+    )
+
+
 def q_lineage(spark, sf_dir):
     """North rule: per-partition lineage + metrics as a first-class
     queryable output, over a genuinely RESUMED sharded run — the
@@ -479,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_neardup_exact': q_embedding_neardup_exact,
         'lineage': q_lineage,
         'line_dedup': q_line_dedup,
+        'url_canonical': q_url_canonical,
     }
 
 
@@ -581,6 +611,50 @@ def oracle_sql() -> dict[str, str]:
         'line_dedup': _ref(
             'line_dedup', 'url, n_lines, n_kept, dedup_sha', _DOC_SKEY, 'url'
         ),
+        # independent DuckDB implementation of the canonicalization spec
+        # (urlnorm.py module docstring) over identically-synthesized raws
+        'url_canonical': """
+            WITH raw AS (
+              SELECT doc_id,
+                'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END
+                || '://WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+                || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE ':80' END
+                || CASE WHEN doc_id % 7 = 0 THEN ''
+                        ELSE '/Articles/Item' || CAST(doc_id AS VARCHAR) END
+                || CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+                        WHEN 1 THEN '?z=9&utm_campaign=x&y=1'
+                        WHEN 2 THEN '?gclid=abc' ELSE '' END
+                || CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END AS url_raw
+              FROM documents
+            ), p1 AS (
+              SELECT doc_id, url_raw, split_part(url_raw, '#', 1) AS nofrag FROM raw
+            ), p2 AS (
+              SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+                     substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM p1
+            ), p3 AS (
+              SELECT *, split_part(rest, '?', 1) AS noq,
+                CASE WHEN strpos(rest, '?') > 0
+                     THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS q
+              FROM p2
+            ), p4 AS (
+              SELECT *, lower(split_part(noq, '/', 1)) AS hostport,
+                substr(noq, length(split_part(noq, '/', 1)) + 1) AS path0 FROM p3
+            ), p5 AS (
+              SELECT *,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS hp,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                array_to_string(list_sort(list_filter(string_split(q, '&'),
+                  x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+                  '&') AS cq
+              FROM p4
+            )
+            SELECT doc_id, url_raw,
+                   scheme || '://' || hp || path
+                   || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS url_canon
+            FROM p5 ORDER BY doc_id
+        """,
         'pricing_summary': """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -157,6 +157,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'repetition_stats',
         'langid',
         'fingerprint',
+        'url_canonical',
         'ann_lsh_topk',
     ]
     # deliberate all-pairs correctness oracles (never the production

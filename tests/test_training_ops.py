@@ -538,3 +538,49 @@ class TestLineDedup:
         assert got == want
         # the corpus genuinely exercises cross-doc dedup
         assert any(nk < nl for _u, nl, nk, _t in want)
+
+
+class TestUrlCanonical:
+    def test_spec_cases(self, spark):
+        from markdown_articles_tool_spark.training.urlnorm import canonicalize_url
+
+        cases = {
+            # scheme+host lowercase, https default port stripped, empty path
+            'HTTPS://Host.COM:443': 'https://host.com/',
+            # http default port stripped
+            'http://a.com:80/x': 'http://a.com/x',
+            # NON-matching default port kept (https :80, http :443)
+            'https://a.com:80/x': 'https://a.com:80/x',
+            'http://a.com:443/x': 'http://a.com:443/x',
+            # non-default port kept
+            'http://a.com:8080/x': 'http://a.com:8080/x',
+            # fragment dropped, trackers dropped, params sorted
+            'http://a.com/p?z=1&utm_source=s&a=2#frag': 'http://a.com/p?a=2&z=1',
+            'http://a.com/p?fbclid=x&gclid=y&utm_medium=m': 'http://a.com/p',
+            # bare utm param without '=' also drops; empty params vanish
+            'http://a.com/p?utm_campaign&&b=1': 'http://a.com/p?b=1',
+            # path case preserved; a non-tracker param that merely
+            # CONTAINS 'utm_' mid-name stays
+            'http://a.com/CaseSensitive/Path?xutm_source=1':
+                'http://a.com/CaseSensitive/Path?xutm_source=1',
+            # query directly after host (no path)
+            'http://a.com?b=2&a=1': 'http://a.com/?a=1&b=2',
+        }
+        df = spark.createDataFrame([(k,) for k in cases], 'u string')
+        got = {r['u']: r['c'] for r in df.select('u', canonicalize_url(F.col('u')).alias('c')).collect()}
+        assert got == cases
+
+    def test_collapses_variants_for_dedup(self, spark):
+        """The point of the op: spelling variants of one resource map to
+        ONE canonical key, distinct variants stay distinct."""
+        from markdown_articles_tool_spark.training.urlnorm import canonicalize_url
+
+        variants = [
+            'HTTP://A.com:80/x?b=2&a=1',
+            'http://a.COM/x?a=1&b=2&utm_source=tw',
+            'http://a.com/x?b=2&a=1#top',
+        ]
+        other = ['http://a.com/x?a=1', 'http://a.com:8080/x?a=1&b=2']
+        df = spark.createDataFrame([(u,) for u in variants + other], 'u string')
+        n = df.select(canonicalize_url(F.col('u')).alias('c')).distinct().count()
+        assert n == 1 + len(other)
