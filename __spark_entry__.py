@@ -354,6 +354,16 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composite Gopher-rule keep/drop verdict (Rae et al. 2021 §A1.1
+    subset): six per-rule booleans + their conjunction, computed in ONE
+    corpus scan (Column features + the repetition Arrow kernel share a
+    projection — no self-join of the stats queries)."""
+    from markdown_articles_tool_spark.training.textstats import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+
+
 def q_fingerprint(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import fingerprint
 
@@ -500,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'token_stats': q_token_stats,
         'langid': q_langid,
         'repetition_stats': q_repetition_stats,
+        'quality_filter': q_quality_filter,
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -541,7 +552,7 @@ def _ref(name: str, cols: str, skey: str, order: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         'transform_corpus': _ref('transform_corpus', 'url, text_sha', _DOC_SKEY, 'url'),
         'extract_links_corpus': _ref(
             'extract_links_corpus', 'url, ord, link, w, h', _DOC_SKEY, 'url, ord'
@@ -858,3 +869,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
     }
+    # composite Gopher filter: REUSES the token_stats and
+    # repetition_stats twins verbatim as CTEs (thresholds must equal
+    # textstats.gopher_filter's defaults — pinned by the driver gate)
+    d['quality_filter'] = f"""
+        WITH ts AS ({d['token_stats']}), rs AS ({d['repetition_stats']})
+        SELECT ts.doc_id,
+               (ts.n_tokens >= 50 AND ts.n_tokens <= 100000) AS ok_n_tokens,
+               (ts.mean_word_len >= 3.0 AND ts.mean_word_len <= 10.0) AS ok_mean_word_len,
+               (ts.stopword_ratio >= 0.005) AS ok_stopwords,
+               (ts.punct_ratio <= 0.2) AS ok_punct,
+               (rs.dup_line_frac <= 0.30) AS ok_dup_lines,
+               (rs.top_bigram_frac <= 0.18) AS ok_top_bigram,
+               ((ts.n_tokens >= 50 AND ts.n_tokens <= 100000)
+                AND (ts.mean_word_len >= 3.0 AND ts.mean_word_len <= 10.0)
+                AND ts.stopword_ratio >= 0.005 AND ts.punct_ratio <= 0.2
+                AND rs.dup_line_frac <= 0.30 AND rs.top_bigram_frac <= 0.18) AS keep
+        FROM ts JOIN rs ON ts.doc_id = rs.doc_id
+        ORDER BY ts.doc_id
+    """
+    return d

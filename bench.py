@@ -155,6 +155,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'bpe_tokens',
         'token_stats',
         'repetition_stats',
+        'quality_filter',
         'langid',
         'fingerprint',
         'url_canonical',

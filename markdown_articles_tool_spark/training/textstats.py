@@ -93,29 +93,14 @@ def _lang_rank(lang: str) -> int:
     return {c: i for i, c in enumerate(sorted(LANG_MARKERS, reverse=True))}[lang]
 
 
-def repetition_stats(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
-    """Gopher-style within-document repetition signals (Rae et al. 2021
-    §A1.1 quality filters — the standard pretraining-data heuristics):
-
-    * ``dup_line_frac``       — repeated lines / total lines
-    * ``dup_line_char_frac``  — chars inside repeated lines / line chars
-    * ``top_bigram_frac``     — occurrences of the most frequent word
-      bigram / total bigram occurrences
-
-    Lines = '\\n'-split, ASCII-stripped (' \\t\\r\\v\\f'), empties
-    dropped; words = split on the explicit ASCII class
-    ``[ \\t\\n\\r\\f\\v]+`` (not python's unicode ``.split()`` — the
-    DuckDB twin must be byte-equivalent).  Per-document aggregation is
-    embarrassingly parallel, so it runs in ONE Arrow pass (pandas_udf
-    with per-doc Counters) — no (doc, gram) shuffle; grams never leave
-    the python worker.  Exact inline DuckDB twin in oracle_sql().
-    """
+def _make_rep_udf():
+    """The repetition-signals Arrow kernel, shared by repetition_stats
+    and gopher_filter (ONE scan each — the filter must not rescan the
+    corpus to reuse these signals)."""
     from collections import Counter
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
-
-    from .util import ensure_parallelism
 
     schema = StructType([
         StructField('n_lines', IntegerType()),
@@ -154,6 +139,29 @@ def repetition_stats(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'tex
         return pd.DataFrame(rows, columns=['n_lines', 'dup_line_frac',
                                            'dup_line_char_frac', 'top_bigram_frac'])
 
+    return rep_udf
+
+
+def repetition_stats(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality filters — the standard pretraining-data heuristics):
+
+    * ``dup_line_frac``       — repeated lines / total lines
+    * ``dup_line_char_frac``  — chars inside repeated lines / line chars
+    * ``top_bigram_frac``     — occurrences of the most frequent word
+      bigram / total bigram occurrences
+
+    Lines = '\\n'-split, ASCII-stripped (' \\t\\r\\v\\f'), empties
+    dropped; words = split on the explicit ASCII class
+    ``[ \\t\\n\\r\\f\\v]+`` (not python's unicode ``.split()`` — the
+    DuckDB twin must be byte-equivalent).  Per-document aggregation is
+    embarrassingly parallel, so it runs in ONE Arrow pass (pandas_udf
+    with per-doc Counters) — no (doc, gram) shuffle; grams never leave
+    the python worker.  Exact inline DuckDB twin in oracle_sql().
+    """
+    from .util import ensure_parallelism
+
+    rep_udf = _make_rep_udf()
     r = F.col('_r')
     return (
         ensure_parallelism(df)
@@ -163,6 +171,75 @@ def repetition_stats(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'tex
                 r['dup_line_char_frac'].alias('dup_line_char_frac'),
                 r['top_bigram_frac'].alias('top_bigram_frac'))
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.005,
+    max_punct_ratio: float = 0.2,
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Composite Gopher-rule document filter (Rae et al. 2021 §A1.1,
+    the subset our features express): per-doc boolean per rule plus the
+    conjunction ``keep``.  Token-count window, mean-word-length window,
+    stopword floor, punctuation ceiling (all from the quality_features
+    Column algebra), duplicate-line and top-bigram ceilings (from the
+    repetition Arrow kernel).
+
+    ONE corpus scan: the Column features and the repetition pandas_udf
+    evaluate in the same projection — composing ``quality_features ⋈
+    repetition_stats`` would scan the text twice and shuffle for the
+    join, pure waste at crawl scale.  Comparisons use the same
+    round-6 values the stats queries publish, so a document's flags
+    here always agree with its published stats row.
+    """
+    from .util import ensure_parallelism
+
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct_ratio = F.round(
+        F.when(n_chars > 0, F.regexp_count(t, F.lit(PUNCT_RE)) / n_chars).otherwise(F.lit(0.0)), 6
+    )
+    stop_ratio = F.round(
+        F.when(n_tokens > 0, F.regexp_count(t, F.lit(LANG_MARKERS['en'])) / n_tokens)
+        .otherwise(F.lit(0.0)), 6
+    )
+    mean_word_len = F.round(
+        F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0)), 6
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias('doc_id'),
+        n_tokens.alias('n_tokens'),
+        mean_word_len.alias('mean_word_len'),
+        stop_ratio.alias('stopword_ratio'),
+        punct_ratio.alias('punct_ratio'),
+        _make_rep_udf()(t).alias('_r'),
+    )
+    r = F.col('_r')
+    flags = [
+        ((F.col('n_tokens') >= min_tokens) & (F.col('n_tokens') <= max_tokens))
+        .alias('ok_n_tokens'),
+        ((F.col('mean_word_len') >= min_mean_word_len)
+         & (F.col('mean_word_len') <= max_mean_word_len)).alias('ok_mean_word_len'),
+        (F.col('stopword_ratio') >= min_stopword_ratio).alias('ok_stopwords'),
+        (F.col('punct_ratio') <= max_punct_ratio).alias('ok_punct'),
+        (r['dup_line_frac'] <= max_dup_line_frac).alias('ok_dup_lines'),
+        (r['top_bigram_frac'] <= max_top_bigram_frac).alias('ok_top_bigram'),
+    ]
+    out = base.select('doc_id', *flags)
+    keep = F.lit(True)
+    for nm in ('ok_n_tokens', 'ok_mean_word_len', 'ok_stopwords',
+               'ok_punct', 'ok_dup_lines', 'ok_top_bigram'):
+        keep = keep & F.col(nm)
+    return out.withColumn('keep', keep)
 
 
 def fingerprint(df: DataFrame, text_col: str = 'text') -> DataFrame:

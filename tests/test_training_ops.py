@@ -584,3 +584,38 @@ class TestUrlCanonical:
         df = spark.createDataFrame([(u,) for u in variants + other], 'u string')
         n = df.select(canonicalize_url(F.col('u')).alias('c')).distinct().count()
         assert n == 1 + len(other)
+
+
+class TestGopherFilter:
+    def test_each_rule_fires_independently(self, spark):
+        """One planted document per rule violation — exactly that flag
+        goes false; a clean document passes all six."""
+        stop = 'the cat and dog of it to go is here was then that day with us '
+        clean = (stop * 5).strip()                      # 80 tokens, stopwordy
+        rows = [
+            (0, clean),
+            (1, 'short text'),                          # n_tokens < 50
+            (2, ('x' * 40 + ' ') * 60),                 # mean word len 40 > 10
+            (3, 'zz ' * 80),                            # no stopwords
+            (4, ('!!!???;;;***###%%%&&&!!! ' + stop) * 8),   # punct ratio > 0.2
+            (5, ('same line of the day\n' * 50) + stop * 3),   # dup lines
+            (6, 'the fox the fox ' * 40),               # top bigram frac
+        ]
+        df = spark.createDataFrame(rows, 'doc_id int, text string')
+        got = {r['doc_id']: r for r in textstats.gopher_filter(df).collect()}
+        assert got[0]['keep'] is True and all(
+            got[0][c] for c in got[0].asDict() if c.startswith('ok_'))
+        expect_fail = {1: 'ok_n_tokens', 2: 'ok_mean_word_len', 3: 'ok_stopwords',
+                       4: 'ok_punct', 5: 'ok_dup_lines', 6: 'ok_top_bigram'}
+        for d, flag in expect_fail.items():
+            assert got[d][flag] is False, (d, flag, got[d].asDict())
+            assert got[d]['keep'] is False
+
+    def test_one_scan_one_arrow_eval(self, spark):
+        """The composite runs ONE corpus scan and ONE Arrow evaluation —
+        not a self-join of the two stats queries."""
+        df = spark.createDataFrame([(i, 'the word ' * 60) for i in range(20)],
+                                   'doc_id long, text string')
+        plan = textstats.gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count('ArrowEvalPython') == 1
+        assert 'Join' not in plan
