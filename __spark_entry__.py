@@ -364,6 +364,16 @@ def q_quality_filter(spark, sf_dir):
     return gopher_filter(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms: per-doc TF groupBy, corpus-wide
+    DF groupBy, SHUFFLE join on term (crawl vocabularies don't
+    broadcast), corpus size as a broadcast 1-row aggregate, window
+    top-k."""
+    from markdown_articles_tool_spark.training.tfidf import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, 'documents'), k=5).orderBy('doc_id', 'rank')
+
+
 def q_fingerprint(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import fingerprint
 
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'langid': q_langid,
         'repetition_stats': q_repetition_stats,
         'quality_filter': q_quality_filter,
+        'tfidf_topk': q_tfidf_topk,
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -869,6 +880,29 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
     }
+    # TF-IDF: identical term split + smoothed idf + row_number tie-break
+    d['tfidf_topk'] = """
+        WITH terms AS (
+          SELECT doc_id, t AS term
+          FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 tf.tf * (ln((CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) + 1)
+                          / (dfreq.df + 1)) + 1) AS score
+          FROM tf JOIN dfreq ON tf.term = dfreq.term
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, ROUND(score, 9) AS score
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY doc_id, rank
+    """
     # composite Gopher filter: REUSES the token_stats and
     # repetition_stats twins verbatim as CTEs (thresholds must equal
     # textstats.gopher_filter's defaults — pinned by the driver gate)

@@ -156,6 +156,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'token_stats',
         'repetition_stats',
         'quality_filter',
+        'tfidf_topk',
         'langid',
         'fingerprint',
         'url_canonical',

@@ -619,3 +619,42 @@ class TestGopherFilter:
         plan = textstats.gopher_filter(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count('ArrowEvalPython') == 1
         assert 'Join' not in plan
+
+
+class TestTfidfTopk:
+    def test_known_math(self, spark):
+        """3-doc fixture with hand-computable tf/df: a term unique to
+        one doc outranks corpus-wide terms; ties break on term asc."""
+        import math
+
+        rows = [(1, 'alpha alpha beta common'),
+                (2, 'beta common common'),
+                (3, 'common gamma')]
+        df = spark.createDataFrame(rows, 'doc_id int, text string')
+        from markdown_articles_tool_spark.training.tfidf import tfidf_topk
+
+        got = {(r['doc_id'], r['rank']): (r['term'], r['tf'], r['df'], r['score'])
+               for r in tfidf_topk(df, k=2).collect()}
+        idf = lambda dfreq: math.log(4 / (dfreq + 1)) + 1  # N=3  # noqa: E731
+        # doc 1: alpha tf=2 df=1 -> 2*idf(1); beta tf=1 df=2; common tf=1 df=3
+        assert got[(1, 1)][0] == 'alpha'
+        assert got[(1, 1)][3] == round(2 * idf(1), 9)
+        assert got[(1, 2)][0] == 'beta'
+        # doc 2: common tf=2 beats beta tf=1
+        assert got[(2, 1)][0] == 'common' and got[(2, 2)][0] == 'beta'
+        # doc 3: gamma (df=1) outranks common (df=3) at equal tf
+        assert got[(3, 1)][0] == 'gamma'
+
+    def test_plan_no_broadcast_of_vocab(self, spark):
+        """The tf⋈df join must be a shuffle join on term (vocab never
+        broadcasts); the only broadcast is the 1-row corpus count."""
+        df = spark.createDataFrame(
+            [(i, 'w%d common text here' % i) for i in range(2000)],
+            'doc_id long, text string')
+        from markdown_articles_tool_spark.training.tfidf import tfidf_topk
+
+        plan = tfidf_topk(df)._jdf.queryExecution().executedPlan().toString()
+        import re
+        # exactly one broadcast exchange: the n_docs single-row aggregate
+        assert len(re.findall(r'BroadcastExchange', plan)) == 1
+        assert 'BroadcastNestedLoopJoin' in plan or 'BroadcastExchange' in plan
