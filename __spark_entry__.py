@@ -364,6 +364,15 @@ def q_quality_filter(spark, sf_dir):
     return gopher_filter(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split: bucket =
+    first 16 bits of sha256(doc_id) — a pure function of identity, so
+    re-runs/repartitions/backfills never migrate a doc across splits."""
+    from markdown_articles_tool_spark.training.sampling import dataset_split
+
+    return dataset_split(_t(spark, sf_dir, 'documents').select('doc_id')).orderBy('doc_id')
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 TF-IDF terms: per-doc TF groupBy, corpus-wide
     DF groupBy, SHUFFLE join on term (crawl vocabularies don't
@@ -522,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_stats': q_repetition_stats,
         'quality_filter': q_quality_filter,
         'tfidf_topk': q_tfidf_topk,
+        'dataset_split': q_dataset_split,
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -880,6 +890,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
     }
+    # content-addressed split: same 16-bit sha256 bucket + cut points
+    d['dataset_split'] = """
+        SELECT doc_id,
+               ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS bucket,
+               CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT < 58982
+                    THEN 'train'
+                    WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT < 62259
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+    """
     # TF-IDF: identical term split + smoothed idf + row_number tie-break
     d['tfidf_topk'] = """
         WITH terms AS (

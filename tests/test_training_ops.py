@@ -658,3 +658,28 @@ class TestTfidfTopk:
         # exactly one broadcast exchange: the n_docs single-row aggregate
         assert len(re.findall(r'BroadcastExchange', plan)) == 1
         assert 'BroadcastNestedLoopJoin' in plan or 'BroadcastExchange' in plan
+
+
+class TestDatasetSplit:
+    def test_identity_addressed_and_partition_invariant(self, spark):
+        """A doc's split is a pure function of its id: reversing row
+        order and changing partitioning must not move ANY document;
+        hash_sample of an APPENDED corpus keeps exactly the old ids."""
+        from markdown_articles_tool_spark.training.sampling import dataset_split, hash_sample
+
+        ids = list(range(2000))
+        a = spark.createDataFrame([(i,) for i in ids], 'doc_id long')
+        b = spark.createDataFrame([(i,) for i in reversed(ids)], 'doc_id long').repartition(7)
+        sa = {r['doc_id']: r['split'] for r in dataset_split(a).collect()}
+        sb = {r['doc_id']: r['split'] for r in dataset_split(b).collect()}
+        assert sa == sb
+        # fractions land near the cut points on a uniform id set
+        from collections import Counter
+        c = Counter(sa.values())
+        assert 0.85 < c['train'] / 2000 < 0.95
+        assert c['val'] > 0 and c['test'] > 0
+
+        kept_before = {r['doc_id'] for r in hash_sample(a, 0.1).collect()}
+        grown = spark.createDataFrame([(i,) for i in range(4000)], 'doc_id long')
+        kept_after = {r['doc_id'] for r in hash_sample(grown, 0.1).collect()}
+        assert kept_before == {i for i in kept_after if i < 2000}
