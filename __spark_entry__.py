@@ -364,6 +364,20 @@ def q_quality_filter(spark, sf_dir):
     return gopher_filter(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing by distributed prefix-sum (per-
+    partition totals + broadcast bases — NOT a single-task global
+    window); shard = floor(running-token-offset / 4096) in doc_id
+    order."""
+    from markdown_articles_tool_spark.training.packing import pack_sequences
+    from markdown_articles_tool_spark.training.textstats import token_count
+
+    docs = _t(spark, sf_dir, 'documents').select(
+        'doc_id', token_count(F.col('text')).alias('n_tokens')
+    )
+    return pack_sequences(docs, budget=4096).orderBy('doc_id')
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-addressed train/val/test split: bucket =
     first 16 bits of sha256(doc_id) — a pure function of identity, so
@@ -532,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_filter': q_quality_filter,
         'tfidf_topk': q_tfidf_topk,
         'dataset_split': q_dataset_split,
+        'pack_sequences': q_pack_sequences,
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -890,6 +905,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
     }
+    # sequence packing: the global prefix sum DuckDB computes directly
+    # (single node) — the Spark side must equal it at every partition count
+    d['pack_sequences'] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT)
+                 AS shard
+        FROM t ORDER BY doc_id
+    """
     # content-addressed split: same 16-bit sha256 bucket + cut points
     d['dataset_split'] = """
         SELECT doc_id,

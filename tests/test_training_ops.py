@@ -683,3 +683,40 @@ class TestDatasetSplit:
         grown = spark.createDataFrame([(i,) for i in range(4000)], 'doc_id long')
         kept_after = {r['doc_id'] for r in hash_sample(grown, 0.1).collect()}
         assert kept_before == {i for i in kept_after if i < 2000}
+
+
+class TestPackSequences:
+    def test_partition_count_invariant_and_exact(self, spark):
+        """The two-level distributed prefix sum equals the sequential
+        cumsum at EVERY partition count (the per-partition bases absorb
+        wherever range boundaries land), and no global single-partition
+        window hides in the plan."""
+        import itertools
+        import random
+
+        from markdown_articles_tool_spark.training.packing import pack_sequences
+
+        rng = random.Random(11)
+        rows = [(i, rng.randint(0, 900)) for i in range(3000)]
+        want_offsets = dict(zip(
+            (r[0] for r in rows),
+            itertools.accumulate((r[1] for r in rows), initial=0),
+        ))
+        for parts in (2, 7, 32):
+            df = spark.createDataFrame(rows, 'doc_id long, n_tokens long').repartition(parts)
+            got = {r['doc_id']: (r['start_offset'], r['shard'])
+                   for r in pack_sequences(df, budget=5000).collect()}
+            assert all(
+                got[i] == (want_offsets[i], want_offsets[i] // 5000) for i, _ in rows
+            ), f'mismatch at input partitions={parts}'
+
+    def test_no_global_single_partition_window(self, spark):
+        """The big-frame window must be partitioned by the range pid;
+        the only unpartitioned window runs over the tiny totals frame."""
+        from markdown_articles_tool_spark.training.packing import pack_sequences
+
+        df = spark.createDataFrame([(i, 10) for i in range(100)], 'doc_id long, n_tokens long')
+        plan = pack_sequences(df, budget=100)._jdf.queryExecution().executedPlan().toString()
+        # the data-bearing window is partitioned on _pid (SinglePartition
+        # appears only for the n_partitions-row totals exchange)
+        assert 'hashpartitioning(_pid' in plan
