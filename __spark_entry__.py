@@ -364,6 +364,18 @@ def q_quality_filter(spark, sf_dir):
     return gopher_filter(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: train docs (doc_id % 50 != 0) sharing
+    any word 4-gram with the bench split (doc_id % 50 == 0); the tiny
+    bench gram table broadcasts — the corpus never shuffles on grams."""
+    from markdown_articles_tool_spark.training.dedup import contamination_hits
+
+    docs = _t(spark, sf_dir, 'documents')
+    bench = docs.where(F.col('doc_id') % 50 == 0)
+    train = docs.where(F.col('doc_id') % 50 != 0)
+    return contamination_hits(train, bench, n=4).orderBy('doc_id')
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing by distributed prefix-sum (per-
     partition totals + broadcast bases — NOT a single-task global
@@ -547,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tfidf_topk': q_tfidf_topk,
         'dataset_split': q_dataset_split,
         'pack_sequences': q_pack_sequences,
+        'contamination': q_contamination,
         'fingerprint': q_fingerprint,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_lsh_topk': q_ann_lsh_topk,
@@ -905,6 +918,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
     }
+    # decontamination: same ' '-joined distinct word 4-grams, bench =
+    # doc_id % 50 == 0
+    d['contamination'] = r"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(words) >= 4
+                 THEN list_transform(range(1, len(words) - 2),
+                                     i -> array_to_string(words[i:i+3], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+          FROM w
+        ), bench AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+        )
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM g t JOIN bench USING (gram)
+        WHERE t.doc_id % 50 <> 0
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """
     # sequence packing: the global prefix sum DuckDB computes directly
     # (single node) — the Spark side must equal it at every partition count
     d['pack_sequences'] = """

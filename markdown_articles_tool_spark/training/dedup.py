@@ -183,6 +183,40 @@ def jaccard_pairs(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher
+    practice): flag every training document sharing ANY word ``n``-gram
+    with a benchmark/eval set, so eval text can be scrubbed from
+    training data.  Returns (id, n_shared_grams) for contaminated docs.
+
+    Scale shape: benchmark sets are tiny next to a crawl, so their
+    distinct gram table BROADCASTS into a hash join against the
+    exploded train grams — the corpus is never shuffled on a gram key,
+    and the gram explosion streams through the join map-side.  Grams
+    are the same ' '-joined distinct word windows as ``word_ngrams``
+    (one shared spec across the jaccard/contamination family)."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias('doc_id'),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias('gram'),
+        )
+
+    bench_grams = grams(bench).select('gram').distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(bench_grams), 'gram')
+        .groupBy('doc_id')
+        .agg(F.count(F.lit(1)).cast('long').alias('n_shared_grams'))
+    )
+
+
 # ------------------------------------------------------------- minhash
 
 _MERSENNE = (1 << 61) - 1

@@ -720,3 +720,34 @@ class TestPackSequences:
         # the data-bearing window is partitioned on _pid (SinglePartition
         # appears only for the n_partitions-row totals exchange)
         assert 'hashpartitioning(_pid' in plan
+
+
+class TestContamination:
+    def test_planted_eval_leak(self, spark):
+        """A train doc embedding a benchmark sentence is flagged with
+        the right shared-gram count; clean docs are absent; grams
+        shorter than n never match."""
+        from markdown_articles_tool_spark.training.dedup import contamination_hits
+
+        bench = spark.createDataFrame(
+            [(900, 'the capital of france is paris obviously')],
+            'doc_id long, text string')
+        train = spark.createDataFrame([
+            (1, 'some page saying the capital of france is paris obviously word'),
+            (2, 'completely unrelated content about query engines and columnar io'),
+            (3, 'capital of france'),   # only 3 words -> no 4-gram
+        ], 'doc_id long, text string')
+        got = {r['doc_id']: r['n_shared_grams']
+               for r in contamination_hits(train, bench, n=4).collect()}
+        # bench has 4 distinct 4-grams; doc 1 contains all of them
+        assert got == {1: 4}
+
+    def test_bench_side_broadcasts(self, spark):
+        from markdown_articles_tool_spark.training.dedup import contamination_hits
+
+        train = spark.createDataFrame(
+            [(i, f'w{i} x{i} y{i} z{i} q{i}') for i in range(500)], 'doc_id long, text string')
+        bench = spark.createDataFrame([(0, 'w0 x0 y0 z0')], 'doc_id long, text string')
+        plan = contamination_hits(train, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+        assert 'BroadcastHashJoin' in plan
+        assert 'SortMergeJoin' not in plan
