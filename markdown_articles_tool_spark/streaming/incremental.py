@@ -140,3 +140,35 @@ def start_incremental_content_spans(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_quality(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming Gopher quality filtering over the landing pages
+    directory: each newly-landed file's documents get the six-rule
+    verdict row appended exactly once.  The composite filter is a
+    stateless projection (Column algebra + one Arrow kernel), so —
+    like the extraction streams — it runs as a NATIVE streaming
+    transform: no state store, no shuffle, no batch bridge; the same
+    single-scan plan as the batch `gopher_filter`."""
+    from ..training.textstats import gopher_filter
+
+    stream = (
+        spark.readStream.schema(corpus.PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select('url', 'text')
+    )
+    writer = (
+        gopher_filter(stream, id_col='url', text_col='text')
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'quality'))
+        .option('checkpointLocation', os.path.join(output_dir, '_quality_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

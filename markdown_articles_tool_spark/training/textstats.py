@@ -216,7 +216,7 @@ def gopher_filter(
         F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0)), 6
     )
     base = ensure_parallelism(df).select(
-        F.col(id_col).alias('doc_id'),
+        F.col(id_col),
         n_tokens.alias('n_tokens'),
         mean_word_len.alias('mean_word_len'),
         stop_ratio.alias('stopword_ratio'),
@@ -234,7 +234,7 @@ def gopher_filter(
         (r['dup_line_frac'] <= max_dup_line_frac).alias('ok_dup_lines'),
         (r['top_bigram_frac'] <= max_top_bigram_frac).alias('ok_top_bigram'),
     ]
-    out = base.select('doc_id', *flags)
+    out = base.select(id_col, *flags)
     keep = F.lit(True)
     for nm in ('ok_n_tokens', 'ok_mean_word_len', 'ok_stopwords',
                'ok_punct', 'ok_dup_lines', 'ok_top_bigram'):

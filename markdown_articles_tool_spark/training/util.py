@@ -17,6 +17,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     production-scale input has thousands of splits, the condition is
     false, and no shuffle is added.
     """
+    if df.isStreaming:
+        # a streaming frame has no static partitioning to inspect (and
+        # .rdd raises); micro-batch width follows the source's file
+        # splits — exactly the production case the condition below
+        # already declines to touch
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)

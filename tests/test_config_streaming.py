@@ -134,6 +134,40 @@ class TestStreamingIngest:
         q2.awaitTermination(240)
         assert spark.read.parquet(os.path.join(out_dir, 'main_content')).count() == 14
 
+    def test_streaming_quality_filter_native_and_delta_only(self, spark, tmp_path):
+        """The composite Gopher filter runs as a NATIVE streaming
+        transform (stateless projection): availableNow drains the
+        backlog exactly once, a second start sees only new files, and
+        verdicts equal the batch operator row-for-row."""
+        from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_quality,
+        )
+        from markdown_articles_tool_spark.training.textstats import gopher_filter
+
+        in_dir = str(tmp_path / 'in')
+        out_dir = str(tmp_path / 'out')
+        spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(8)], corpus.PAGES_SCHEMA
+        ).write.mode('overwrite').parquet(in_dir)
+
+        q = start_incremental_quality(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        got = {r['url']: tuple(r) for r in
+               spark.read.parquet(os.path.join(out_dir, 'quality')).collect()}
+        batch = spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(8)], corpus.PAGES_SCHEMA
+        ).select('url', 'text')
+        want = {r['url']: tuple(r) for r in
+                gopher_filter(batch, id_col='url').collect()}
+        assert got == want
+
+        spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(8, 11)], corpus.PAGES_SCHEMA
+        ).write.mode('append').parquet(in_dir)
+        q2 = start_incremental_quality(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        assert spark.read.parquet(os.path.join(out_dir, 'quality')).count() == 11
+
     def test_watermarked_window_stats_append_finalized_only(self, spark, tmp_path):
         """Watermark + windowed agg in append mode: a (window, lang) row
         emits exactly once, only after the watermark (2h) passes the
