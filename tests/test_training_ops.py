@@ -751,3 +751,106 @@ class TestContamination:
         plan = contamination_hits(train, bench, n=4)._jdf.queryExecution().executedPlan().toString()
         assert 'BroadcastHashJoin' in plan
         assert 'SortMergeJoin' not in plan
+
+
+class TestLineDedupSoup:
+    def test_whitespace_soup_matches_twin(self, spark):
+        """Seeded random whitespace soup (tabs, CRs, runs of spaces,
+        empty/blank lines, repeated lines across and within docs):
+        engine == sequential twin on every doc."""
+        import hashlib
+        import os
+        import random
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+        from oracle_kernels import line_dedup_seq
+
+        rng = random.Random(1234)
+        pool = ['shared line one', 'shared\tline two', '  padded  ', 'x',
+                '\talpha', 'beta\r', '', ' ', '\t', 'gamma delta',
+                'shared line one ', '   shared line one']
+        docs_seq = []
+        for d in range(80):
+            n = rng.randint(0, 12)
+            lines = [rng.choice(pool) + (f' u{d}-{i}' if rng.random() < 0.3 else '')
+                     for i in range(n)]
+            docs_seq.append((f'd{d:03d}', '\n'.join(lines)))
+        df = spark.createDataFrame(docs_seq, 'url string, text string')
+        got = sorted(
+            (r['url'], r['n_lines'], r['n_kept'],
+             hashlib.sha256(r['text_dedup'].encode()).hexdigest())
+            for r in dedup.dedup_lines(df, id_col='url').collect()
+        )
+        want = sorted(
+            (u, nl, nk, hashlib.sha256(t.encode()).hexdigest())
+            for u, nl, nk, t in line_dedup_seq(docs_seq)
+        )
+        assert got == want
+
+
+class TestUrlCanonicalSoup:
+    def test_random_messy_urls_match_duckdb_twin(self, spark):
+        """200 seeded random schemed URLs (mixed case, ports, tracker
+        and ordinary params in random order, fragments, empty paths):
+        the Spark Column kernel equals the independent DuckDB SQL
+        implementation value-for-value."""
+        import random
+
+        import duckdb
+        import pandas as pd
+
+        from markdown_articles_tool_spark.training.urlnorm import canonicalize_url
+
+        rng = random.Random(99)
+        schemes = ['http', 'HTTP', 'https', 'HTTPS', 'ftp']
+        ports = ['', ':80', ':443', ':8080', ':8443']
+        params = ['a=1', 'B=2', 'z=9', 'utm_source=x', 'utm_campaign', 'fbclid=f',
+                  'gclid=g', 'xutm_source=1', 'empty=', 'q=a+b']
+        urls = []
+        for i in range(200):
+            u = (f'{rng.choice(schemes)}://Host{i % 9}.Example.COM{rng.choice(ports)}'
+                 + rng.choice(['', f'/P{i}/Sub', '/']))
+            ps = rng.sample(params, rng.randint(0, 5))
+            if ps or rng.random() < 0.2:
+                u += '?' + '&'.join(ps)
+            if rng.random() < 0.5:
+                u += '#Frag-' + str(i)
+            urls.append(u)
+        got = {
+            r['u']: r['c']
+            for r in spark.createDataFrame([(u,) for u in urls], 'u string')
+            .select('u', canonicalize_url(F.col('u')).alias('c')).collect()
+        }
+        con = duckdb.connect()
+        con.register('raws', pd.DataFrame({'url_raw': urls}))
+        want = dict(con.execute("""
+            WITH p1 AS (
+              SELECT url_raw, split_part(url_raw, '#', 1) AS nofrag FROM raws
+            ), p2 AS (
+              SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+                     substr(nofrag, strpos(nofrag, '://') + 3) AS rest FROM p1
+            ), p3 AS (
+              SELECT *, split_part(rest, '?', 1) AS noq,
+                CASE WHEN strpos(rest, '?') > 0
+                     THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS q
+              FROM p2
+            ), p4 AS (
+              SELECT *, lower(split_part(noq, '/', 1)) AS hostport,
+                substr(noq, length(split_part(noq, '/', 1)) + 1) AS path0 FROM p3
+            ), p5 AS (
+              SELECT *,
+                CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS hp,
+                CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                array_to_string(list_sort(list_filter(string_split(q, '&'),
+                  x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+                  '&') AS cq
+              FROM p4
+            )
+            SELECT url_raw, scheme || '://' || hp || path
+                   || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+            FROM p5
+        """).fetchall())
+        assert got == want
