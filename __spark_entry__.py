@@ -514,11 +514,18 @@ def q_lineage(spark, sf_dir):
     lineage table is what both runs agree on.  Oracle twin: shard
     assignment re-derived via a stdlib XXH64 reimplementation + the
     sequential per-link status taxonomy (tools/oracle_extract.py)."""
+    import os
+    import shutil
     import tempfile
 
     from markdown_articles_tool_spark.checkpoint import lineage_df, run_with_resume
 
-    out_dir = tempfile.mkdtemp(prefix='mats-lineage-')
+    # fixed per-scale path, wiped at start: repeated driver/bench/test
+    # invocations must not leak a transform output dir per call
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f'mats-lineage-{os.path.basename(sf_dir.rstrip("/"))}'
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     docs = _corpus_docs(spark, sf_dir)
     cfg = _transform_cfg()
     run_with_resume(spark, docs, cfg, out_dir, n_shards=4)
