@@ -105,6 +105,18 @@ def q_content_spans(spark, sf_dir):
     return extract_content_spans(pages).orderBy('url', 'ord')
 
 
+def q_html_tables(spark, sf_dir):
+    """Structured table extraction from the pages corpus: flattened
+    (url, table_idx, row_idx, col_idx, cell) records — one mapInPandas
+    pass over (url, html), no shuffle; nested tables isolated, soup
+    implicit-closes honored (core/htmltables.py spec)."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.htmltables import extract_html_tables
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    return extract_html_tables(pages).orderBy('url', 'table_idx', 'row_idx', 'col_idx')
+
+
 def q_pdf_text(spark, sf_dir):
     """North-rule PDF/layout-parse tier: from-scratch content-stream
     text extraction (raw + FlateDecode, Tj/'/TJ operators) over a
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'extract_links_corpus': q_extract_links_corpus,
         'main_content': q_main_content,
         'content_spans': q_content_spans,
+        'html_tables': q_html_tables,
         'pdf_text': q_pdf_text,
         'pdf_spans': q_pdf_spans,
         'corpus_images': q_corpus_images,
@@ -624,6 +637,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         'pdf_text': _ref(
             'pdf_text', 'url, text_sha, n_streams, n_blocks', _DOC_SKEY, 'url'
+        ),
+        'html_tables': _ref(
+            'html_tables', 'url, table_idx, row_idx, col_idx, cell', _DOC_SKEY,
+            'url, table_idx, row_idx, col_idx',
         ),
         'pdf_spans': _ref(
             'pdf_spans', 'url, stream_idx, block_idx, n_chars', _DOC_SKEY,

@@ -169,6 +169,24 @@ def doc_html(i: int) -> bytes:
     related = ' '.join(
         f'<a href="/post/{i}-{j}">Related post number {j}</a>' for j in range(4)
     )
+    # r5: rotate data tables through the article (html_tables operator
+    # input; the cells also flow through main-content as td/th blocks).
+    # i%5==2 gets a header + data rows table with soup edges (implicit
+    # </td>/</tr> closes, entity, empty cell); i%10==9 nests a table
+    # inside a cell (nested text must NOT leak into the parent cell).
+    table = ''
+    if i % 5 == 2:
+        n_rows = 2 + _h(f'tbl:{i}') % 3
+        body = ''.join(
+            f'<tr><td>metric row {r} of document {i} pass<td>{(i * 7 + r) % 1000}'
+            f'<td>{"" if r == 0 else f"note &amp; detail {r}"}'
+            for r in range(n_rows)
+        )
+        table = (f'<table class="data"><tr><th>Metric</th><th>Value</th><th>Note</th>'
+                 f'{body}</table>')
+    elif i % 10 == 9:
+        table = (f'<table><tr><td>outer cell {i} <table><tr><td>inner {i}</td>'
+                 f'<td>{i % 97}</td></tr></table> trailing</td></tr></table>')
     return (
         f'<html><head><title>Doc {i}</title><script>var t={i};track(t);</script>'
         f'<style>.x{{color:red}}</style></head>\n'
@@ -177,6 +195,7 @@ def doc_html(i: int) -> bytes:
         f'<aside>We use cookies. <a href="/consent">Accept all cookies now</a></aside>\n'
         f'<article><h1>Doc {i}</h1>\n<img alt="no-src">\n<img src>\n{imgs}\n'
         + '\n'.join(paras)
+        + f'\n{table}'
         + f'\n<p>text {i}</p></article>\n'
         f'<div class="related">{related}</div>\n'
         f'<footer>{nav} <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>'

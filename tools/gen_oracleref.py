@@ -196,6 +196,17 @@ def gen_host_stats(sf_dir: str, skey: int, out: dict) -> None:
         out['host_stats'].append((skey, host, c, chars, en, lo, hi))
 
 
+def gen_html_tables(sf_dir: str, skey: int, out: dict) -> None:
+    """Structured table records — twin in oracle_kernels.html_tables_seq."""
+    from oracle_kernels import html_tables_seq
+
+    n = _corpus_n(sf_dir)
+    for i in range(n):
+        url = corpus.doc_url(i)
+        for t, r, c, cell in html_tables_seq(corpus.doc_html(i)):
+            out['html_tables'].append((skey, url, t, r, c, cell))
+
+
 def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
     """Sequential twin of operators/maincontent.py over the pages
     table — computed with the INDEPENDENT kernel (oracle_kernels
@@ -548,6 +559,10 @@ SCHEMAS = {
          ('n_docs', pa.int64()), ('n_links', pa.int64()),
          ('status', pa.string()), ('n_status', pa.int64())]
     ),
+    'html_tables': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('table_idx', pa.int32()),
+         ('row_idx', pa.int32()), ('col_idx', pa.int32()), ('cell', pa.string())]
+    ),
     'line_dedup': pa.schema(
         [('skey', pa.int64()), ('url', pa.string()), ('n_lines', pa.int64()),
          ('n_kept', pa.int64()), ('dedup_sha', pa.string())]
@@ -566,6 +581,7 @@ def main() -> None:
         gen_line_dedup(sf_dir, dk, out)
         gen_host_stats(sf_dir, dk, out)
         gen_main_content(sf_dir, dk, out)
+        gen_html_tables(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
         gen_winnow(sf_dir, dk, out)

@@ -1499,3 +1499,86 @@ def line_dedup_seq(docs):
         if n_lines:
             out.append((doc_id, n_lines, len(kept), '\n'.join(kept)))
     return out
+
+
+# ---------------------------------------------------- html-tables twin
+
+
+def html_tables_seq(html) -> list:
+    """Sequential twin of core.htmltables.extract_tables: flattened
+    (table_idx, row_idx, col_idx, cell) records.  Same event stream as
+    the main-content twin (_mc_events — the stdlib tokenizer is shared
+    substrate, as disclosed there), DIFFERENT machinery than the
+    engine: a flat fold over the event list with parallel stacks
+    instead of the engine's parser-subclass frame objects.
+
+    Spec (core/htmltables.py docstring): document-order table indexes
+    incl. nested tables; innermost-table row ownership; implicit
+    cell/row closes; nested-table text excluded from the parent cell;
+    whitespace-normalized unescaped cell text; empty rows dropped."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode('utf-8', errors='replace')
+
+    idx_stack: list = []      # table index per open table
+    rows_stack: list = []     # rows accumulated per open table
+    row_stack: list = []      # current row (list) or None, per table
+    cell_stack: list = []     # current cell text parts (list) or None
+    finished: list = []       # (table_idx, rows)
+    n_seen = 0
+
+    def close_cell():
+        if cell_stack[-1] is not None:
+            if row_stack[-1] is None:
+                row_stack[-1] = []
+            row_stack[-1].append(' '.join(''.join(cell_stack[-1]).split()))
+            cell_stack[-1] = None
+
+    def close_row():
+        close_cell()
+        if row_stack[-1] is not None:
+            if row_stack[-1]:
+                rows_stack[-1].append(row_stack[-1])
+            row_stack[-1] = None
+
+    def close_table():
+        close_row()
+        finished.append((idx_stack.pop(), rows_stack.pop()))
+        row_stack.pop()
+        cell_stack.pop()
+
+    for kind, payload, attrs in _mc_events(html):
+        if kind == 'open' or kind == 'void':
+            if payload == 'table':
+                idx_stack.append(n_seen)
+                n_seen += 1
+                rows_stack.append([])
+                row_stack.append(None)
+                cell_stack.append(None)
+            elif not idx_stack:
+                continue
+            elif payload == 'tr':
+                close_row()
+                row_stack[-1] = []
+            elif payload == 'td' or payload == 'th':
+                close_cell()
+                cell_stack[-1] = []
+        elif kind == 'close' and idx_stack:
+            if payload == 'table':
+                close_table()
+            elif payload == 'tr':
+                close_row()
+            elif payload == 'td' or payload == 'th':
+                close_cell()
+        elif kind == 'data' and idx_stack and cell_stack[-1] is not None:
+            cell_stack[-1].append(payload)
+    while idx_stack:
+        close_table()
+
+    out = []
+    for t_idx, rows in sorted(finished):
+        for r_idx, row in enumerate(rows):
+            for c_idx, cell in enumerate(row):
+                out.append((t_idx, r_idx, c_idx, cell))
+    return out
