@@ -105,6 +105,43 @@ def q_content_spans(spark, sf_dir):
     return extract_content_spans(pages).orderBy('url', 'ord')
 
 
+def q_page_meta(spark, sf_dir):
+    """Crawl-policy head signals (title / description / canonical /
+    og:title / robots directives) per page: one mapInPandas pass over
+    (url, html), no shuffle (operators/htmlmeta.extract_page_meta)."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_meta
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    return extract_page_meta(pages).orderBy('url')
+
+
+def q_page_outlinks(spark, sf_dir):
+    """Crawl-frontier <a href> records in document order with anchor
+    text and from-scratch relative→absolute resolution — the host
+    link graph's input; one mapInPandas pass, no shuffle."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    return extract_page_outlinks(pages).orderBy('url', 'ord')
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank over the extracted outlinks: page-level
+    edges collapse to a host-sized table (self-loops dropped BEFORE the
+    one aggregation shuffle), then 10 integer-fixed-point power
+    iterations (SCALE=10^12 rank units, floor division — bit-identical
+    under any partitioning; training/linkgraph.py)."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.training.linkgraph import host_edges, pagerank_hosts
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    edges = host_edges(extract_page_outlinks(pages))
+    return pagerank_hosts(edges, iterations=10).orderBy('host')
+
+
 def q_html_tables(spark, sf_dir):
     """Structured table extraction from the pages corpus: flattened
     (url, table_idx, row_idx, col_idx, cell) records — one mapInPandas
@@ -553,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'main_content': q_main_content,
         'content_spans': q_content_spans,
         'html_tables': q_html_tables,
+        'page_meta': q_page_meta,
+        'page_outlinks': q_page_outlinks,
+        'host_pagerank': q_host_pagerank,
         'pdf_text': q_pdf_text,
         'pdf_spans': q_pdf_spans,
         'corpus_images': q_corpus_images,
@@ -642,6 +682,16 @@ def oracle_sql() -> dict[str, str]:
             'html_tables', 'url, table_idx, row_idx, col_idx, cell', _DOC_SKEY,
             'url, table_idx, row_idx, col_idx',
         ),
+        'page_meta': _ref(
+            'page_meta',
+            'url, title, meta_description, canonical, og_title, '
+            'robots_noindex, robots_nofollow',
+            _DOC_SKEY, 'url',
+        ),
+        'page_outlinks': _ref(
+            'page_outlinks', 'url, ord, href, abs_url, anchor', _DOC_SKEY, 'url, ord'
+        ),
+        'host_pagerank': _ref('host_pagerank', 'host, rank_units', _DOC_SKEY, 'host'),
         'pdf_spans': _ref(
             'pdf_spans', 'url, stream_idx, block_idx, n_chars', _DOC_SKEY,
             'url, stream_idx, block_idx',

@@ -161,6 +161,14 @@ def run_bench(emit_json: bool = True) -> dict:
         'fingerprint',
         'url_canonical',
         'ann_lsh_topk',
+        # r5 crawl-structure tier: table/meta/outlink extraction is the
+        # same one-pass mapInPandas shape as main_content; host_pagerank
+        # adds K host-sized iteration jobs (its ~0.4 s/iteration here is
+        # fixed small-data job overhead, not data cost)
+        'html_tables',
+        'page_meta',
+        'page_outlinks',
+        'host_pagerank',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

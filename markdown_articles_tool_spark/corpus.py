@@ -169,6 +169,52 @@ def doc_html(i: int) -> bytes:
     related = ' '.join(
         f'<a href="/post/{i}-{j}">Related post number {j}</a>' for j in range(4)
     )
+    # r5: head metadata rotation (page_meta operator input) — meta
+    # description / canonical link (incl. multi-token rel + padded
+    # href, which the spec strips but does NOT resolve) / og:title
+    # with mixed-case property / robots directives with soup spacing
+    head_meta = ''
+    if i % 3 != 2:
+        head_meta += f'<meta name="description" content="Summary &amp; abstract of doc {i}.">'
+    if i % 4 == 0:
+        head_meta += f'<link rel="canonical" href="https://canonical.example/c/{i}">'
+    elif i % 4 == 1:
+        head_meta += f'<link rel="alternate CANONICAL" href=" /canon/{i} ">'
+    if i % 5 == 0:
+        head_meta += f'<meta property="OG:Title" content="OG · Doc {i}">'
+    robots = {0: 'noindex', 1: ' NOINDEX , nofollow ', 2: 'nofollow'}.get(i % 7)
+    if robots is not None:
+        head_meta += f'<meta name="robots" content="{robots}">'
+    # r5: outlink soup rotation (page_outlinks / host link-graph input):
+    # a cross-site ring + cdn edges give the host graph structure; the
+    # rest exercises every resolver/filter branch — parent-relative,
+    # dot segments, protocol-relative, query-only, fragment-only,
+    # mailto/javascript schemes, mixed-case absolute, empty/missing
+    # href, nested-<a> implicit close
+    ring = (i + 1) % 7
+    soup_links = [
+        f'<a href="https://site{ring}.example/articles/hub/">site ring {ring}</a>',
+        f'<a href="//cdn{i % 3}.example/lib/app.js">cdn asset</a>',
+    ]
+    if i % 2 == 0:
+        soup_links.append(f'<a href="../refs/r{i}.html">parent ref {i}</a>')
+    if i % 3 == 1:
+        soup_links.append('<a href="mailto:editor@example.org">mail us</a>')
+    if i % 4 == 1:
+        soup_links.append(f'<a href="?page=2&amp;ref={i}">next page</a>')
+    if i % 4 == 3:
+        soup_links.append('<a href="#comments">jump</a>')
+    if i % 5 == 3:
+        soup_links.append(f'<a href="./sub/./x/../p{i}.html">dotty path</a>')
+    if i % 5 == 1:
+        soup_links.append('<a href="JavaScript:void(0)">button</a>')
+    if i % 6 == 5:
+        soup_links.append(f'<a href="HTTPS://Mixed.Example/Path{i}#frag">mixed case</a>')
+    if i % 7 == 2:
+        soup_links.append(f'<a href="">empty</a> <a name="x{i}">no href</a>')
+    if i % 9 == 7:
+        soup_links.append(f'<a href="/s1/{i}">one <a href="/s2/{i}">two</a></a>')
+    linkpara = '<p>More: ' + ' '.join(soup_links) + '</p>'
     # r5: rotate data tables through the article (html_tables operator
     # input; the cells also flow through main-content as td/th blocks).
     # i%5==2 gets a header + data rows table with soup edges (implicit
@@ -188,13 +234,14 @@ def doc_html(i: int) -> bytes:
         table = (f'<table><tr><td>outer cell {i} <table><tr><td>inner {i}</td>'
                  f'<td>{i % 97}</td></tr></table> trailing</td></tr></table>')
     return (
-        f'<html><head><title>Doc {i}</title><script>var t={i};track(t);</script>'
+        f'<html><head><title>Doc {i}</title>{head_meta}<script>var t={i};track(t);</script>'
         f'<style>.x{{color:red}}</style></head>\n'
         f'<body><nav>{nav}</nav>\n'
         f'<header><a href="/">Home</a> &gt; <a href="/a">Articles</a></header>\n'
         f'<aside>We use cookies. <a href="/consent">Accept all cookies now</a></aside>\n'
         f'<article><h1>Doc {i}</h1>\n<img alt="no-src">\n<img src>\n{imgs}\n'
         + '\n'.join(paras)
+        + f'\n{linkpara}'
         + f'\n{table}'
         + f'\n<p>text {i}</p></article>\n'
         f'<div class="related">{related}</div>\n'

@@ -1,0 +1,161 @@
+"""Host link graph + PageRank over the crawl's outlink records.
+
+``host_edges`` collapses the page-level ``<a href>`` records
+(operators/htmlmeta.extract_page_outlinks) into a (src_host,
+dst_host, n_links) edge table; ``pagerank_hosts`` runs a fixed number
+of power iterations over it.  No reference counterpart (the reference
+tool is single-article); engine-added crawl-analytics surface.
+
+Scale shapes
+------------
+
+* ``host_edges``: host extraction is a JVM ``regexp_extract``
+  projection on the already-narrow outlink rows, then ONE shuffle —
+  the groupBy on (src_host, dst_host).  Hosts are ~10^8 at web scale
+  vs 10^12 pages, so the edge table is orders of magnitude smaller
+  than its input; self-loops (intra-host nav, the overwhelming
+  majority of raw links) are dropped BEFORE the aggregation so the
+  shuffle never carries them.
+* ``pagerank_hosts``: the textbook rank/out-degree power iteration as
+  DataFrame algebra — per iteration one join (edges ⋈ ranks on src,
+  both sides pre-partitioned on the join key by the previous round's
+  shuffle), one groupBy dst, and one broadcast of two single-row
+  aggregates (dangling mass, node count).  K iterations = K narrow
+  shuffles over the HOST-sized table; the 10^12-row page table is
+  never touched again after ``host_edges``.  ``checkpoint_every``
+  truncates lineage with ``localCheckpoint`` for large K (at K≈10 the
+  linear plan growth is fine).
+
+Determinism (why integer fixed-point)
+-------------------------------------
+
+Floating-point PageRank is NOT reproducible on a cluster: per-host
+contribution sums change with shuffle arrival order, so two runs of
+the same job differ in the low bits — poison for a hash-gated
+pipeline and for cache-keyed recrawl scheduling.  This implementation
+does ALL arithmetic in integer rank units (SCALE = 10^12 units of
+total mass) where addition is associative and division is floor —
+ranks are bit-identical under any partitioning, any executor count,
+any run.  The sequential twin (tools/oracle_kernels.pagerank_seq)
+reproduces the spec with plain Python ints.
+
+Spec (shared with the twin):
+
+* nodes = distinct hosts appearing as src or dst of the self-loop-free
+  edge table;
+* init: rank[h] = SCALE // N;
+* per iteration:
+  - contribution of edge (s → d, w): rank[s] * w // W_s, where W_s is
+    s's total outgoing link count (floor division — mass may shrink by
+    < 1 unit per edge; the spec IS the integer fixpoint);
+  - dangling mass = Σ rank[h] over hosts with no outgoing edges,
+    shared uniformly: dang = dangling_mass // N;
+  - rank'[h] = (15 * (SCALE // N) + 85 * (in[h] + dang)) // 100
+    (damping 0.85 in exact hundredths).
+* output after K iterations: (host, rank_units), rank_units being the
+  integer rank (rank_units / SCALE ≈ the classical probability).
+
+``rank * w`` is computed in DECIMAL(38,0) before the integral ``div``
+so a 10^12-unit rank times a large multiplicity can never wrap a
+LONG; the result is cast back to LONG (≤ SCALE by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HOST_RE = r'^[a-zA-Z]+://([^/]+)'
+SCALE = 10 ** 12
+
+
+def host_of(col):
+    """JVM-side host extraction ('' when the value has no authority)."""
+    return F.regexp_extract(col, _HOST_RE, 1)
+
+
+def host_edges(outlinks: DataFrame, src_col: str = 'url', dst_col: str = 'abs_url') -> DataFrame:
+    """(src_host, dst_host, n_links) with self-loops and host-less
+    endpoints dropped before the one aggregation shuffle."""
+    e = outlinks.select(
+        host_of(F.col(src_col)).alias('src_host'),
+        host_of(F.col(dst_col)).alias('dst_host'),
+    )
+    return (
+        e.where((F.col('src_host') != F.col('dst_host'))
+                & (F.col('src_host') != '') & (F.col('dst_host') != ''))
+        .groupBy('src_host', 'dst_host')
+        .agg(F.count(F.lit(1)).alias('n_links'))
+    )
+
+
+def pagerank_hosts(edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """(host, rank_units) after ``iterations`` integer power steps.
+
+    One small job per iteration (eager ``localCheckpoint``, the same
+    discipline as the pointer-shortcut loop in training/cluster.py):
+    each round's ranks are materialized BEFORE the next round consumes
+    them twice (contribution join + dangling-mass aggregate) — chaining
+    the rounds lazily would re-evaluate round i once per reference from
+    round i+1, i.e. 2^K plan blowup — and the checkpoint also truncates
+    lineage so the plan stays flat at any K.  All the jobs run over the
+    HOST-sized table, never the page table.
+    """
+    edges = edges.select('src_host', 'dst_host', 'n_links')
+
+    nodes = (
+        edges.select(F.col('src_host').alias('host'))
+        .union(edges.select(F.col('dst_host').alias('host')))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], 'host string, rank_units long')
+    base = SCALE // n_nodes
+
+    # W_s rides every edge row once, computed with one reused shuffle
+    out_w = edges.groupBy('src_host').agg(F.sum('n_links').alias('out_w'))
+    edges_w = edges.join(out_w, 'src_host').persist()
+    # dangling hosts never change across iterations: resolve them once
+    dangling = nodes.join(
+        edges_w.select(F.col('src_host').alias('host')).distinct(), 'host', 'left_anti'
+    ).persist()
+
+    ranks = nodes.withColumn('rank_units', F.lit(base).cast('long'))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _it in range(iterations):
+        contribs = (
+            edges_w.join(ranks, edges_w.src_host == ranks.host)
+            .select(
+                F.col('dst_host').alias('host'),
+                F.expr(
+                    'CAST((CAST(rank_units AS DECIMAL(38,0)) * n_links) DIV out_w AS LONG)'
+                ).alias('contrib'),
+            )
+            .groupBy('host')
+            .agg(F.sum('contrib').alias('in_units'))
+        )
+        dang_row = (
+            ranks.join(dangling.select('host'), 'host', 'left_semi')
+            .agg(F.coalesce(F.sum('rank_units'), F.lit(0)).alias('dang_mass'))
+            .select(F.expr(f'dang_mass DIV {n_nodes}').alias('dang_share'))
+        )
+        new_ranks = (
+            nodes.join(contribs, 'host', 'left')
+            .withColumn('in_units', F.coalesce(F.col('in_units'), F.lit(0)))
+            .crossJoin(F.broadcast(dang_row))
+            .select(
+                'host',
+                F.expr(
+                    f'(15 * {base} + 85 * (in_units + dang_share)) DIV 100'
+                ).alias('rank_units'),
+            )
+        )
+        ranks = new_ranks.localCheckpoint(eager=True)
+
+    nodes.unpersist()
+    edges_w.unpersist()
+    dangling.unpersist()
+    return ranks

@@ -207,6 +207,38 @@ def gen_html_tables(sf_dir: str, skey: int, out: dict) -> None:
             out['html_tables'].append((skey, url, t, r, c, cell))
 
 
+def gen_page_graph(sf_dir: str, skey: int, out: dict, iterations: int = 10) -> None:
+    """Page metadata, outlink records, and the host-pagerank fixpoint —
+    twins in oracle_kernels.html_meta_seq / outlinks_seq / pagerank_seq
+    (flat event folds + RFC string-munching resolver + pure-int power
+    iteration vs the engine's parser subclass / segment stack /
+    DataFrame algebra)."""
+    import re as _re
+
+    from oracle_kernels import html_meta_seq, outlinks_seq, pagerank_seq
+
+    host_re = _re.compile(r'^[a-zA-Z]+://([^/]+)')
+    n = _corpus_n(sf_dir)
+    edges: dict = defaultdict(int)
+    for i in range(n):
+        url = corpus.doc_url(i)
+        html = corpus.doc_html(i)
+        out['page_meta'].append((skey, url, *html_meta_seq(html)))
+        m = host_re.match(url)
+        src_host = m.group(1) if m else ''
+        for ord_, href, abs_url, anchor in outlinks_seq(url, html):
+            out['page_outlinks'].append((skey, url, ord_, href, abs_url, anchor))
+            md = host_re.match(abs_url)
+            dst_host = md.group(1) if md else ''
+            if src_host and dst_host and src_host != dst_host:
+                edges[(src_host, dst_host)] += 1
+    ranks = pagerank_seq(
+        [(s, d, w) for (s, d), w in edges.items()], iterations=iterations
+    )
+    for host in sorted(ranks):
+        out['host_pagerank'].append((skey, host, ranks[host]))
+
+
 def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
     """Sequential twin of operators/maincontent.py over the pages
     table — computed with the INDEPENDENT kernel (oracle_kernels
@@ -567,6 +599,19 @@ SCHEMAS = {
         [('skey', pa.int64()), ('url', pa.string()), ('n_lines', pa.int64()),
          ('n_kept', pa.int64()), ('dedup_sha', pa.string())]
     ),
+    'page_meta': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('title', pa.string()),
+         ('meta_description', pa.string()), ('canonical', pa.string()),
+         ('og_title', pa.string()), ('robots_noindex', pa.bool_()),
+         ('robots_nofollow', pa.bool_())]
+    ),
+    'page_outlinks': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('ord', pa.int32()),
+         ('href', pa.string()), ('abs_url', pa.string()), ('anchor', pa.string())]
+    ),
+    'host_pagerank': pa.schema(
+        [('skey', pa.int64()), ('host', pa.string()), ('rank_units', pa.int64())]
+    ),
 }
 
 
@@ -581,6 +626,7 @@ def main() -> None:
         gen_line_dedup(sf_dir, dk, out)
         gen_host_stats(sf_dir, dk, out)
         gen_main_content(sf_dir, dk, out)
+        gen_page_graph(sf_dir, dk, out)
         gen_html_tables(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)

@@ -1582,3 +1582,241 @@ def html_tables_seq(html) -> list:
             for c_idx, cell in enumerate(row):
                 out.append((t_idx, r_idx, c_idx, cell))
     return out
+
+
+# ------------------------------------------------- page meta / outlinks
+
+def _rfc_remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 string muncher — twin of the engine's
+    segment-stack normalizer (core/htmlmeta.remove_dot_segments): same
+    spec, different machinery.  Inputs here always start with '/'."""
+    inp = path
+    out: list = []
+    while inp:
+        if inp.startswith('../'):
+            inp = inp[3:]
+        elif inp.startswith('./'):
+            inp = inp[2:]
+        elif inp.startswith('/./'):
+            inp = '/' + inp[3:]
+        elif inp == '/.':
+            inp = '/'
+        elif inp.startswith('/../'):
+            inp = '/' + inp[4:]
+            if out:
+                out.pop()
+        elif inp == '/..':
+            inp = '/'
+            if out:
+                out.pop()
+        elif inp in ('.', '..'):
+            inp = ''
+        else:
+            nxt = inp.find('/', 1) if inp.startswith('/') else inp.find('/')
+            if nxt < 0:
+                out.append(inp)
+                inp = ''
+            else:
+                out.append(inp[:nxt])
+                inp = inp[nxt:]
+    res = ''.join(out)
+    return res if res else '/'
+
+
+def _ascii_alpha(ch: str) -> bool:
+    return 'a' <= ch <= 'z' or 'A' <= ch <= 'Z'
+
+
+def _scheme_of(href: str):
+    """The URI scheme prefix per the ASCII grammar, or None (the engine
+    uses a compiled regex; this is a hand scanner)."""
+    if not href or not _ascii_alpha(href[0]):
+        return None
+    for k in range(1, len(href)):
+        ch = href[k]
+        if ch == ':':
+            return href[:k]
+        if not (_ascii_alpha(ch) or '0' <= ch <= '9' or ch in '+.-'):
+            return None
+    return None
+
+
+def resolve_href_seq(base: str, href: str):
+    """Twin of core/htmlmeta.resolve_href (module-docstring spec):
+    absolute http(s) pass-through, protocol-relative / absolute-path /
+    query-only / merge resolution against the base, RFC dot-segment
+    normalization, fragment strip; None = dropped."""
+    href = href.strip()
+    if not href or href[0] == '#':
+        return None
+    scheme = _scheme_of(href)
+    if scheme is not None:
+        if scheme.lower() not in ('http', 'https'):
+            return None
+        out = href
+    else:
+        head, sep, rest = base.partition('://')
+        if not sep:
+            return None
+        b_scheme = head.lower()
+        cut = len(rest)
+        for stop in '/?#':
+            p = rest.find(stop)
+            if 0 <= p < cut:
+                cut = p
+        b_auth = rest[:cut]
+        tail = rest[cut:]
+        pcut = len(tail)
+        for stop in '?#':
+            p = tail.find(stop)
+            if 0 <= p < pcut:
+                pcut = p
+        b_path = tail[:pcut]
+        if not b_path.startswith('/'):
+            b_path = '/'
+
+        def norm_pq(pathq: str) -> str:
+            q = pathq.find('?')
+            if q >= 0:
+                return _rfc_remove_dot_segments(pathq[:q]) + pathq[q:]
+            return _rfc_remove_dot_segments(pathq)
+
+        if href.startswith('//'):
+            out = b_scheme + ':' + href
+        elif href.startswith('/'):
+            out = b_scheme + '://' + b_auth + norm_pq(href)
+        elif href.startswith('?'):
+            out = b_scheme + '://' + b_auth + _rfc_remove_dot_segments(b_path) + href
+        else:
+            merged = b_path[:b_path.rfind('/') + 1] + href
+            out = b_scheme + '://' + b_auth + norm_pq(merged)
+    frag = out.find('#')
+    if frag >= 0:
+        out = out[:frag]
+    return out
+
+
+def _first_wins(attrs) -> dict:
+    d: dict = {}
+    for name, value in (attrs or []):
+        d.setdefault(name, value)
+    return d
+
+
+def html_meta_seq(html):
+    """Sequential twin of core/htmlmeta.extract_meta: (title,
+    meta_description, canonical, og_title, robots_noindex,
+    robots_nofollow).  Flat fold over the shared _mc_events stream
+    (stdlib tokenizer substrate, disclosed) vs the engine's stateful
+    parser subclass."""
+    if html is None:
+        return ('', '', '', '', False, False)
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode('utf-8', errors='replace')
+    title = desc = canon = og = robots = None
+    tparts = None
+    for kind, payload, attrs in _mc_events(html):
+        if kind == 'open' or kind == 'void':
+            a = _first_wins(attrs)
+            if payload == 'title':
+                if title is None and tparts is None:
+                    tparts = []
+                if kind == 'void' and tparts is not None:
+                    title = ' '.join(''.join(tparts).split())
+                    tparts = None
+            elif payload == 'meta':
+                name = (a.get('name') or '').strip().lower()
+                prop = (a.get('property') or '').strip().lower()
+                c = a.get('content')
+                if name == 'description' and desc is None and c is not None:
+                    desc = ' '.join(c.split())
+                elif name == 'robots' and robots is None and c is not None:
+                    robots = c
+                if prop == 'og:title' and og is None and c is not None:
+                    og = ' '.join(c.split())
+            elif payload == 'link':
+                rel = (a.get('rel') or '').lower().split()
+                h = a.get('href')
+                if 'canonical' in rel and canon is None and h is not None:
+                    canon = h.strip()
+        elif kind == 'close':
+            if payload == 'title' and tparts is not None:
+                title = ' '.join(''.join(tparts).split())
+                tparts = None
+        elif kind == 'data' and tparts is not None:
+            tparts.append(payload)
+    if tparts is not None:   # unclosed <title> runs to EOF
+        title = ' '.join(''.join(tparts).split())
+    noindex = nofollow = False
+    if robots is not None:
+        tokens = [t.strip().lower() for t in robots.split(',')]
+        noindex = 'noindex' in tokens
+        nofollow = 'nofollow' in tokens
+    return (title or '', desc or '', canon or '', og or '', noindex, nofollow)
+
+
+def outlinks_seq(base_url: str, html):
+    """Sequential twin of core/htmlmeta.extract_outlinks: (ord, href,
+    abs_url, anchor) records in document order; new <a> / </a> / EOF
+    close the open anchor; emitted iff the href survives
+    resolve_href_seq."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode('utf-8', errors='replace')
+    links: list = []
+    state: list = [None, None]   # [href, text_parts]
+
+    def close():
+        href, parts = state
+        state[0] = state[1] = None
+        if parts is None or href is None:
+            return
+        resolved = resolve_href_seq(base_url, href)
+        if resolved is None:
+            return
+        links.append((len(links), href.strip(), resolved, ' '.join(''.join(parts).split())))
+
+    for kind, payload, attrs in _mc_events(html):
+        if (kind == 'open' or kind == 'void') and payload == 'a':
+            close()
+            state[0] = _first_wins(attrs).get('href')
+            state[1] = []
+            if kind == 'void':
+                close()
+        elif kind == 'close' and payload == 'a':
+            close()
+        elif kind == 'data' and state[1] is not None:
+            state[1].append(payload)
+    close()
+    return links
+
+
+# ------------------------------------------------------ host pagerank
+
+def pagerank_seq(edges, iterations: int = 10) -> dict:
+    """Sequential twin of training/linkgraph.pagerank_hosts: the
+    integer fixed-point spec (SCALE = 10^12 rank units, floor division
+    everywhere, damping 85/100) over (src, dst, weight) edges with
+    plain Python ints — bit-identical to the distributed result under
+    any partitioning by construction."""
+    scale = 10 ** 12
+    nodes: set = set()
+    outw: dict = {}
+    elist = list(edges)
+    for s, d, w in elist:
+        nodes.add(s)
+        nodes.add(d)
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    if n == 0:
+        return {}
+    base = scale // n
+    rank = {h: base for h in nodes}
+    for _ in range(iterations):
+        inc = {h: 0 for h in nodes}
+        for s, d, w in elist:
+            inc[d] += rank[s] * w // outw[s]
+        dang = sum(rank[h] for h in nodes if h not in outw) // n
+        rank = {h: (15 * base + 85 * (inc[h] + dang)) // 100 for h in nodes}
+    return rank
