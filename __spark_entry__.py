@@ -142,6 +142,21 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank_hosts(edges, iterations=10).orderBy('host')
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Top-3 cross-host inlink anchors per target URL — what OTHER
+    sites call a page (the classic search/training relevance signal);
+    one (abs_url, anchor) count aggregation with map-side partials,
+    then a per-target top-k window (training/linkgraph.anchor_profiles).
+    Oracle = an independent DuckDB aggregation over the hash-gated
+    page_outlinks oracle records."""
+    from markdown_articles_tool_spark.corpus import pages_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.training.linkgraph import anchor_profiles
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    return anchor_profiles(extract_page_outlinks(pages), k=3).orderBy('abs_url', 'rank')
+
+
 def q_html_tables(spark, sf_dir):
     """Structured table extraction from the pages corpus: flattened
     (url, table_idx, row_idx, col_idx, cell) records — one mapInPandas
@@ -593,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
+        'anchor_texts': q_anchor_texts,
         'pdf_text': q_pdf_text,
         'pdf_spans': q_pdf_spans,
         'corpus_images': q_corpus_images,
@@ -692,6 +708,40 @@ def oracle_sql() -> dict[str, str]:
             'page_outlinks', 'url, ord, href, abs_url, anchor', _DOC_SKEY, 'url, ord'
         ),
         'host_pagerank': _ref('host_pagerank', 'host, rank_units', _DOC_SKEY, 'host'),
+        # independent aggregation machinery (SQL window) over the
+        # hash-gated page_outlinks oracle records — same spec as
+        # training/linkgraph.anchor_profiles (k=3, external-only,
+        # empty anchors dropped, count-desc/anchor-asc total order)
+        'anchor_texts': f"""
+            WITH ol AS (
+                SELECT url, abs_url, anchor
+                FROM read_parquet('{_ORACLEREF}/page_outlinks.parquet')
+                WHERE skey = {_DOC_SKEY}
+            ),
+            hosted AS (
+                SELECT regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS src_host,
+                       regexp_extract(abs_url, '^[a-zA-Z]+://([^/]+)', 1) AS dst_host,
+                       abs_url, anchor
+                FROM ol
+            ),
+            counts AS (
+                SELECT abs_url, anchor, COUNT(*) AS n_links
+                FROM hosted
+                WHERE src_host <> dst_host AND src_host <> ''
+                  AND dst_host <> '' AND anchor <> ''
+                GROUP BY abs_url, anchor
+            ),
+            ranked AS (
+                SELECT abs_url, anchor, n_links,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY abs_url
+                           ORDER BY n_links DESC, anchor ASC
+                       ) AS rank
+                FROM counts
+            )
+            SELECT abs_url, CAST(rank AS INT) AS rank, anchor, n_links
+            FROM ranked WHERE rank <= 3 ORDER BY abs_url, rank
+        """,
         'pdf_spans': _ref(
             'pdf_spans', 'url, stream_idx, block_idx, n_chars', _DOC_SKEY,
             'url, stream_idx, block_idx',

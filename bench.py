@@ -169,6 +169,7 @@ def run_bench(emit_json: bool = True) -> dict:
         'page_meta',
         'page_outlinks',
         'host_pagerank',
+        'anchor_texts',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

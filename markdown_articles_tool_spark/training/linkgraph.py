@@ -3,8 +3,11 @@
 ``host_edges`` collapses the page-level ``<a href>`` records
 (operators/htmlmeta.extract_page_outlinks) into a (src_host,
 dst_host, n_links) edge table; ``pagerank_hosts`` runs a fixed number
-of power iterations over it.  No reference counterpart (the reference
-tool is single-article); engine-added crawl-analytics surface.
+of power iterations over it; ``anchor_profiles`` aggregates the
+cross-host inlink anchor texts per target URL (the classic
+search/training signal: what OTHER sites call a page).  No reference
+counterpart (the reference tool is single-article); engine-added
+crawl-analytics surface.
 
 Scale shapes
 ------------
@@ -159,3 +162,55 @@ def pagerank_hosts(edges: DataFrame, iterations: int = 10) -> DataFrame:
     edges_w.unpersist()
     dangling.unpersist()
     return ranks
+
+
+def anchor_profiles(
+    outlinks: DataFrame,
+    k: int = 5,
+    min_count: int = 1,
+    src_col: str = 'url',
+    dst_col: str = 'abs_url',
+    anchor_col: str = 'anchor',
+) -> DataFrame:
+    """Top-``k`` cross-host inlink anchors per target URL:
+    (abs_url, rank, anchor, n_links), rank 1..k by (count desc, anchor
+    asc) — a total order, so the cut is deterministic.
+
+    Spec: only EXTERNAL links count (src host != dst host — intra-site
+    anchors are nav text, not description), host-less endpoints and
+    empty anchors are dropped, and anchors below ``min_count`` never
+    enter the ranking.
+
+    Scale shape: groupBy (abs_url, anchor) gets full map-side partial
+    aggregation (the same anchor string pointing at the same target
+    collapses within each partition before the shuffle), then the
+    top-k window repartitions on abs_url alone.  A mega-target's
+    window partition holds its DISTINCT (anchor, count) rows — already
+    collapsed, orders of magnitude smaller than its raw inlink count;
+    ``min_count`` > 1 shrinks it further before the second shuffle.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        outlinks.select(
+            host_of(F.col(src_col)).alias('src_host'),
+            host_of(F.col(dst_col)).alias('dst_host'),
+            F.col(dst_col).alias('abs_url'),
+            F.col(anchor_col).alias('anchor'),
+        )
+        .where(
+            (F.col('src_host') != F.col('dst_host'))
+            & (F.col('src_host') != '') & (F.col('dst_host') != '')
+            & (F.col('anchor') != '')
+        )
+        .groupBy('abs_url', 'anchor')
+        .agg(F.count(F.lit(1)).alias('n_links'))
+    )
+    if min_count > 1:
+        counts = counts.where(F.col('n_links') >= min_count)
+    w = Window.partitionBy('abs_url').orderBy(F.desc('n_links'), F.asc('anchor'))
+    return (
+        counts.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('abs_url', 'rank', 'anchor', 'n_links')
+    )

@@ -137,3 +137,100 @@ class TestPageRank:
         want = pagerank_seq([(s, d, w) for (s, d), w in edges.items()], iterations=4)
         assert got == want
         assert len(got) >= 8   # ring sites + cdn hosts + Mixed.Example
+
+
+@pytest.mark.usefixtures('spark')
+class TestAnchorProfiles:
+    def _links(self, spark, rows):
+        return spark.createDataFrame(rows, 'url string, abs_url string, anchor string')
+
+    def test_external_only_empty_dropped_and_rank_order(self, spark):
+        from markdown_articles_tool_spark.training.linkgraph import anchor_profiles
+
+        rows = (
+            # 2x "Great page", 1x "a page" → rank by count desc then anchor asc
+            [('https://s1.example/p', 'https://t.example/x', 'Great page')] * 2
+            + [('https://s2.example/p', 'https://t.example/x', 'a page')]
+            # ties at count 1 break on anchor text
+            + [('https://s1.example/p', 'https://t.example/y', 'zzz'),
+               ('https://s2.example/p', 'https://t.example/y', 'aaa'),
+               # self-loop and empty anchor never count
+               ('https://t.example/p', 'https://t.example/x', 'nav self'),
+               ('https://s1.example/p', 'https://t.example/x', ''),
+               # host-less src dropped
+               ('garbage', 'https://t.example/x', 'spam')]
+        )
+        got = [
+            (r['abs_url'], r['rank'], r['anchor'], r['n_links'])
+            for r in anchor_profiles(self._links(spark, rows), k=5)
+            .orderBy('abs_url', 'rank').collect()
+        ]
+        assert got == [
+            ('https://t.example/x', 1, 'Great page', 2),
+            ('https://t.example/x', 2, 'a page', 1),
+            ('https://t.example/y', 1, 'aaa', 1),
+            ('https://t.example/y', 2, 'zzz', 1),
+        ]
+
+    def test_k_cut_and_min_count(self, spark):
+        from markdown_articles_tool_spark.training.linkgraph import anchor_profiles
+
+        rows = [
+            ('https://s%d.example/p' % i, 'https://t.example/x', 'anchor %d' % (i % 4))
+            for i in range(12)   # anchors 0..3 with 3 links each
+        ]
+        top = anchor_profiles(self._links(spark, rows), k=2).collect()
+        assert [r['anchor'] for r in sorted(top, key=lambda r: r['rank'])] == \
+            ['anchor 0', 'anchor 1']
+        floor = anchor_profiles(self._links(spark, rows), k=9, min_count=4).collect()
+        assert floor == []
+
+    def test_corpus_differential(self, spark):
+        """Spark aggregation == a plain Counter fold over the twin's
+        outlink records, row for row."""
+        from collections import Counter
+        import re
+
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+        from markdown_articles_tool_spark.training.linkgraph import anchor_profiles
+        from oracle_kernels import outlinks_seq
+
+        n, k = 60, 3
+        pages = corpus.pages_df(spark, n)
+        got = [
+            (r['abs_url'], r['rank'], r['anchor'], r['n_links'])
+            for r in anchor_profiles(extract_page_outlinks(pages), k=k)
+            .orderBy('abs_url', 'rank').collect()
+        ]
+
+        host_re = re.compile(r'^[a-zA-Z]+://([^/]+)')
+        counts: Counter = Counter()
+        for i in range(n):
+            url = corpus.doc_url(i)
+            src = host_re.match(url).group(1)
+            for _ord, _href, abs_url, anchor in outlinks_seq(url, corpus.doc_html(i)):
+                m = host_re.match(abs_url)
+                if m and m.group(1) != src and anchor:
+                    counts[(abs_url, anchor)] += 1
+        want = []
+        by_target: dict = {}
+        for (abs_url, anchor), c in counts.items():
+            by_target.setdefault(abs_url, []).append((anchor, c))
+        for abs_url in sorted(by_target):
+            ranked = sorted(by_target[abs_url], key=lambda ac: (-ac[1], ac[0]))[:k]
+            want.extend(
+                (abs_url, rnk + 1, anchor, c) for rnk, (anchor, c) in enumerate(ranked)
+            )
+        assert got == want
+        assert len(got) > 10
+
+    def test_two_exchanges_with_partial_agg(self, spark):
+        from markdown_articles_tool_spark.training.linkgraph import anchor_profiles
+
+        links = self._links(
+            spark, [('https://s.example/p', 'https://t.example/x', 'hi')]
+        )
+        plan = anchor_profiles(links)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count('Exchange') == 2          # (abs_url, anchor) agg + abs_url window
+        assert 'partial_count' in plan or 'HashAggregate' in plan
