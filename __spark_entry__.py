@@ -169,6 +169,24 @@ def q_html_tables(spark, sf_dir):
     return extract_html_tables(pages).orderBy('url', 'table_idx', 'row_idx', 'col_idx')
 
 
+def q_warc_responses(spark, sf_dir):
+    """Crawl-archive source tier: synthetic Common-Crawl-style
+    ``.warc.gz`` blobs (record-per-gzip-member / whole-file gzip /
+    plain rotations; chunked bodies, charset soup, resync + truncation
+    edges) → one row per HTTP response record.  ONE mapInPandas pass
+    over (file_name, data), no shuffle — the exact shape a real
+    ``binaryFile`` crawl read parallelizes to (sources/warc.py)."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import read_warc_responses
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    return read_warc_responses(files).select(
+        'file_name', 'rec_ord', 'url', 'warc_date', 'http_status', 'mime',
+        'charset', 'n_bytes',
+        F.sha2(F.encode('text', 'utf-8'), 256).alias('text_sha'),
+    ).orderBy('file_name', 'rec_ord')
+
+
 def q_pdf_text(spark, sf_dir):
     """North-rule PDF/layout-parse tier: from-scratch content-stream
     text extraction (raw + FlateDecode, Tj/'/TJ operators) over a
@@ -605,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'main_content': q_main_content,
         'content_spans': q_content_spans,
         'html_tables': q_html_tables,
+        'warc_responses': q_warc_responses,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -697,6 +716,12 @@ def oracle_sql() -> dict[str, str]:
         'html_tables': _ref(
             'html_tables', 'url, table_idx, row_idx, col_idx, cell', _DOC_SKEY,
             'url, table_idx, row_idx, col_idx',
+        ),
+        'warc_responses': _ref(
+            'warc_responses',
+            'file_name, rec_ord, url, warc_date, http_status, mime, charset, '
+            'n_bytes, text_sha',
+            _DOC_SKEY, 'file_name, rec_ord',
         ),
         'page_meta': _ref(
             'page_meta',

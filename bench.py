@@ -170,6 +170,9 @@ def run_bench(emit_json: bool = True) -> dict:
         'page_outlinks',
         'host_pagerank',
         'anchor_texts',
+        # r5 crawl-archive source tier: gzip-member inflate + WARC/HTTP
+        # parse, one mapInPandas pass over (file_name, data) blobs
+        'warc_responses',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

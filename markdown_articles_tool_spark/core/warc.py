@@ -1,0 +1,234 @@
+"""From-scratch WARC/1.0 response reader — the Common-Crawl source tier.
+
+WARC (ISO 28500) is the interchange format the big public crawls ship:
+a ``.warc.gz`` file is a sequence of records, each one (in the CC
+layout) compressed as its OWN gzip member so a reader can seek to a
+record offset; a record is a version line (``WARC/1.0``), header
+lines, a blank line, then exactly ``Content-Length`` payload bytes and
+a ``\\r\\n\\r\\n`` trailer.  ``response`` records carry the raw HTTP
+response (status line + headers + body) as their payload.
+
+This module is stdlib-only and from scratch (the reference tool —
+artiomn/markdown_articles_tool — has no crawl-source tier at all; its
+sources are local/remote single articles, ``www_tools.py``).  The
+INDEPENDENT second implementation used by the driver's hash gate
+parses the same bytes with entirely different machinery —
+``gzip.GzipFile`` member concatenation, ``email.parser`` WARC headers,
+and ``http.client.HTTPResponse`` over a fake socket for the HTTP layer
+— in ``tools/oracle_kernels.warc_responses_seq``.
+
+Spec (shared with the twin)
+---------------------------
+
+Container:
+
+* input starting with the gzip magic (``1f 8b``) is decompressed as
+  CONCATENATED gzip members (the CC record-per-member layout and a
+  whole-file gzip both land here); anything else is taken as plain
+  WARC bytes.  Trailing non-gzip garbage after the last member is
+  dropped (resilience; out of corpus).
+
+WARC records:
+
+* a record starts at a ``WARC/`` version line; its headers are
+  ``Name: value`` lines (name lowercased, FIRST occurrence of a name
+  wins, lines without ``:`` ignored) until the first empty line;
+* ``Content-Length`` (mandatory per the standard) gives the exact
+  payload size; the reader then skips the ``\\r\\n\\r\\n`` record
+  trailer.  A record whose version line or Content-Length is missing
+  or malformed is skipped by resyncing to the next ``WARC/``
+  occurrence; a record whose payload is TRUNCATED (fewer bytes remain
+  than Content-Length — a cut-short transfer) is dropped and parsing
+  ends (it was the last).
+
+Response extraction (``warc_responses``):
+
+* only records with ``WARC-Type: response`` are emitted, in file
+  order, with a 0-based ordinal among emitted records;
+* ``url`` = ``WARC-Target-URI`` with one layer of ``<...>`` angle
+  brackets stripped (the standard permits both forms);
+  ``warc_date`` = the ``WARC-Date`` header value verbatim;
+* the payload is parsed as an HTTP response: status line
+  (``HTTP/x.y CODE [reason]`` — unparseable code drops the record),
+  headers (lowercased, first-wins), body = everything after the blank
+  line.  The WARC Content-Length is authoritative for the body extent;
+  the HTTP Content-Length header is not consulted (CC writes it
+  accurately — divergence out of corpus);
+* ``Transfer-Encoding: chunked`` bodies are de-chunked (hex size
+  lines, ``;ext`` chunk extensions ignored, terminated by a 0 chunk;
+  trailers ignored).  Malformed chunk framing falls back to the raw
+  body bytes (out of corpus);
+* ``mime`` = the ``Content-Type`` media type (before any ``;``),
+  stripped and lowercased; ``''`` when the header is absent;
+* ``charset`` = the resolved codec: the ``charset=`` parameter
+  (unquoted, case-folded) when ``codecs.lookup`` accepts it, else
+  ``utf-8`` — mislabeled charsets therefore decode to deterministic
+  mojibake, exactly like a real crawl read;  ``text`` = the body
+  decoded with that codec, ``errors='replace'``;
+* ``n_bytes`` = the de-chunked body length in bytes.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+import zlib
+from typing import Iterator, List, Optional, Tuple
+
+_GZIP_MAGIC = b'\x1f\x8b'
+_CHARSET_RE = re.compile(r'charset\s*=\s*"?\'?([^";\s\']+)', re.IGNORECASE)
+
+
+def decompress_warc(data: bytes) -> bytes:
+    """Concatenated-gzip-member decompression (or pass-through)."""
+    if not data.startswith(_GZIP_MAGIC):
+        return data
+    out: List[bytes] = []
+    view = memoryview(data)
+    while len(view) >= 2 and view[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip wrapper
+        out.append(d.decompress(bytes(view)))
+        out.append(d.flush())
+        tail = d.unused_data
+        if not tail:
+            break
+        view = memoryview(tail)
+    return b''.join(out)
+
+
+def _parse_header_block(block: bytes) -> dict:
+    """``Name: value`` lines → lowercased first-wins dict."""
+    headers: dict = {}
+    for line in block.split(b'\r\n'):
+        if not line:
+            continue
+        name, sep, value = line.partition(b':')
+        if not sep:
+            continue
+        key = name.strip().decode('latin-1').lower()
+        headers.setdefault(key, value.strip().decode('latin-1'))
+    return headers
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """(warc_headers, payload) per record, honoring Content-Length,
+    resyncing past malformed headers, stopping at a truncated tail."""
+    data = decompress_warc(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data.startswith(b'WARC/', pos):
+            nxt = data.find(b'WARC/', pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        head_end = data.find(b'\r\n\r\n', pos)
+        if head_end < 0:
+            return
+        # header block minus the version line
+        version_end = data.find(b'\r\n', pos)
+        headers = _parse_header_block(data[version_end + 2:head_end])
+        try:
+            length = int(headers['content-length'])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            nxt = data.find(b'WARC/', pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        body_start = head_end + 4
+        if body_start + length > n:
+            return  # truncated tail record: dropped, parsing ends
+        yield headers, data[body_start:body_start + length]
+        pos = body_start + length
+        # the record trailer (two CRLFs); tolerate its absence at EOF
+        while pos < n and data.startswith(b'\r\n', pos):
+            pos += 2
+
+
+def dechunk(body: bytes) -> bytes:
+    """Transfer-Encoding: chunked decoder; raises ValueError on
+    malformed framing (caller falls back to the raw bytes)."""
+    out: List[bytes] = []
+    pos = 0
+    n = len(body)
+    while True:
+        line_end = body.find(b'\r\n', pos)
+        if line_end < 0:
+            raise ValueError('chunk size line missing')
+        size_tok = body[pos:line_end].split(b';', 1)[0].strip()
+        size = int(size_tok, 16)  # ValueError propagates
+        pos = line_end + 2
+        if size == 0:
+            return b''.join(out)  # trailers (if any) ignored
+        if pos + size > n:
+            raise ValueError('chunk truncated')
+        out.append(body[pos:pos + size])
+        pos += size
+        if body[pos:pos + 2] != b'\r\n':
+            raise ValueError('chunk terminator missing')
+        pos += 2
+
+
+def parse_http_response(block: bytes) -> Optional[Tuple[int, dict, bytes]]:
+    """(status, headers, body) from a raw HTTP response, or None when
+    the status line / header framing is unparseable."""
+    head_end = block.find(b'\r\n\r\n')
+    if head_end < 0:
+        return None
+    status_end = block.find(b'\r\n')
+    parts = block[:status_end].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b'HTTP/'):
+        return None
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return None
+    headers = _parse_header_block(block[status_end + 2:head_end])
+    body = block[head_end + 4:]
+    if 'chunked' in headers.get('transfer-encoding', '').lower():
+        try:
+            body = dechunk(body)
+        except ValueError:
+            pass  # malformed framing: raw bytes (out of corpus)
+    return status, headers, body
+
+
+def resolve_charset(content_type: str) -> str:
+    """The codec actually used for decoding: the charset= parameter
+    when the codec registry accepts it, else utf-8."""
+    m = _CHARSET_RE.search(content_type)
+    if m:
+        try:
+            return codecs.lookup(m.group(1)).name
+        except LookupError:
+            pass
+    return 'utf-8'
+
+
+def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int, str]]:
+    """(rec_ord, url, warc_date, http_status, mime, charset, n_bytes,
+    text) per response record, in file order."""
+    out: List[Tuple[int, str, str, int, str, str, int, str]] = []
+    for headers, payload in iter_warc_records(data):
+        if headers.get('warc-type') != 'response':
+            continue
+        parsed = parse_http_response(payload)
+        if parsed is None:
+            continue
+        status, http_headers, body = parsed
+        url = headers.get('warc-target-uri', '')
+        if url.startswith('<') and url.endswith('>'):
+            url = url[1:-1]
+        ctype = http_headers.get('content-type', '')
+        mime = ctype.split(';', 1)[0].strip().lower()
+        charset = resolve_charset(ctype)
+        text = body.decode(charset, errors='replace')
+        out.append(
+            (len(out), url, headers.get('warc-date', ''), status, mime,
+             charset, len(body), text)
+        )
+    return out

@@ -499,6 +499,167 @@ def pdfs_df(spark, n: int, partitions: int | None = None):
     return rng.mapInPandas(gen, schema=PDFS_SCHEMA)
 
 
+# ---------------------------------------------------------------- warc corpus
+#
+# Synthetic Common-Crawl-style ``.warc.gz`` blobs for the WARC source
+# tier (core/warc.py / sources/warc.py).  Pure function of the doc
+# index, like everything above, so the sequential oracle rebuilds the
+# exact bytes.  The rotations cover every spec branch: per-record gzip
+# members (the CC layout) vs whole-file gzip vs plain bytes; chunked
+# transfer-encoding with a chunk extension; charset declarations
+# (plain, quoted, bogus→utf-8 fallback, absent content-type); angle-
+# bracketed WARC-Target-URI; 301/404 statuses; duplicate first-wins
+# HTTP headers; interleaved warcinfo/request/metadata records (type-
+# filtered out); a Content-Length-less malformed record (resync); and
+# a truncated tail record on every 5th file (dropped, parse ends).
+
+DOCS_PER_WARC = 5
+
+_WARC_DATE_FMT = '%Y-%m-%dT%H:%M:%SZ'
+
+
+def _warc_record(rec_type: str, target: str, date: str, payload: bytes,
+                 content_type: str = 'application/http; msgtype=response') -> bytes:
+    head = (
+        f'WARC/1.0\r\n'
+        f'WARC-Type: {rec_type}\r\n'
+        f'WARC-Date: {date}\r\n'
+        f'WARC-Record-ID: <urn:uuid:{hashlib.sha256((rec_type + target + date).encode()).hexdigest()[:32]}>\r\n'
+    )
+    if target:
+        head += f'WARC-Target-URI: {target}\r\n'
+    head += f'Content-Type: {content_type}\r\nContent-Length: {len(payload)}\r\n\r\n'
+    return head.encode('latin-1') + payload + b'\r\n\r\n'
+
+
+def _chunk(body: bytes, size: int = 512) -> bytes:
+    out = []
+    for k, off in enumerate(range(0, len(body), size)):
+        piece = body[off:off + size]
+        ext = b';x=1' if k == 0 else b''
+        out.append(b'%x' % len(piece) + ext + b'\r\n' + piece + b'\r\n')
+    out.append(b'0\r\n\r\n')
+    return b''.join(out)
+
+
+def doc_http_response(i: int) -> bytes:
+    """Raw HTTP response bytes for doc i (the WARC response payload)."""
+    if i % 7 == 5:
+        status, body = '404 Not Found', f'<html><body>Not found: doc {i}</body></html>'.encode()
+    elif i % 7 == 2:
+        status, body = '301 Moved Permanently', f'Moved: doc {i}\n'.encode()
+    else:
+        status, body = '200 OK', doc_html(i)
+    if i % 11 == 7:
+        ctype = None  # no Content-Type at all -> mime '', charset utf-8
+    elif i % 6 == 0:
+        ctype = 'text/html; charset=ISO-8859-1'  # mojibake-decodes, deterministically
+    elif i % 6 == 3:
+        ctype = 'text/html; charset="UTF-8"'
+    elif i % 6 == 5:
+        ctype = 'text/html; charset=x-no-such-charset'  # registry miss -> utf-8
+    else:
+        ctype = 'text/html; charset=UTF-8'
+    head = ['HTTP/1.1 ' + status, 'Server: graft-synth/1.0',
+            'Date: Sun, 13 Sep 2020 12:26:40 GMT']
+    if ctype is not None:
+        head.append('Content-Type: ' + ctype)
+    if i % 9 == 4:
+        head.append('Content-Type: text/plain')  # duplicate: first wins
+    chunked = i % 4 == 1 and status.startswith('200')
+    if chunked:
+        head.append('Transfer-Encoding: chunked')
+        body = _chunk(body)
+    else:
+        head.append(f'Content-Length: {len(body)}')
+    return '\r\n'.join(head).encode('latin-1') + b'\r\n\r\n' + body
+
+
+def warc_doc_date(i: int) -> str:
+    return datetime.fromtimestamp(1_600_000_000 + i, tz=timezone.utc).strftime(_WARC_DATE_FMT)
+
+
+def _doc_warc_members(i: int) -> List[bytes]:
+    """The WARC records contributed by doc i, in file order."""
+    url = doc_url(i)
+    date = warc_doc_date(i)
+    target = f'<{url}>' if i % 5 == 0 else url
+    members: List[bytes] = []
+    if i % 3 != 1:  # a request record precedes most responses (CC layout)
+        req = f'GET / HTTP/1.1\r\nHost: x{i}.example\r\n\r\n'.encode()
+        members.append(_warc_record('request', target, date, req,
+                                    'application/http; msgtype=request'))
+    if i % 13 == 4:  # malformed record (no Content-Length): reader resyncs
+        members.append(
+            f'WARC/1.0\r\nWARC-Type: response\r\n'
+            f'WARC-Target-URI: https://broken.example/x{i}\r\n\r\n'.encode()
+        )
+    members.append(_warc_record('response', target, date, doc_http_response(i)))
+    if i % 8 == 6:
+        members.append(_warc_record('metadata', target, date, b'via: synthetic\r\n'))
+    return members
+
+
+def warc_file_name(file_idx: int) -> str:
+    ext = '.warc' if file_idx % 3 == 2 else '.warc.gz'
+    return f'crawl/{file_idx:05d}{ext}'
+
+
+def warc_file_bytes(file_idx: int, n_docs: int, docs_per_file: int = DOCS_PER_WARC) -> bytes:
+    """One synthetic WARC file: warcinfo + the member records of docs
+    [file_idx*dpf, ...), compression rotated by file_idx % 3 (record-
+    per-member gzip / whole-file gzip / plain), a truncated tail
+    record appended on file_idx % 5 == 3 (both readers drop it)."""
+    import gzip
+
+    lo = file_idx * docs_per_file
+    hi = min(n_docs, lo + docs_per_file)
+    info = _warc_record(
+        'warcinfo', '', warc_doc_date(lo),
+        b'software: graft-synth/1.0\r\nformat: WARC File Format 1.0\r\n',
+        'application/warc-fields')
+    members = [info]
+    for i in range(lo, hi):
+        members.extend(_doc_warc_members(i))
+    if file_idx % 5 == 3:  # truncated tail: header claims more bytes than remain
+        resp = doc_http_response(lo)
+        cut = _warc_record('response', f'https://cut.example/t{file_idx}',
+                           warc_doc_date(lo), resp)
+        # drop the trailer and the back half of the payload; the WARC
+        # header block stays intact so this exercises exactly the
+        # truncated-payload branch (drop record, end parse)
+        members.append(cut[:len(cut) - 4 - max(32, len(resp) // 2)])
+    mode = file_idx % 3
+    if mode == 0:  # CC layout: each record its own gzip member (seekable)
+        return b''.join(gzip.compress(m, mtime=0) for m in members)
+    if mode == 1:
+        return gzip.compress(b''.join(members), mtime=0)
+    return b''.join(members)
+
+
+WARCS_SCHEMA = 'file_name string, data binary'
+
+
+def warc_files_df(spark, n: int, partitions: int | None = None,
+                  docs_per_file: int = DOCS_PER_WARC):
+    """Distributed generation of the (file_name, data) WARC-blob table
+    — the same shape ``spark.read.format('binaryFile')`` yields off a
+    crawl bucket (path, content)."""
+    import pandas as pd
+
+    n_files = (n + docs_per_file - 1) // docs_per_file
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [(warc_file_name(int(f)), warc_file_bytes(int(f), n, docs_per_file))
+                    for f in pdf['id']]
+            yield pd.DataFrame(rows, columns=['file_name', 'data'])
+
+    rng = spark.range(0, n_files,
+                      numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=WARCS_SCHEMA)
+
+
 PAGES_SCHEMA = 'url string, warc_ts timestamp, html binary, text string, lang string'
 
 

@@ -1,0 +1,58 @@
+"""Spark WARC source: (file_name, data) crawl-archive blobs →
+flattened HTTP response records (core/warc.py does the byte-level
+work; this module is only the distribution shape).
+
+The reference tool (artiomn/markdown_articles_tool) has no crawl
+source — its sources are single local/remote articles
+(``www_tools.py``); this tier is part of the training-data-pipeline
+surface the graft adds on top.
+
+Scale shape
+-----------
+ONE Arrow-batched ``mapInPandas`` pass over exactly (file_name,
+data) — no shuffle, no driver collect; parallelism = input files,
+which is how a real crawl read parallelizes (``spark.read.format(
+"binaryFile").load("s3://bucket/segment/")`` yields the same (path,
+content) rows of this operator's input).  The Common-Crawl layout
+compresses every record as its own gzip member, so at real scale a
+CDX offset index turns file-granular splits into record-granular
+splits with the SAME parser (seek to offset, inflate one member);
+the synthetic corpus rotates that layout (corpus.warc_file_bytes)
+so the member-concatenation path is what's exercised.  WARC files
+are individually small (CC caps ~1 GiB), so per-file memory is
+bounded and skew is capped by the archive format itself.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.warc import warc_responses
+
+WARC_RESPONSES_SCHEMA = (
+    'file_name string, rec_ord int, url string, warc_date string, '
+    'http_status int, mime string, charset string, n_bytes long, text string'
+)
+
+
+def read_warc_responses(files: DataFrame, file_col: str = 'file_name',
+                        data_col: str = 'data') -> DataFrame:
+    """Every ``WARC-Type: response`` record of every archive blob, in
+    file order, as one row (see core/warc.py for the record spec —
+    de-chunking, charset resolution, truncation/resync policy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                for rec in warc_responses(bytes(data)):
+                    rows.append((fname, *rec))
+            yield pd.DataFrame(
+                rows, columns=['file_name', 'rec_ord', 'url', 'warc_date',
+                               'http_status', 'mime', 'charset', 'n_bytes', 'text']
+            )
+
+    return files.select(file_col, data_col).mapInPandas(run, schema=WARC_RESPONSES_SCHEMA)

@@ -1,0 +1,203 @@
+"""WARC source tier (core/warc.py, sources/warc.py): spec goldens on
+hand-built records, the engine-vs-independent-twin corpus differential
+(twin = gzip.GzipFile + readline walk + email.parser +
+http.client.HTTPResponse, tools/oracle_kernels.warc_responses_seq),
+mutation soup (no crash), and the Spark operator plan lock."""
+
+import gzip
+import os
+import random
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+from markdown_articles_tool_spark import corpus
+from markdown_articles_tool_spark.core import warc as W
+
+from oracle_kernels import warc_responses_seq
+
+
+def rec(payload: bytes, rec_type: str = 'response',
+        target: str = 'https://x.example/a', extra: str = '') -> bytes:
+    return (
+        f'WARC/1.0\r\nWARC-Type: {rec_type}\r\n'
+        f'WARC-Date: 2020-01-01T00:00:00Z\r\n'
+        f'WARC-Target-URI: {target}\r\n{extra}'
+        f'Content-Length: {len(payload)}\r\n\r\n'
+    ).encode() + payload + b'\r\n\r\n'
+
+
+def http(body: bytes, status: str = '200 OK', extra: str = '',
+         ctype: str = 'text/html; charset=UTF-8') -> bytes:
+    head = f'HTTP/1.1 {status}\r\n'
+    if ctype:
+        head += f'Content-Type: {ctype}\r\n'
+    head += extra + f'Content-Length: {len(body)}\r\n\r\n'
+    return head.encode() + body
+
+
+class TestGoldens:
+    def test_basic_and_ordinal_counts_responses_only(self):
+        data = (rec(b'info', 'warcinfo') + rec(http(b'one'))
+                + rec(b'GET / HTTP/1.1\r\n\r\n', 'request')
+                + rec(http(b'two'), target='https://y.example/b'))
+        rows = W.warc_responses(data)
+        assert [(r[0], r[1]) for r in rows] == [
+            (0, 'https://x.example/a'), (1, 'https://y.example/b')]
+        assert rows[0][7] == 'one' and rows[1][7] == 'two'
+        assert rows[0][3] == 200 and rows[0][4] == 'text/html'
+
+    def test_angle_bracket_target_stripped(self):
+        rows = W.warc_responses(rec(http(b'x'), target='<https://a.example/p>'))
+        assert rows[0][1] == 'https://a.example/p'
+
+    def test_first_wins_headers_both_layers(self):
+        data = rec(http(b'x', extra='Content-Type: text/plain\r\n'),
+                   extra='WARC-Date: 1999-01-01T00:00:00Z\r\n')
+        # WARC-Date appears twice (rec writes its own first): first wins
+        rows = W.warc_responses(data)
+        assert rows[0][2] == '2020-01-01T00:00:00Z'
+        assert rows[0][4] == 'text/html'  # duplicate HTTP Content-Type: first wins
+
+    def test_chunked_decode_with_extension(self):
+        body = b'5;x=1\r\nhello\r\n7\r\n world!\r\n0\r\n\r\n'
+        payload = (b'HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n'
+                   b'Transfer-Encoding: chunked\r\n\r\n' + body)
+        rows = W.warc_responses(rec(payload))
+        assert rows[0][7] == 'hello world!' and rows[0][6] == 12
+
+    def test_malformed_chunk_framing_falls_back_to_raw(self):
+        payload = (b'HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n'
+                   b'ZZZ\r\nnot-a-chunk')
+        rows = W.warc_responses(rec(payload))
+        assert rows[0][7] == 'ZZZ\r\nnot-a-chunk'
+
+    @pytest.mark.parametrize('ctype,charset', [
+        ('text/html; charset=ISO-8859-1', 'iso8859-1'),
+        ('text/html; charset="UTF-8"', 'utf-8'),
+        ('text/html; charset=x-no-such-charset', 'utf-8'),
+        ('text/HTML', 'utf-8'),
+        ('', 'utf-8'),
+    ])
+    def test_charset_resolution(self, ctype, charset):
+        rows = W.warc_responses(rec(http(b'ab', ctype=ctype)))
+        assert rows[0][5] == charset
+        assert rows[0][4] == ('text/html' if ctype else '')
+
+    def test_mojibake_is_deterministic(self):
+        body = 'héllo'.encode('utf-8')
+        rows = W.warc_responses(rec(http(body, ctype='text/plain; charset=ISO-8859-1')))
+        assert rows[0][7] == body.decode('iso8859-1')
+
+    def test_resync_past_missing_content_length(self):
+        bad = b'WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://b.example/\r\n\r\n'
+        rows = W.warc_responses(bad + rec(http(b'ok')))
+        assert len(rows) == 1 and rows[0][7] == 'ok'
+
+    def test_truncated_tail_drops_and_stops(self):
+        full = rec(http(b'A' * 400))
+        truncated = full[:len(full) - 250]
+        rows = W.warc_responses(rec(http(b'first')) + truncated)
+        assert len(rows) == 1 and rows[0][7] == 'first'
+
+    def test_unparseable_status_line_drops_record(self):
+        rows = W.warc_responses(rec(b'NOT-HTTP nonsense\r\n\r\nbody') + rec(http(b'ok')))
+        assert len(rows) == 1 and rows[0][7] == 'ok'
+
+    def test_gzip_members_and_trailing_garbage(self):
+        members = [gzip.compress(rec(http(b'one')), mtime=0),
+                   gzip.compress(rec(http(b'two')), mtime=0)]
+        data = b''.join(members) + b'not gzip trailing junk'
+        rows = W.warc_responses(data)
+        assert [r[7] for r in rows] == ['one', 'two']
+
+    def test_whole_file_gzip_and_plain_agree(self):
+        plain = rec(http(b'one')) + rec(http(b'two'))
+        assert W.warc_responses(plain) == W.warc_responses(gzip.compress(plain, mtime=0))
+
+    def test_status_rotation_rows_survive(self):
+        rows = W.warc_responses(
+            rec(http(b'gone', status='404 Not Found'))
+            + rec(http(b'moved', status='301 Moved Permanently',
+                       extra='Location: https://new.example/\r\n')))
+        assert [(r[0], r[3]) for r in rows] == [(0, 404), (1, 301)]
+
+
+class TestDifferential:
+    def test_engine_equals_twin_on_corpus(self):
+        n = 60
+        n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
+        total = 0
+        for f in range(n_files):
+            data = corpus.warc_file_bytes(f, n)
+            a = W.warc_responses(data)
+            assert a == warc_responses_seq(data), f'file {f} diverges'
+            assert a, f'file {f} emitted nothing'
+            total += len(a)
+        assert total == n  # every doc yields exactly one response record
+
+    def test_corpus_rotations_are_all_present(self):
+        n = 60
+        n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
+        rows = [r for f in range(n_files)
+                for r in W.warc_responses(corpus.warc_file_bytes(f, n))]
+        statuses = {r[3] for r in rows}
+        charsets = {r[5] for r in rows}
+        assert {200, 301, 404} <= statuses
+        assert {'utf-8', 'iso8859-1'} <= charsets
+        assert any(r[4] == '' for r in rows)  # absent content-type
+        exts = {corpus.warc_file_name(f).rsplit('.', 1)[-1] for f in range(n_files)}
+        assert exts == {'gz', 'warc'}
+
+
+class TestSoup:
+    def test_mutation_soup_never_crashes_either_side(self):
+        rng = random.Random(42)
+        base = corpus.warc_file_bytes(2, 60)  # plain-mode file
+        assert not base.startswith(b'\x1f\x8b')
+        for _ in range(60):
+            mutated = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            cut = bytes(mutated[:rng.randrange(1, len(mutated))])
+            for payload in (bytes(mutated), cut):
+                for fn in (W.warc_responses, warc_responses_seq):
+                    rows = fn(payload)
+                    assert isinstance(rows, list)
+
+    def test_empty_and_garbage_inputs(self):
+        for data in (b'', b'\r\n\r\n', b'garbage no records', b'WARC/1.0\r\n'):
+            assert W.warc_responses(data) == []
+            assert warc_responses_seq(data) == []
+
+
+class TestSparkOperator:
+    def test_operator_matches_twin_and_plan(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.warc import read_warc_responses
+
+        n = 20
+        tmp = str(tmp_path_factory.mktemp('warcplan') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        files = spark.read.parquet(tmp)
+        df = read_warc_responses(files)
+        got = sorted(tuple(r) for r in df.collect())
+        exp = sorted(
+            (corpus.warc_file_name(f), *rec_)
+            for f in range((n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC)
+            for rec_ in warc_responses_seq(corpus.warc_file_bytes(f, n))
+        )
+        assert got == exp
+
+        jdf = df._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        scans = re.findall(r'ReadSchema: struct<([^>]*)>', plan_str)
+        assert scans
+        for cols in scans:
+            names = {c.split(':')[0] for c in cols.split(',')}
+            assert names == {'file_name', 'data'}, names
+        assert 'MapInPandas' in plan_str
+        assert 'Exchange' not in plan_str, 'warc read must not shuffle'

@@ -262,6 +262,27 @@ def gen_main_content(sf_dir: str, skey: int, out: dict) -> None:
             out['content_spans'].append((skey, url, *row))
 
 
+def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
+    """WARC source records — twin in oracle_kernels.warc_responses_seq
+    (gzip.GzipFile member read + readline record walk + email.parser
+    WARC headers + http.client.HTTPResponse over a fake socket, vs the
+    engine's zlib loop / byte-scan / manual folds in core/warc.py).
+    The archive bytes come from the shared INPUT model
+    (corpus.warc_file_bytes); text is hashed like the driver query."""
+    from oracle_kernels import warc_responses_seq
+
+    n = _corpus_n(sf_dir)
+    n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
+    for f in range(n_files):
+        fname = corpus.warc_file_name(f)
+        for rec_ord, url, wdate, status, mime, charset, n_bytes, text in (
+                warc_responses_seq(corpus.warc_file_bytes(f, n))):
+            out['warc_responses'].append(
+                (skey, fname, rec_ord, url, wdate, status, mime, charset,
+                 n_bytes, hashlib.sha256(text.encode('utf-8')).hexdigest())
+            )
+
+
 def gen_pdf(sf_dir: str, skey: int, out: dict) -> None:
     """Sequential twin of operators/pdfextract.py over the synthetic
     (url, pdf) table — computed with the INDEPENDENT kernel
@@ -612,6 +633,12 @@ SCHEMAS = {
     'host_pagerank': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('rank_units', pa.int64())]
     ),
+    'warc_responses': pa.schema(
+        [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),
+         ('url', pa.string()), ('warc_date', pa.string()), ('http_status', pa.int32()),
+         ('mime', pa.string()), ('charset', pa.string()), ('n_bytes', pa.int64()),
+         ('text_sha', pa.string())]
+    ),
 }
 
 
@@ -628,6 +655,7 @@ def main() -> None:
         gen_main_content(sf_dir, dk, out)
         gen_page_graph(sf_dir, dk, out)
         gen_html_tables(sf_dir, dk, out)
+        gen_warc(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
         gen_winnow(sf_dir, dk, out)

@@ -1820,3 +1820,90 @@ def pagerank_seq(edges, iterations: int = 10) -> dict:
         dang = sum(rank[h] for h in nodes if h not in outw) // n
         rank = {h: (15 * base + 85 * (inc[h] + dang)) // 100 for h in nodes}
     return rank
+
+
+# ----------------------------------------------------- warc source twin
+
+def warc_responses_seq(data: bytes) -> list:
+    """Sequential twin of core/warc.warc_responses, written with
+    entirely different machinery: ``gzip.GzipFile`` concatenated-member
+    read (vs the engine's zlib decompressobj loop), a line-oriented
+    ``BytesIO.readline`` record walk (vs byte-offset find/scan),
+    ``email.parser`` WARC header parsing (vs a manual split fold), and
+    ``http.client.HTTPResponse`` over a fake socket for the HTTP layer
+    — stdlib status-line parse, header parse, Content-Length read and
+    chunked decoding (vs the engine's from-scratch parser/de-chunker).
+
+    Spec (shared, documented at the engine site): response records
+    only, file-order ordinal, angle-bracket-stripped target URI,
+    verbatim WARC-Date, dropped record on unparseable status line,
+    Content-Length-resync / truncated-tail-stop record walk, media
+    type lowercased before ';', charset = registry-accepted charset=
+    param else utf-8, text decoded errors='replace', n_bytes = the
+    de-chunked body length.
+    """
+    import codecs as _codecs
+    import email.parser as _ep
+    import gzip as _gzip
+    import http.client as _hc
+    import io as _io
+
+    if data[:2] == b'\x1f\x8b':
+        data = _gzip.GzipFile(fileobj=_io.BytesIO(data)).read()
+
+    class _Sock:
+        def __init__(self, payload: bytes) -> None:
+            self._f = _io.BytesIO(payload)
+
+        def makefile(self, *a, **k):
+            return self._f
+
+    out: list = []
+    bio = _io.BytesIO(data)
+    line = bio.readline()
+    while line:
+        if not line.startswith(b'WARC/'):
+            line = bio.readline()
+            continue
+        hdr_lines = []
+        while True:
+            hl = bio.readline()
+            if hl in (b'\r\n', b'\n', b''):
+                break
+            hdr_lines.append(hl)
+        msg = _ep.BytesParser().parsebytes(b''.join(hdr_lines))
+        try:
+            length = int(str(msg.get('Content-Length') or '').strip())
+            if length < 0:
+                raise ValueError
+        except ValueError:
+            line = bio.readline()  # resync: scan on for the next version line
+            continue
+        payload = bio.read(length)
+        if len(payload) < length:
+            break  # truncated tail record: dropped, parsing ends
+        if str(msg.get('WARC-Type') or '').strip() == 'response':
+            resp = _hc.HTTPResponse(_Sock(payload))
+            try:
+                resp.begin()
+                body = resp.read()
+            except (_hc.HTTPException, ValueError):
+                resp = None
+            if resp is not None:
+                url = str(msg.get('WARC-Target-URI') or '').strip()
+                if url[:1] == '<' and url[-1:] == '>':
+                    url = url[1:-1]
+                has_ct = resp.headers.get('Content-Type') is not None
+                mime = resp.headers.get_content_type() if has_ct else ''
+                cs = resp.headers.get_param('charset') if has_ct else None
+                charset = 'utf-8'
+                if cs:
+                    try:
+                        charset = _codecs.lookup(str(cs)).name
+                    except LookupError:
+                        pass
+                out.append((len(out), url, str(msg.get('WARC-Date') or '').strip(),
+                            resp.status, mime, charset, len(body),
+                            body.decode(charset, errors='replace')))
+        line = bio.readline()
+    return out
