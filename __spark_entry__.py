@@ -187,6 +187,21 @@ def q_warc_responses(spark, sf_dir):
     ).orderBy('file_name', 'rec_ord')
 
 
+def q_warc_main_content(spark, sf_dir):
+    """Crawl archive → training text end-to-end: WARC response read,
+    the fetch-policy gate (HTTP 200 + text/html), then the main-content
+    boilerplate strip — two chained mapInPandas stages, zero shuffles
+    (sources/warc.warc_main_content)."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import warc_main_content
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    return warc_main_content(files).select(
+        'url', F.sha2(F.encode('main_text', 'utf-8'), 256).alias('main_sha'),
+        'n_blocks', 'n_kept',
+    ).orderBy('url')
+
+
 def q_pdf_text(spark, sf_dir):
     """North-rule PDF/layout-parse tier: from-scratch content-stream
     text extraction (raw + FlateDecode, Tj/'/TJ operators) over a
@@ -624,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'content_spans': q_content_spans,
         'html_tables': q_html_tables,
         'warc_responses': q_warc_responses,
+        'warc_main_content': q_warc_main_content,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -722,6 +738,9 @@ def oracle_sql() -> dict[str, str]:
             'file_name, rec_ord, url, warc_date, http_status, mime, charset, '
             'n_bytes, text_sha',
             _DOC_SKEY, 'file_name, rec_ord',
+        ),
+        'warc_main_content': _ref(
+            'warc_main_content', 'url, main_sha, n_blocks, n_kept', _DOC_SKEY, 'url'
         ),
         'page_meta': _ref(
             'page_meta',

@@ -171,8 +171,11 @@ def run_bench(emit_json: bool = True) -> dict:
         'host_pagerank',
         'anchor_texts',
         # r5 crawl-archive source tier: gzip-member inflate + WARC/HTTP
-        # parse, one mapInPandas pass over (file_name, data) blobs
+        # parse, one mapInPandas pass over (file_name, data) blobs;
+        # the composition chains the 200+text/html gate into the
+        # main-content strip — two pandas stages, still zero shuffles
         'warc_responses',
+        'warc_main_content',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

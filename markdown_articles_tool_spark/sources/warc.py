@@ -30,6 +30,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from ..core.warc import warc_responses
 
 WARC_RESPONSES_SCHEMA = (
@@ -56,3 +58,21 @@ def read_warc_responses(files: DataFrame, file_col: str = 'file_name',
             )
 
     return files.select(file_col, data_col).mapInPandas(run, schema=WARC_RESPONSES_SCHEMA)
+
+
+def warc_main_content(files: DataFrame, file_col: str = 'file_name',
+                      data_col: str = 'data') -> DataFrame:
+    """Crawl archive → training text in one plan: WARC read, the
+    fetch-policy gate (HTTP 200 + ``text/html`` only), then the
+    main-content boilerplate strip (operators/maincontent.py) over the
+    charset-normalized page bytes.  Two chained mapInPandas stages with
+    a JVM Column filter/encode between them — still zero Exchanges:
+    the narrow gate runs where the record was parsed, and only kept
+    pages pay the extraction parse."""
+    from ..operators.maincontent import extract_main_content
+
+    resp = read_warc_responses(files, file_col, data_col)
+    pages = resp.filter(
+        (F.col('http_status') == 200) & (F.col('mime') == 'text/html')
+    ).select('url', F.encode('text', 'utf-8').alias('html'))
+    return extract_main_content(pages)

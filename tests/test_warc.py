@@ -201,3 +201,34 @@ class TestSparkOperator:
             assert names == {'file_name', 'data'}, names
         assert 'MapInPandas' in plan_str
         assert 'Exchange' not in plan_str, 'warc read must not shuffle'
+
+    def test_composition_matches_twin_and_no_shuffle(self, spark, tmp_path_factory):
+        import hashlib
+
+        from oracle_kernels import main_content_blocks, main_content_text
+        from markdown_articles_tool_spark.sources.warc import warc_main_content
+
+        n = 20
+        tmp = str(tmp_path_factory.mktemp('warcmc') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        df = warc_main_content(spark.read.parquet(tmp))
+        got = sorted(
+            (r['url'], hashlib.sha256(r['main_text'].encode()).hexdigest(),
+             r['n_blocks'], r['n_kept'])
+            for r in df.collect())
+        exp = []
+        for f in range((n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC):
+            for rec_ in warc_responses_seq(corpus.warc_file_bytes(f, n)):
+                if rec_[3] == 200 and rec_[4] == 'text/html':
+                    blocks = main_content_blocks(rec_[7].encode('utf-8'))
+                    exp.append((rec_[1],
+                                hashlib.sha256(main_content_text(blocks).encode()).hexdigest(),
+                                len(blocks), sum(1 for b in blocks if b[5])))
+        assert got == sorted(exp)
+        assert exp  # the gate kept something
+
+        jdf = df._jdf
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        plan_str = jdf.queryExecution().explainString(mode)
+        assert len(re.findall(r'\(\d+\) MapInPandas', plan_str)) == 2
+        assert 'Exchange' not in plan_str, 'warc→main-content must not shuffle'

@@ -271,6 +271,8 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
     (corpus.warc_file_bytes); text is hashed like the driver query."""
     from oracle_kernels import warc_responses_seq
 
+    from oracle_kernels import main_content_blocks, main_content_text
+
     n = _corpus_n(sf_dir)
     n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
     for f in range(n_files):
@@ -281,6 +283,16 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
                 (skey, fname, rec_ord, url, wdate, status, mime, charset,
                  n_bytes, hashlib.sha256(text.encode('utf-8')).hexdigest())
             )
+            # composed source→extraction twin (warc_main_content): the
+            # fetch-policy gate, then the independent main-content
+            # kernel over the charset-normalized page bytes
+            if status == 200 and mime == 'text/html':
+                blocks = main_content_blocks(text.encode('utf-8'))
+                mtext = main_content_text(blocks)
+                out['warc_main_content'].append(
+                    (skey, url, hashlib.sha256(mtext.encode('utf-8')).hexdigest(),
+                     len(blocks), sum(1 for b in blocks if b[5]))
+                )
 
 
 def gen_pdf(sf_dir: str, skey: int, out: dict) -> None:
@@ -638,6 +650,10 @@ SCHEMAS = {
          ('url', pa.string()), ('warc_date', pa.string()), ('http_status', pa.int32()),
          ('mime', pa.string()), ('charset', pa.string()), ('n_bytes', pa.int64()),
          ('text_sha', pa.string())]
+    ),
+    'warc_main_content': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('main_sha', pa.string()),
+         ('n_blocks', pa.int32()), ('n_kept', pa.int32())]
     ),
 }
 
