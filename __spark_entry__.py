@@ -187,6 +187,20 @@ def q_warc_responses(spark, sf_dir):
     ).orderBy('file_name', 'rec_ord')
 
 
+def q_warc_cdx(spark, sf_dir):
+    """CDX-style record index over the crawl archives: (offset,
+    length, addressable) extents per WARC record — the index that
+    turns file-granular splits into record-granular ones (seek one
+    gzip member, hand the slice to the same parser;
+    core/warc.warc_cdx + read_record_at, round-trip pin in
+    tests/test_warc.py).  One mapInPandas pass, no shuffle."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    return read_warc_cdx(files).orderBy('file_name', 'ord')
+
+
 def q_warc_main_content(spark, sf_dir):
     """Crawl archive → training text end-to-end: WARC response read,
     the fetch-policy gate (HTTP 200 + text/html), then the main-content
@@ -640,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_tables': q_html_tables,
         'warc_responses': q_warc_responses,
         'warc_main_content': q_warc_main_content,
+        'warc_cdx': q_warc_cdx,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -741,6 +756,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         'warc_main_content': _ref(
             'warc_main_content', 'url, main_sha, n_blocks, n_kept', _DOC_SKEY, 'url'
+        ),
+        'warc_cdx': _ref(
+            'warc_cdx',
+            'file_name, ord, warc_type, url, "offset", length, addressable',
+            _DOC_SKEY, 'file_name, ord',
         ),
         'page_meta': _ref(
             'page_meta',

@@ -176,6 +176,7 @@ def run_bench(emit_json: bool = True) -> dict:
         # main-content strip — two pandas stages, still zero shuffles
         'warc_responses',
         'warc_main_content',
+        'warc_cdx',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

@@ -110,10 +110,13 @@ def _parse_header_block(block: bytes) -> dict:
     return headers
 
 
-def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
-    """(warc_headers, payload) per record, honoring Content-Length,
-    resyncing past malformed headers, stopping at a truncated tail."""
-    data = decompress_warc(data)
+def _record_spans(data: bytes) -> Iterator[Tuple[int, int, dict, int, int]]:
+    """(start, end, warc_headers, body_start, body_len) per well-formed
+    record in PLAIN (already-decompressed) WARC bytes — the shared walk
+    under both the payload iterator and the CDX indexer.  ``end`` is
+    the position after the payload and its CRLF trailer (the next
+    record's scan start).  Honors Content-Length, resyncs past
+    malformed headers, stops at a truncated tail."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -142,11 +145,99 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
         body_start = head_end + 4
         if body_start + length > n:
             return  # truncated tail record: dropped, parsing ends
-        yield headers, data[body_start:body_start + length]
+        start = pos
         pos = body_start + length
         # the record trailer (two CRLFs); tolerate its absence at EOF
         while pos < n and data.startswith(b'\r\n', pos):
             pos += 2
+        yield start, pos, headers, body_start, length
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """(warc_headers, payload) per record, honoring Content-Length,
+    resyncing past malformed headers, stopping at a truncated tail."""
+    data = decompress_warc(data)
+    for _start, _end, headers, body_start, length in _record_spans(data):
+        yield headers, data[body_start:body_start + length]
+
+
+def _target_uri(headers: dict) -> str:
+    url = headers.get('warc-target-uri', '')
+    if url.startswith('<') and url.endswith('>'):
+        url = url[1:-1]
+    return url
+
+
+def _gzip_member_spans(data: bytes) -> List[Tuple[int, int, bytes]]:
+    """(offset, compressed_length, inflated_bytes) per gzip member."""
+    spans: List[Tuple[int, int, bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos + 2 <= n and data[pos:pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)
+        m = d.decompress(data[pos:]) + d.flush()
+        consumed = n - pos - len(d.unused_data)
+        spans.append((pos, consumed, m))
+        pos += consumed
+    return spans
+
+
+def warc_cdx(data: bytes) -> List[Tuple[int, str, str, int, int, bool]]:
+    """CDX-style record index: (ord, warc_type, url, offset, length,
+    addressable) per well-formed record, in file order — the offset
+    index that turns file-granular crawl splits into record-granular
+    ones (seek, slice, hand the slice to the SAME parser).
+
+    ``addressable`` marks rows whose (offset, length) slice of the RAW
+    file re-parses to exactly that record: true for the Common-Crawl
+    record-per-gzip-member layout (the slice is one gzip member) and
+    for plain uncompressed WARC; false for a whole-file gzip, where no
+    in-file seek is possible and offsets address the DECOMPRESSED
+    stream instead (``read_record_at`` then needs the inflated bytes).
+    A gzip member holding several records (or a record not at member
+    start) degrades to decompressed-stream addressing too — correct,
+    just not seekable.  Ordinals count every well-formed record of any
+    WARC-Type (warcinfo/request/response/metadata share the space);
+    malformed records are resynced past and a truncated tail is
+    dropped, exactly like ``iter_warc_records``."""
+    rows: List[Tuple[int, str, str, int, int, bool]] = []
+
+    def emit(spans_src: bytes, base: int, off: int = 0, clen: int = 0,
+             member: bool = False) -> None:
+        for start, end, headers, _bs, _bl in _record_spans(spans_src):
+            if member:
+                rows.append((len(rows), headers.get('warc-type', ''),
+                             _target_uri(headers), off, clen, True))
+            else:
+                rows.append((len(rows), headers.get('warc-type', ''),
+                             _target_uri(headers), base + start, end - start,
+                             base == 0 and not data.startswith(_GZIP_MAGIC)))
+
+    if data.startswith(_GZIP_MAGIC):
+        stream_base = 0
+        for off, clen, m in _gzip_member_spans(data):
+            spans = list(_record_spans(m))
+            if len(spans) == 1 and spans[0][0] == 0:
+                emit(m, stream_base, off, clen, member=True)
+            else:
+                emit(m, stream_base)
+            stream_base += len(m)
+    else:
+        emit(data, 0)
+    return rows
+
+
+def read_record_at(data: bytes, offset: int, length: int,
+                   addressable: bool) -> Optional[Tuple[dict, bytes]]:
+    """Seek-read one record through its CDX row: slice the raw file
+    (addressable rows — plain bytes or one gzip member) or the
+    decompressed stream (whole-file gzip), then run the ordinary
+    record walk on the slice."""
+    src = data[offset:offset + length] if addressable else \
+        decompress_warc(data)[offset:offset + length]
+    for headers, payload in iter_warc_records(src):
+        return headers, payload
+    return None
 
 
 def dechunk(body: bytes) -> bytes:
@@ -220,9 +311,7 @@ def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int,
         if parsed is None:
             continue
         status, http_headers, body = parsed
-        url = headers.get('warc-target-uri', '')
-        if url.startswith('<') and url.endswith('>'):
-            url = url[1:-1]
+        url = _target_uri(headers)
         ctype = http_headers.get('content-type', '')
         mime = ctype.split(';', 1)[0].strip().lower()
         charset = resolve_charset(ctype)

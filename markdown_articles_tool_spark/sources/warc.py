@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 
 from pyspark.sql import functions as F
 
-from ..core.warc import warc_responses
+from ..core.warc import warc_cdx, warc_responses
 
 WARC_RESPONSES_SCHEMA = (
     'file_name string, rec_ord int, url string, warc_date string, '
@@ -58,6 +58,36 @@ def read_warc_responses(files: DataFrame, file_col: str = 'file_name',
             )
 
     return files.select(file_col, data_col).mapInPandas(run, schema=WARC_RESPONSES_SCHEMA)
+
+
+WARC_CDX_SCHEMA = (
+    'file_name string, ord int, warc_type string, url string, '
+    'offset long, length long, addressable boolean'
+)
+
+
+def read_warc_cdx(files: DataFrame, file_col: str = 'file_name',
+                  data_col: str = 'data') -> DataFrame:
+    """CDX-style record index over the archive blobs: one row per
+    well-formed WARC record with its (offset, length) extent and
+    whether that extent is directly seekable in the raw file (see
+    core/warc.warc_cdx).  This is the index that upgrades
+    file-granular crawl splits to record-granular ones — build it
+    once, then any executor can slice one record out of a multi-GB
+    archive without reading the rest (core/warc.read_record_at)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                for rec in warc_cdx(bytes(data)):
+                    rows.append((fname, *rec))
+            yield pd.DataFrame(
+                rows, columns=['file_name', 'ord', 'warc_type', 'url',
+                               'offset', 'length', 'addressable']
+            )
+
+    return files.select(file_col, data_col).mapInPandas(run, schema=WARC_CDX_SCHEMA)
 
 
 def warc_main_content(files: DataFrame, file_col: str = 'file_name',

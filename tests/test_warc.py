@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
 from markdown_articles_tool_spark import corpus
 from markdown_articles_tool_spark.core import warc as W
 
-from oracle_kernels import warc_responses_seq
+from oracle_kernels import warc_cdx_seq, warc_responses_seq
 
 
 def rec(payload: bytes, rec_type: str = 'response',
@@ -153,6 +153,70 @@ class TestDifferential:
         assert exts == {'gz', 'warc'}
 
 
+class TestCdx:
+    def test_plain_file_extents_and_seek(self):
+        data = rec(http(b'one')) + rec(http(b'two'), 'request') + rec(http(b'three'))
+        cdx = W.warc_cdx(data)
+        assert [(r[0], r[1], r[5]) for r in cdx] == [
+            (0, 'response', True), (1, 'request', True), (2, 'response', True)]
+        # extents tile the file exactly (trailer CRLFs included)
+        assert cdx[0][3] == 0
+        for a, b in zip(cdx, cdx[1:]):
+            assert a[3] + a[4] == b[3]
+        assert cdx[-1][3] + cdx[-1][4] == len(data)
+
+    def test_member_per_record_is_addressable_by_compressed_extent(self):
+        recs = [rec(http(b'one')), rec(http(b'two'))]
+        members = [gzip.compress(r, mtime=0) for r in recs]
+        data = b''.join(members)
+        cdx = W.warc_cdx(data)
+        assert [(r[3], r[4], r[5]) for r in cdx] == [
+            (0, len(members[0]), True), (len(members[0]), len(members[1]), True)]
+        for row, r in zip(cdx, recs):
+            hdrs, payload = W.read_record_at(data, row[3], row[4], row[5])
+            assert payload in r
+
+    def test_whole_file_gzip_degrades_to_stream_offsets(self):
+        plain = rec(http(b'one')) + rec(http(b'two'))
+        data = gzip.compress(plain, mtime=0)
+        cdx = W.warc_cdx(data)
+        assert all(not r[5] for r in cdx)
+        # offsets address the DECOMPRESSED stream and match the plain index
+        assert [(r[3], r[4]) for r in cdx] == [(r[3], r[4]) for r in W.warc_cdx(plain)]
+        hdrs, payload = W.read_record_at(data, cdx[1][3], cdx[1][4], cdx[1][5])
+        assert payload.endswith(b'two')
+
+    def test_multi_record_member_degrades(self):
+        two = gzip.compress(rec(http(b'one')) + rec(http(b'two')), mtime=0)
+        one = gzip.compress(rec(http(b'three')), mtime=0)
+        cdx = W.warc_cdx(two + one)
+        assert [r[5] for r in cdx] == [False, False, True]
+        assert cdx[2][3] == len(two) and cdx[2][4] == len(one)
+
+    def test_cdx_counts_all_types_and_skips_malformed(self):
+        bad = b'WARC/1.0\r\nWARC-Type: response\r\n\r\n'
+        data = rec(b'i', 'warcinfo') + bad + rec(http(b'ok'))
+        cdx = W.warc_cdx(data)
+        assert [r[1] for r in cdx] == ['warcinfo', 'response']
+
+    def test_seek_read_roundtrip_whole_corpus(self):
+        n = 60
+        for f in range((n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC):
+            data = corpus.warc_file_bytes(f, n)
+            cdx = W.warc_cdx(data)
+            full = list(W.iter_warc_records(data))
+            assert len(cdx) == len(full)
+            for row, (hdrs, payload) in zip(cdx, full):
+                got = W.read_record_at(data, row[3], row[4], row[5])
+                assert got == (hdrs, payload), (f, row)
+
+    def test_cdx_engine_equals_twin_on_corpus(self):
+        n = 60
+        for f in range((n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC):
+            data = corpus.warc_file_bytes(f, n)
+            assert W.warc_cdx(data) == warc_cdx_seq(data), f'file {f} diverges'
+
+
 class TestSoup:
     def test_mutation_soup_never_crashes_either_side(self):
         rng = random.Random(42)
@@ -164,7 +228,8 @@ class TestSoup:
                 mutated[rng.randrange(len(mutated))] = rng.randrange(256)
             cut = bytes(mutated[:rng.randrange(1, len(mutated))])
             for payload in (bytes(mutated), cut):
-                for fn in (W.warc_responses, warc_responses_seq):
+                for fn in (W.warc_responses, warc_responses_seq,
+                           W.warc_cdx, warc_cdx_seq):
                     rows = fn(payload)
                     assert isinstance(rows, list)
 

@@ -271,12 +271,14 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
     (corpus.warc_file_bytes); text is hashed like the driver query."""
     from oracle_kernels import warc_responses_seq
 
-    from oracle_kernels import main_content_blocks, main_content_text
+    from oracle_kernels import main_content_blocks, main_content_text, warc_cdx_seq
 
     n = _corpus_n(sf_dir)
     n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
     for f in range(n_files):
         fname = corpus.warc_file_name(f)
+        for row in warc_cdx_seq(corpus.warc_file_bytes(f, n)):
+            out['warc_cdx'].append((skey, fname, *row))
         for rec_ord, url, wdate, status, mime, charset, n_bytes, text in (
                 warc_responses_seq(corpus.warc_file_bytes(f, n))):
             out['warc_responses'].append(
@@ -654,6 +656,11 @@ SCHEMAS = {
     'warc_main_content': pa.schema(
         [('skey', pa.int64()), ('url', pa.string()), ('main_sha', pa.string()),
          ('n_blocks', pa.int32()), ('n_kept', pa.int32())]
+    ),
+    'warc_cdx': pa.schema(
+        [('skey', pa.int64()), ('file_name', pa.string()), ('ord', pa.int32()),
+         ('warc_type', pa.string()), ('url', pa.string()), ('offset', pa.int64()),
+         ('length', pa.int64()), ('addressable', pa.bool_())]
     ),
 }
 

@@ -1907,3 +1907,108 @@ def warc_responses_seq(data: bytes) -> list:
                             body.decode(charset, errors='replace')))
         line = bio.readline()
     return out
+
+
+def warc_cdx_seq(data: bytes) -> list:
+    """Sequential twin of core/warc.warc_cdx on different machinery:
+    MANUAL gzip member framing (header flag fields FEXTRA/FNAME/
+    FCOMMENT/FHCRC walked explicitly, raw-deflate inflate via
+    zlib.decompressobj(-15), explicit 8-byte CRC/ISIZE trailer — vs
+    the engine's wbits=47 wrapper loop) and a tell/readline offset
+    walk with email.parser headers (vs byte-offset find/scan folds).
+
+    Shared spec: (ord, warc_type, url, offset, length, addressable)
+    per well-formed record; a single-record-at-member-start gzip
+    member is addressed by its compressed extent (addressable=True),
+    plain files by raw extents (True), whole-file gzip / degenerate
+    members by decompressed-stream extents (False); ordinals span all
+    WARC-Types; resync and truncated-tail-stop as in the reader."""
+    import email.parser as _ep
+    import io as _io
+    import zlib as _z
+
+    def member_spans(buf: bytes) -> list:
+        spans = []
+        pos = 0
+        n = len(buf)
+        while pos + 10 <= n and buf[pos:pos + 2] == b'\x1f\x8b' and buf[pos + 2] == 8:
+            flg = buf[pos + 3]
+            p = pos + 10
+            try:
+                if flg & 4:
+                    p += 2 + int.from_bytes(buf[p:p + 2], 'little')
+                if flg & 8:
+                    p = buf.index(b'\x00', p) + 1
+                if flg & 16:
+                    p = buf.index(b'\x00', p) + 1
+                if flg & 2:
+                    p += 2
+                d = _z.decompressobj(-15)
+                m = d.decompress(buf[p:]) + d.flush()
+            except (ValueError, _z.error):
+                break
+            end = n - len(d.unused_data) + 8  # deflate end + CRC32 + ISIZE
+            spans.append((pos, end - pos, m))
+            pos = end
+        return spans
+
+    def record_spans(buf: bytes) -> list:
+        bio = _io.BytesIO(buf)
+        out = []
+        pos = bio.tell()
+        line = bio.readline()
+        while line:
+            if not line.startswith(b'WARC/'):
+                pos = bio.tell()
+                line = bio.readline()
+                continue
+            start = pos
+            hdr_lines = []
+            while True:
+                hl = bio.readline()
+                if hl in (b'\r\n', b'\n', b''):
+                    break
+                hdr_lines.append(hl)
+            msg = _ep.BytesParser().parsebytes(b''.join(hdr_lines))
+            try:
+                length = int(str(msg.get('Content-Length') or '').strip())
+                if length < 0:
+                    raise ValueError
+            except ValueError:
+                pos = bio.tell()
+                line = bio.readline()
+                continue
+            payload = bio.read(length)
+            if len(payload) < length:
+                return out  # truncated tail: dropped, parsing ends
+            while True:
+                mark = bio.tell()
+                if bio.readline() != b'\r\n':
+                    bio.seek(mark)
+                    break
+            wtype = str(msg.get('WARC-Type') or '').strip()
+            url = str(msg.get('WARC-Target-URI') or '').strip()
+            if url[:1] == '<' and url[-1:] == '>':
+                url = url[1:-1]
+            out.append((start, bio.tell(), wtype, url))
+            pos = bio.tell()
+            line = bio.readline()
+        return out
+
+    rows: list = []
+    gz = data[:2] == b'\x1f\x8b'
+    if gz:
+        stream_base = 0
+        for off, clen, m in member_spans(data):
+            spans = record_spans(m)
+            if len(spans) == 1 and spans[0][0] == 0:
+                _s, _e, wtype, url = spans[0]
+                rows.append((len(rows), wtype, url, off, clen, True))
+            else:
+                for s, e, wtype, url in spans:
+                    rows.append((len(rows), wtype, url, stream_base + s, e - s, False))
+            stream_base += len(m)
+    else:
+        for s, e, wtype, url in record_spans(data):
+            rows.append((len(rows), wtype, url, s, e - s, True))
+    return rows
