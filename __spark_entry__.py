@@ -201,6 +201,33 @@ def q_warc_cdx(spark, sf_dir):
     return read_warc_cdx(files).orderBy('file_name', 'ord')
 
 
+def q_robots_rules(spark, sf_dir):
+    """Crawl-policy rules: from-scratch robots.txt parse over the
+    per-host dim table — (host, group_agent, ord, verb, value) records
+    (core/robots.py spec: group folding, empty-value drops, orphan
+    rules, sitemap/crawl-delay, case soup).  One mapInPandas pass."""
+    from markdown_articles_tool_spark.corpus import robots_files_df
+    from markdown_articles_tool_spark.operators.robots import extract_robots_rules
+
+    return extract_robots_rules(robots_files_df(spark)).orderBy('host', 'ord')
+
+
+def q_crawl_allowed(spark, sf_dir):
+    """The crawl gate: every outlink record tagged allowed/blocked for
+    agent 'graftbot' under the destination host's robots.txt (RFC 9309
+    longest-match, allow wins ties, no robots file → allowed).  The
+    host-sized robots table is BROADCAST onto the page-sized link
+    table — zero shuffle Exchanges on the big side (plan-tested)."""
+    from markdown_articles_tool_spark.corpus import pages_df, robots_files_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.operators.robots import crawl_allowed
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    links = extract_page_outlinks(pages)
+    return crawl_allowed(links, robots_files_df(spark), agent='graftbot') \
+        .orderBy('url', 'ord')
+
+
 def q_warc_main_content(spark, sf_dir):
     """Crawl archive → training text end-to-end: WARC response read,
     the fetch-policy gate (HTTP 200 + text/html), then the main-content
@@ -655,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'warc_responses': q_warc_responses,
         'warc_main_content': q_warc_main_content,
         'warc_cdx': q_warc_cdx,
+        'robots_rules': q_robots_rules,
+        'crawl_allowed': q_crawl_allowed,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -761,6 +790,14 @@ def oracle_sql() -> dict[str, str]:
             'warc_cdx',
             'file_name, ord, warc_type, url, "offset", length, addressable',
             _DOC_SKEY, 'file_name, ord',
+        ),
+        'robots_rules': _ref(
+            'robots_rules', 'host, group_agent, ord, verb, value', _DOC_SKEY,
+            'host, ord',
+        ),
+        'crawl_allowed': _ref(
+            'crawl_allowed', 'url, ord, abs_url, dst_host, allowed', _DOC_SKEY,
+            'url, ord',
         ),
         'page_meta': _ref(
             'page_meta',

@@ -660,6 +660,78 @@ def warc_files_df(spark, n: int, partitions: int | None = None,
     return rng.mapInPandas(gen, schema=WARCS_SCHEMA)
 
 
+# ---------------------------------------------------------------- robots corpus
+
+# every host the outlink resolver can emit for the pages corpus (the
+# site ring, the cdn edges, canonical/mixed-case absolute targets)
+ROBOTS_HOSTS = tuple(sorted(
+    [f'site{k}.example' for k in range(7)]
+    + [f'cdn{k}.example' for k in range(3)]
+    + ['canonical.example', 'mixed.example']
+))
+
+ROBOTS_SCHEMA = 'host string, robots_txt string'
+
+
+def robots_txt_for(host: str) -> str:
+    """Deterministic robots.txt per host — the rotation exercises every
+    parse/match branch: empty file, CRLF block-all, wildcard + $-anchor
+    + allow/disallow tie + empty-value rules + orphan rules before any
+    group, multi-UA groups + sitemap, field/agent case soup + unknown
+    fields, equal-length tie (allow wins), anchored allow vs broad
+    disallow, and an agent-specific group with only an empty disallow.
+    Rotation is by host INDEX (not hash) so all 8 shapes exist in the
+    12-host table."""
+    r = ROBOTS_HOSTS.index(host) % 8 if host in ROBOTS_HOSTS else _h(f'robots:{host}') % 8
+    if r == 0:
+        return ''
+    if r == 1:
+        return 'User-agent: *\r\nDisallow: /\r\n'
+    if r == 2:
+        return (
+            f'# policy for {host}\n'
+            'Disallow: /orphan-rule-ignored\n'
+            'User-agent: *\n'
+            'Disallow: /cat/\n'
+            'Allow: /cat/1\n'
+            'Disallow: /see/*/1$\n'
+            'Disallow: /post/*3\n'
+            'Allow:\n'
+            'Crawl-delay: 4\n'
+        )
+    if r == 3:
+        return (
+            'User-agent: graftbot\n'
+            'User-agent: otherbot\n'
+            'Disallow: /refs/\n'
+            'Allow: /refs/r1\n'
+            f'Sitemap: https://{host}/sitemap.xml\n'
+            'User-Agent: *\n'
+            'Disallow: /articles/hub/\n'
+        )
+    if r == 4:
+        return (
+            'USER-AGENT: GraftBot   # canonical bot\n'
+            'DisAllow: /s1/\n'
+            'Noindex: /x\n'
+            f'Allow: /s1/{host[0]}\n'
+            f'Host: {host}\n'
+        )
+    if r == 5:
+        return 'User-agent: *\nDisallow: /consent\nAllow: /consent\n'
+    if r == 6:
+        return 'User-agent: *\nDisallow: /lib/\nAllow: /lib/*.js$\n'
+    return 'User-agent: graftbot\nDisallow:\n'
+
+
+def robots_files_df(spark):
+    """The per-host robots.txt dim table (12 rows — always the
+    broadcast side of the crawl-policy join)."""
+    return spark.createDataFrame(
+        [(h, robots_txt_for(h)) for h in ROBOTS_HOSTS], ROBOTS_SCHEMA
+    )
+
+
 PAGES_SCHEMA = 'url string, warc_ts timestamp, html binary, text string, lang string'
 
 

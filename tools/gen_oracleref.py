@@ -297,6 +297,36 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
                 )
 
 
+def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
+    """Robots rule records + the crawl gate over the outlink records —
+    twins in oracle_kernels.robots_rules_seq / robots_allowed_seq
+    (regex line splitter + no-regex segment-walk matcher, vs the
+    engine's partition folds + compiled-pattern matcher)."""
+    from oracle_kernels import (
+        outlinks_seq,
+        robots_allowed_seq,
+        robots_dst_host_seq,
+        robots_rules_seq,
+        robots_url_path_seq,
+    )
+
+    parsed = {}
+    for host in corpus.ROBOTS_HOSTS:
+        recs = robots_rules_seq(corpus.robots_txt_for(host))
+        parsed[host] = recs
+        for rec in recs:
+            out['robots_rules'].append((skey, host, *rec))
+    n = _corpus_n(sf_dir)
+    for i in range(n):
+        url = corpus.doc_url(i)
+        for ord_, href, abs_url, anchor in outlinks_seq(url, corpus.doc_html(i)):
+            host = robots_dst_host_seq(abs_url)
+            recs = parsed.get(host)
+            allowed = True if recs is None else robots_allowed_seq(
+                recs, 'graftbot', robots_url_path_seq(abs_url))
+            out['crawl_allowed'].append((skey, url, ord_, abs_url, host, allowed))
+
+
 def gen_pdf(sf_dir: str, skey: int, out: dict) -> None:
     """Sequential twin of operators/pdfextract.py over the synthetic
     (url, pdf) table — computed with the INDEPENDENT kernel
@@ -662,6 +692,15 @@ SCHEMAS = {
          ('warc_type', pa.string()), ('url', pa.string()), ('offset', pa.int64()),
          ('length', pa.int64()), ('addressable', pa.bool_())]
     ),
+    'robots_rules': pa.schema(
+        [('skey', pa.int64()), ('host', pa.string()), ('group_agent', pa.string()),
+         ('ord', pa.int32()), ('verb', pa.string()), ('value', pa.string())]
+    ),
+    'crawl_allowed': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('ord', pa.int32()),
+         ('abs_url', pa.string()), ('dst_host', pa.string()),
+         ('allowed', pa.bool_())]
+    ),
 }
 
 
@@ -679,6 +718,7 @@ def main() -> None:
         gen_page_graph(sf_dir, dk, out)
         gen_html_tables(sf_dir, dk, out)
         gen_warc(sf_dir, dk, out)
+        gen_robots(sf_dir, dk, out)
         gen_pdf(sf_dir, dk, out)
         gen_minhash(sf_dir, dk, out)
         gen_winnow(sf_dir, dk, out)

@@ -2012,3 +2012,111 @@ def warc_cdx_seq(data: bytes) -> list:
         for s, e, wtype, url in record_spans(data):
             rows.append((len(rows), wtype, url, s, e - s, True))
     return rows
+
+
+# ------------------------------------------------------ robots.txt twin
+
+_ROBOTS_LINE_RE = None
+
+
+def robots_rules_seq(text: str) -> list:
+    """Sequential twin of core/robots.parse_robots on different
+    machinery: a compiled regex line splitter + field matcher (vs the
+    engine's partition/strip folds).  Shared spec documented at the
+    engine site: comment strip, case-insensitive fields, consecutive
+    user-agent lines share a group, rule lines close groups, empty
+    allow/disallow values emit nothing, orphan rules ignored, sitemap
+    global, unknown fields inert; (group_agent, ord, verb, value)."""
+    import re as _re
+
+    global _ROBOTS_LINE_RE
+    if _ROBOTS_LINE_RE is None:
+        _ROBOTS_LINE_RE = _re.compile(r'^\s*([A-Za-z][A-Za-z0-9-]*)\s*:\s*(.*?)\s*$')
+    out: list = []
+    agents: list = []
+    closed = False
+    for raw in _re.split(r'\r?\n', text):
+        raw = _re.sub(r'#.*', '', raw)
+        m = _ROBOTS_LINE_RE.match(raw)
+        if not m:
+            continue
+        field = m.group(1).lower()
+        value = m.group(2)
+        if field == 'user-agent':
+            if closed:
+                agents = []
+                closed = False
+            agents.append(value.lower())
+        elif field in ('allow', 'disallow', 'crawl-delay'):
+            closed = True
+            if field != 'crawl-delay' and not value:
+                continue
+            for a in agents:
+                out.append((a, len(out), field, value))
+        elif field == 'sitemap':
+            out.append(('', len(out), 'sitemap', value))
+    return out
+
+
+def _robots_match_seq(pattern: str, path: str) -> bool:
+    """Wildcard prefix match with NO regex: explicit segment walk —
+    '*' spans any run, trailing '$' anchors the end."""
+    anchored = pattern.endswith('$')
+    core = pattern[:-1] if anchored else pattern
+    segs = core.split('*')
+    pos = 0
+    for k, seg in enumerate(segs):
+        if k == 0:
+            if path[:len(seg)] != seg:
+                return False
+            pos = len(seg)
+        elif anchored and k == len(segs) - 1:
+            if len(path) - len(seg) < pos or path[len(path) - len(seg):] != seg:
+                return False
+            pos = len(path)
+        else:
+            i = path.find(seg, pos)
+            if i < 0:
+                return False
+            pos = i + len(seg)
+    if anchored and len(segs) == 1:
+        return pos == len(path)
+    return True
+
+
+def robots_allowed_seq(records: list, agent: str, path: str) -> bool:
+    """Sequential twin of core/robots.is_allowed: collect matching
+    (length, is_allow) pairs and take the max — tuple order makes
+    allow win a length tie (False < True) — vs the engine's running
+    best fold."""
+    agent = agent.lower()
+    path = path or '/'
+    sel = [r for r in records if r[0] == agent and r[2] in ('allow', 'disallow')]
+    if not sel:
+        sel = [r for r in records if r[0] == '*' and r[2] in ('allow', 'disallow')]
+    hits = [(len(r[3]), r[2] == 'allow') for r in sel if _robots_match_seq(r[3], path)]
+    if not hits:
+        return True
+    return max(hits)[1]
+
+
+def robots_url_path_seq(abs_url: str) -> str:
+    """String-munching twin of core/robots.url_path."""
+    i = abs_url.find('://')
+    if i < 0:
+        return '/'
+    j = abs_url.find('/', i + 3)
+    return abs_url[j:] if j >= 0 else '/'
+
+
+def robots_dst_host_seq(abs_url: str) -> str:
+    """Lowercased authority, '' when the URL has no scheme://host."""
+    i = abs_url.find('://')
+    sch = abs_url[:max(i, 0)]
+    if (i <= 0 or not sch[0].isalpha()
+            or not all(c.isalnum() or c in '+.-' for c in sch)):
+        return ''
+    rest = abs_url[i + 3:]
+    j = rest.find('/')
+    host = rest if j < 0 else rest[:j]
+    return host.lower()
