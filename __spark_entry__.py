@@ -228,6 +228,24 @@ def q_crawl_allowed(spark, sf_dir):
         .orderBy('url', 'ord')
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Frontier assembly — the full crawl-tier composition: outlinks
+    gated by robots (broadcast dim join), minus the already-crawled
+    page set (SHUFFLE left-anti join — the crawled set is page-sized
+    at web scale), collapsed to distinct targets (groupBy reusing the
+    anti-join partitioning, no extra Exchange), prioritized by the
+    host-PageRank broadcast (training/frontier.py)."""
+    from markdown_articles_tool_spark.corpus import pages_df, robots_files_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.training.frontier import crawl_frontier
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    links = extract_page_outlinks(pages)
+    return crawl_frontier(
+        links, robots_files_df(spark), pages.select('url'), agent='graftbot'
+    ).orderBy('abs_url')
+
+
 def q_warc_main_content(spark, sf_dir):
     """Crawl archive → training text end-to-end: WARC response read,
     the fetch-policy gate (HTTP 200 + text/html), then the main-content
@@ -684,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'warc_cdx': q_warc_cdx,
         'robots_rules': q_robots_rules,
         'crawl_allowed': q_crawl_allowed,
+        'crawl_frontier': q_crawl_frontier,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -798,6 +817,10 @@ def oracle_sql() -> dict[str, str]:
         'crawl_allowed': _ref(
             'crawl_allowed', 'url, ord, abs_url, dst_host, allowed', _DOC_SKEY,
             'url, ord',
+        ),
+        'crawl_frontier': _ref(
+            'crawl_frontier', 'abs_url, dst_host, n_refs, rank_units', _DOC_SKEY,
+            'abs_url',
         ),
         'page_meta': _ref(
             'page_meta',

@@ -179,8 +179,10 @@ def run_bench(emit_json: bool = True) -> dict:
         'warc_cdx',
         # robots gate: broadcast host-dim join + one pandas decision
         # pass over the outlink records (robots_rules itself is a
-        # 12-row dim parse — not worth a headline slot)
+        # 12-row dim parse — not worth a headline slot); the frontier
+        # composition adds the anti-join + collapse + rank broadcast
         'crawl_allowed',
+        'crawl_frontier',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

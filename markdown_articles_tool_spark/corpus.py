@@ -210,6 +210,11 @@ def doc_html(i: int) -> bytes:
         soup_links.append('<a href="JavaScript:void(0)">button</a>')
     if i % 6 == 5:
         soup_links.append(f'<a href="HTTPS://Mixed.Example/Path{i}#frag">mixed case</a>')
+    if i % 6 == 2:
+        # an absolute link to ANOTHER corpus document (the decade
+        # leader): exercises the frontier's already-crawled anti-join
+        # (and a self-link when i%10==0, a same-host graph self-loop)
+        soup_links.append(f'<a href="{doc_url(i - i % 10)}">doc {i - i % 10}</a>')
     if i % 7 == 2:
         soup_links.append(f'<a href="">empty</a> <a name="x{i}">no href</a>')
     if i % 9 == 7:

@@ -1,0 +1,66 @@
+"""Crawl frontier assembly — the tier composition: outlink records
+(core/htmlmeta.py) gated by robots policy (core/robots.py), minus the
+already-crawled set, collapsed to distinct fetch targets and
+prioritized by host PageRank (training/linkgraph.py).
+
+The reference tool (artiomn/markdown_articles_tool) fetches a fixed
+article list; a crawl loop needs the NEXT list — this operator builds
+it from what the current batch of pages linked to.
+
+Scale shape
+-----------
+* the robots gate is the broadcast join + pandas pass of
+  ``operators/robots.crawl_allowed`` — no shuffle of the link table;
+* the already-crawled exclusion is a SHUFFLE left-anti join on the
+  URL: at web scale the crawled set is page-sized (10^12), so
+  broadcasting it is impossible — both sides hash-partition on the
+  join key, the honest shape;
+* the distinct-target collapse ``groupBy('abs_url')`` REUSES the
+  anti-join's partitioning (same key), so it adds NO Exchange — the
+  plan test pins that;
+* the priority join broadcasts the HOST-sized rank table (lowercased
+  at join time — ``host_edges`` keys ranks by verbatim host case,
+  the gate by lowercased authority; case-colliding hosts collapse
+  under max, none exist in corpus).
+
+Total: the page-sized data crosses the wire exactly once (anti-join),
+everything else is map-side or host-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.robots import crawl_allowed
+from .linkgraph import host_edges, pagerank_hosts
+
+FRONTIER_COLUMNS = ('abs_url', 'dst_host', 'n_refs', 'rank_units')
+
+
+def crawl_frontier(outlinks: DataFrame, robots: DataFrame, crawled: DataFrame,
+                   agent: str = 'graftbot', iterations: int = 10,
+                   url_col: str = 'url') -> DataFrame:
+    """(abs_url, dst_host, n_refs, rank_units) per NEW fetch target:
+    robots-allowed for ``agent``, not in ``crawled``, with the number
+    of referencing link records and the destination host's integer
+    PageRank (0 for hosts outside the rank table)."""
+    gated = crawl_allowed(outlinks, robots, agent).where('allowed')
+    fresh = gated.join(
+        crawled.select(F.col(url_col).alias('_crawled_url')),
+        gated.abs_url == F.col('_crawled_url'), 'left_anti',
+    )
+    targets = fresh.groupBy('abs_url').agg(
+        F.count(F.lit(1)).alias('n_refs'),
+        F.min('dst_host').alias('dst_host'),  # functionally dependent on abs_url
+    )
+    ranks = (
+        pagerank_hosts(host_edges(outlinks), iterations=iterations)
+        .groupBy(F.lower('host').alias('_rank_host'))
+        .agg(F.max('rank_units').alias('rank_units'))
+    )
+    return targets.join(
+        F.broadcast(ranks), targets.dst_host == ranks._rank_host, 'left'
+    ).select(
+        'abs_url', 'dst_host', 'n_refs',
+        F.coalesce('rank_units', F.lit(0)).alias('rank_units'),
+    )

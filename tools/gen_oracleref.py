@@ -302,8 +302,11 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
     twins in oracle_kernels.robots_rules_seq / robots_allowed_seq
     (regex line splitter + no-regex segment-walk matcher, vs the
     engine's partition folds + compiled-pattern matcher)."""
+    import re as _re
+
     from oracle_kernels import (
         outlinks_seq,
+        pagerank_seq,
         robots_allowed_seq,
         robots_dst_host_seq,
         robots_rules_seq,
@@ -317,14 +320,40 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
         for rec in recs:
             out['robots_rules'].append((skey, host, *rec))
     n = _corpus_n(sf_dir)
+    # frontier composition state: crawled set, per-target refs, host
+    # edges for the priority ranks (verbatim-case hosts, like the
+    # engine's host_edges)
+    host_re = _re.compile(r'^[a-zA-Z]+://([^/]+)')
+    crawled = {corpus.doc_url(i) for i in range(n)}
+    refs: dict = defaultdict(int)
+    dhost: dict = {}
+    edges: dict = defaultdict(int)
     for i in range(n):
         url = corpus.doc_url(i)
+        m = host_re.match(url)
+        src_host = m.group(1) if m else ''
         for ord_, href, abs_url, anchor in outlinks_seq(url, corpus.doc_html(i)):
             host = robots_dst_host_seq(abs_url)
             recs = parsed.get(host)
             allowed = True if recs is None else robots_allowed_seq(
                 recs, 'graftbot', robots_url_path_seq(abs_url))
             out['crawl_allowed'].append((skey, url, ord_, abs_url, host, allowed))
+            md = host_re.match(abs_url)
+            dst_raw = md.group(1) if md else ''
+            if src_host and dst_raw and src_host != dst_raw:
+                edges[(src_host, dst_raw)] += 1
+            if allowed and abs_url not in crawled:
+                refs[abs_url] += 1
+                dhost[abs_url] = host
+    ranks = pagerank_seq([(s, d, w) for (s, d), w in edges.items()], iterations=10)
+    low_ranks: dict = {}
+    for h, r in ranks.items():
+        low_ranks[h.lower()] = max(low_ranks.get(h.lower(), 0), r)
+    for abs_url in sorted(refs):
+        out['crawl_frontier'].append(
+            (skey, abs_url, dhost[abs_url], refs[abs_url],
+             low_ranks.get(dhost[abs_url], 0))
+        )
 
 
 def gen_pdf(sf_dir: str, skey: int, out: dict) -> None:
@@ -700,6 +729,10 @@ SCHEMAS = {
         [('skey', pa.int64()), ('url', pa.string()), ('ord', pa.int32()),
          ('abs_url', pa.string()), ('dst_host', pa.string()),
          ('allowed', pa.bool_())]
+    ),
+    'crawl_frontier': pa.schema(
+        [('skey', pa.int64()), ('abs_url', pa.string()), ('dst_host', pa.string()),
+         ('n_refs', pa.int64()), ('rank_units', pa.int64())]
     ),
 }
 
