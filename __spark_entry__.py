@@ -228,6 +228,17 @@ def q_crawl_allowed(spark, sf_dir):
         .orderBy('url', 'ord')
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap discovery records: from-scratch sitemaps.org XML parse
+    over the per-host dim (urlset entries + sitemapindex refs, CDATA/
+    entity escapes, namespace-prefix soup, nested-extension scoping;
+    core/sitemap.py).  Oracle twin = xml.etree.ElementTree."""
+    from markdown_articles_tool_spark.corpus import sitemap_files_df
+    from markdown_articles_tool_spark.operators.sitemap import extract_sitemap_entries
+
+    return extract_sitemap_entries(sitemap_files_df(spark)).orderBy('host', 'ord')
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Frontier assembly — the full crawl-tier composition: outlinks
     gated by robots (broadcast dim join), minus the already-crawled
@@ -703,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_rules': q_robots_rules,
         'crawl_allowed': q_crawl_allowed,
         'crawl_frontier': q_crawl_frontier,
+        'sitemap_entries': q_sitemap_entries,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -821,6 +833,10 @@ def oracle_sql() -> dict[str, str]:
         'crawl_frontier': _ref(
             'crawl_frontier', 'abs_url, dst_host, n_refs, rank_units', _DOC_SKEY,
             'abs_url',
+        ),
+        'sitemap_entries': _ref(
+            'sitemap_entries', 'host, ord, kind, loc, lastmod, changefreq, priority',
+            _DOC_SKEY, 'host, ord',
         ),
         'page_meta': _ref(
             'page_meta',

@@ -737,6 +737,71 @@ def robots_files_df(spark):
     )
 
 
+# --------------------------------------------------------------- sitemap corpus
+
+SITEMAPS_SCHEMA = 'host string, sitemap_xml string'
+
+
+def sitemap_xml_for(host: str) -> str:
+    """Deterministic sitemap per host (indexed rotation like robots):
+    a plain urlset with CDATA/entity/numeric-escape locs and full
+    metadata; a sitemapindex with comments between refs; a namespaced
+    urlset with a nested image-extension block (scoping trap: its
+    <image:loc> must NOT leak into the entry) and a self-closing
+    optional field; an empty urlset."""
+    s = (ROBOTS_HOSTS.index(host) if host in ROBOTS_HOSTS
+         else _h(f'sitemap:{host}')) % 4
+    if s == 0:
+        k = 3 + _h(f'smn:{host}') % 3
+        urls = ''.join(
+            f'  <url><loc>https://{host}/articles/a{j:08d}/doc{j}.md</loc>'
+            f'<lastmod>2020-09-{13 + j % 10:02d}</lastmod>'
+            f'<changefreq>{"weekly" if j % 2 else "daily"}</changefreq>'
+            f'<priority>0.{5 + j % 5}</priority></url>\n'
+            for j in range(k)
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f'{urls}'
+            f'  <url><loc><![CDATA[https://{host}/q?a=1&b=2]]></loc></url>\n'
+            f'  <url><loc>https://{host}/p?x=1&amp;y=&#50;</loc>'
+            '<priority> 0.9 </priority></url>\n'
+            '</urlset>\n'
+        )
+    if s == 1:
+        return (
+            '<?xml version="1.0"?>\n'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            f'  <sitemap><loc>https://{host}/sitemap-a.xml</loc>'
+            '<lastmod>2020-09-13T12:26:40Z</lastmod></sitemap>\n'
+            '  <!-- rotated daily -->\n'
+            f'  <sitemap><loc>https://{host}/sitemap-b.xml</loc></sitemap>\n'
+            '</sitemapindex>\n'
+        )
+    if s == 2:
+        return (
+            '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9" '
+            'xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">\n'
+            f'  <sm:url><sm:loc>https://{host}/gallery</sm:loc>\n'
+            f'    <image:image><image:loc>https://{host}/img/1.png</image:loc>'
+            '<image:caption>c</image:caption></image:image>\n'
+            '    <sm:lastmod/>\n'
+            '  </sm:url>\n'
+            f'  <sm:url><sm:loc>  https://{host}/plain  </sm:loc></sm:url>\n'
+            '</sm:urlset>\n'
+        )
+    return ('<?xml version="1.0"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"></urlset>\n')
+
+
+def sitemap_files_df(spark):
+    """The per-host sitemap dim table (12 rows)."""
+    return spark.createDataFrame(
+        [(h, sitemap_xml_for(h)) for h in ROBOTS_HOSTS], SITEMAPS_SCHEMA
+    )
+
+
 PAGES_SCHEMA = 'url string, warc_ts timestamp, html binary, text string, lang string'
 
 

@@ -313,12 +313,16 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
         robots_url_path_seq,
     )
 
+    from oracle_kernels import sitemap_entries_seq
+
     parsed = {}
     for host in corpus.ROBOTS_HOSTS:
         recs = robots_rules_seq(corpus.robots_txt_for(host))
         parsed[host] = recs
         for rec in recs:
             out['robots_rules'].append((skey, host, *rec))
+        for rec in sitemap_entries_seq(corpus.sitemap_xml_for(host)):
+            out['sitemap_entries'].append((skey, host, *rec))
     n = _corpus_n(sf_dir)
     # frontier composition state: crawled set, per-target refs, host
     # edges for the priority ranks (verbatim-case hosts, like the
@@ -733,6 +737,11 @@ SCHEMAS = {
     'crawl_frontier': pa.schema(
         [('skey', pa.int64()), ('abs_url', pa.string()), ('dst_host', pa.string()),
          ('n_refs', pa.int64()), ('rank_units', pa.int64())]
+    ),
+    'sitemap_entries': pa.schema(
+        [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
+         ('kind', pa.string()), ('loc', pa.string()), ('lastmod', pa.string()),
+         ('changefreq', pa.string()), ('priority', pa.string())]
     ),
 }
 

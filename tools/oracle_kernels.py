@@ -2120,3 +2120,38 @@ def robots_dst_host_seq(abs_url: str) -> str:
     j = rest.find('/')
     host = rest if j < 0 else rest[:j]
     return host.lower()
+
+
+def sitemap_entries_seq(text: str) -> list:
+    """Sequential twin of core/sitemap.sitemap_entries on different
+    machinery: xml.etree.ElementTree (a real XML parser — namespace
+    URIs in tags, merged CDATA, entity expansion) vs the engine's
+    from-scratch tag scanner.  Shared spec at the engine site: records
+    from direct url/sitemap children of a urlset/sitemapindex root,
+    fields from DIRECT children only, last repeated field wins,
+    whitespace-stripped, unparseable/foreign input -> []."""
+    import xml.etree.ElementTree as _ET
+
+    def local(tag) -> str:
+        if not isinstance(tag, str):
+            return ''  # comments / PIs
+        return tag.rsplit('}', 1)[-1].rsplit(':', 1)[-1].lower()
+
+    try:
+        root = _ET.fromstring(text)
+    except _ET.ParseError:
+        return []
+    if local(root.tag) not in ('urlset', 'sitemapindex'):
+        return []
+    out: list = []
+    for child in root:
+        kind = local(child.tag)
+        if kind not in ('url', 'sitemap'):
+            continue
+        fields: dict = {}
+        for c in child:
+            fields[local(c.tag)] = (c.text or '').strip()
+        out.append((len(out), kind, fields.get('loc', ''),
+                    fields.get('lastmod', ''), fields.get('changefreq', ''),
+                    fields.get('priority', '')))
+    return out
