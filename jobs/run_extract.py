@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument('--output', required=True)
     ap.add_argument('--spans', action='store_true')
     ap.add_argument('--stream', action='store_true')
+    ap.add_argument('--warc', action='store_true',
+                    help='input is a (file_name, data binary) table of WARC crawl '
+                         'archives: flatten HTTP response records (out/warc_responses); '
+                         'with --spans also run the 200+text/html gate into the '
+                         'main-content strip (out/warc_main_content); --stream drains '
+                         'newly-landed archives exactly-once')
     ap.add_argument('--pdf', action='store_true',
                     help="input is a (url, pdf binary) table: run the PDF/layout "
                          "extraction tier (content streams, Flate/LZW filters, "
@@ -64,6 +70,32 @@ def main() -> None:
         if args.verify_threshold is not None:
             vk = read_verified(spark, args.output).where('kept_verified').count()
             print(f'verified at jaccard<{args.verify_threshold}: {vk}/{total} urls kept')
+        spark.stop()
+        return
+    if args.warc:
+        from markdown_articles_tool_spark.sources.warc import (
+            read_warc_responses,
+            warc_main_content,
+        )
+
+        if args.stream:
+            from markdown_articles_tool_spark.streaming.incremental import (
+                start_incremental_warc,
+            )
+
+            q = start_incremental_warc(spark, args.input, args.output)
+            q.awaitTermination()
+            print('warc stream drained')
+            spark.stop()
+            return
+        files = spark.read.parquet(args.input)
+        read_warc_responses(files).write.mode('overwrite').parquet(
+            f'{args.output}/warc_responses')
+        if args.spans:
+            warc_main_content(files).write.mode('overwrite').parquet(
+                f'{args.output}/warc_main_content')
+        n = spark.read.parquet(f'{args.output}/warc_responses').count()
+        print(f'extracted {n} warc responses')
         spark.stop()
         return
     if args.pdf:

@@ -172,3 +172,38 @@ def start_incremental_quality(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_warc(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming crawl-archive ingestion: WARC blobs land as
+    (file_name, data) parquet files → flattened HTTP response records
+    append to the output table (text hashed alongside so downstream
+    dedup reads a fixed-width column).  Same native stateless-
+    mapInPandas shape as the main-content stream — exactly-once per
+    file via the stream checkpoint, no shuffle, no state store; the
+    full reader (gzip members, chunked bodies, charset resolution,
+    resync/truncation policy — core/warc.py) runs per micro-batch.
+    This is the live-crawl shape: archives land continuously, the
+    engine drains only the delta."""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import read_warc_responses
+
+    stream = spark.readStream.schema(corpus.WARCS_SCHEMA).parquet(input_dir)
+    out = read_warc_responses(stream).withColumn(
+        'text_sha', F.sha2(F.encode('text', 'utf-8'), 256)
+    )
+    writer = (
+        out.writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'warc_responses'))
+        .option('checkpointLocation', os.path.join(output_dir, '_warc_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

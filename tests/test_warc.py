@@ -239,6 +239,48 @@ class TestSoup:
             assert warc_responses_seq(data) == []
 
 
+class TestStreaming:
+    def test_streaming_warc_native_and_delta_only(self, spark, tmp_path):
+        """WARC ingestion runs as a NATIVE streaming transform:
+        availableNow drains the backlog exactly once, a second start
+        processes only newly-landed archives, and rows match the
+        sequential twin byte-for-byte."""
+        import os as _os
+
+        from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_warc,
+        )
+
+        n = 20
+        n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
+        in_dir = str(tmp_path / 'in')
+        out_dir = str(tmp_path / 'out')
+        spark.createDataFrame(
+            [(corpus.warc_file_name(f), bytearray(corpus.warc_file_bytes(f, n)))
+             for f in range(n_files)], corpus.WARCS_SCHEMA
+        ).write.mode('overwrite').parquet(in_dir)
+
+        q = start_incremental_warc(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        got = spark.read.parquet(_os.path.join(out_dir, 'warc_responses'))
+        rows = {(r['file_name'], r['rec_ord']):
+                (r['url'], r['warc_date'], r['http_status'], r['mime'],
+                 r['charset'], r['n_bytes'], r['text']) for r in got.collect()}
+        assert len(rows) == n
+        for f in range(n_files):
+            for rec_ in warc_responses_seq(corpus.warc_file_bytes(f, n)):
+                assert rows[(corpus.warc_file_name(f), rec_[0])] == rec_[1:], (f, rec_[0])
+
+        # a new archive lands: only the delta is processed
+        extra = [('crawl/extra.warc', bytearray(corpus.warc_file_bytes(0, n)))]
+        spark.createDataFrame(extra, corpus.WARCS_SCHEMA) \
+            .write.mode('append').parquet(in_dir)
+        q2 = start_incremental_warc(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        got2 = spark.read.parquet(_os.path.join(out_dir, 'warc_responses'))
+        assert got2.count() == n + len(warc_responses_seq(corpus.warc_file_bytes(0, n)))
+
+
 class TestSparkOperator:
     def test_operator_matches_twin_and_plan(self, spark, tmp_path_factory):
         from markdown_articles_tool_spark.sources.warc import read_warc_responses
