@@ -228,6 +228,24 @@ def q_crawl_allowed(spark, sf_dir):
         .orderBy('url', 'ord')
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness scheduling over the assembled frontier: wave = the
+    target's 1-based position within its host under (n_refs desc,
+    abs_url asc) — one request per host per cycle; capped at 5 waves
+    (the window-top-k cut; training/frontier.frontier_schedule).
+    Oracle = an INDEPENDENT DuckDB window over the hash-gated
+    crawl_frontier oracle records."""
+    from markdown_articles_tool_spark.corpus import pages_df, robots_files_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.training.frontier import (
+        crawl_frontier, frontier_schedule)
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    links = extract_page_outlinks(pages)
+    frontier = crawl_frontier(links, robots_files_df(spark), pages.select('url'))
+    return frontier_schedule(frontier, max_wave=5).orderBy('dst_host', 'wave')
+
+
 def q_sitemap_entries(spark, sf_dir):
     """Sitemap discovery records: from-scratch sitemaps.org XML parse
     over the per-host dim (urlset entries + sitemapindex refs, CDATA/
@@ -715,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_allowed': q_crawl_allowed,
         'crawl_frontier': q_crawl_frontier,
         'sitemap_entries': q_sitemap_entries,
+        'frontier_schedule': q_frontier_schedule,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -838,6 +857,22 @@ def oracle_sql() -> dict[str, str]:
             'sitemap_entries', 'host, ord, kind, loc, lastmod, changefreq, priority',
             _DOC_SKEY, 'host, ord',
         ),
+        # independent SQL-window machinery over the hash-gated
+        # crawl_frontier oracle records — same total order as
+        # training/frontier.frontier_schedule (n_refs desc, abs_url
+        # asc per host), max_wave=5 cut
+        'frontier_schedule': f"""
+            SELECT abs_url, dst_host, n_refs, rank_units, CAST(wave AS INT) AS wave
+            FROM (
+                SELECT abs_url, dst_host, n_refs, rank_units,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dst_host
+                           ORDER BY n_refs DESC, abs_url ASC
+                       ) AS wave
+                FROM read_parquet('{_ORACLEREF}/crawl_frontier.parquet')
+                WHERE skey = {_DOC_SKEY}
+            ) WHERE wave <= 5 ORDER BY dst_host, wave
+        """,
         'page_meta': _ref(
             'page_meta',
             'url, title, meta_description, canonical, og_title, '

@@ -64,3 +64,25 @@ def crawl_frontier(outlinks: DataFrame, robots: DataFrame, crawled: DataFrame,
         'abs_url', 'dst_host', 'n_refs',
         F.coalesce('rank_units', F.lit(0)).alias('rank_units'),
     )
+
+
+def frontier_schedule(frontier: DataFrame, max_wave: int | None = None) -> DataFrame:
+    """Politeness scheduling: assign every frontier target its fetch
+    WAVE — the 1-based position within its host under the total order
+    (n_refs desc, abs_url asc) — so a crawler that issues one request
+    per host per cycle fetches wave 1 everywhere, then wave 2, …
+    deterministic under any partitioning (the order is total).
+
+    Scale shape: ONE window over dst_host — host-sized partitions of
+    the already-collapsed distinct targets (a mega-host's partition
+    holds its frontier entries, not its raw inlinks); ``max_wave``
+    caps the per-host fetch budget for the cycle, the standard
+    window-top-k cut."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy('dst_host').orderBy(
+        F.desc('n_refs'), F.asc('abs_url'))
+    out = frontier.withColumn('wave', F.row_number().over(w))
+    if max_wave is not None:
+        out = out.where(F.col('wave') <= max_wave)
+    return out

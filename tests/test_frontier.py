@@ -86,6 +86,25 @@ class TestFrontier:
         in_corpus = {r['abs_url'] for r in gated if r['abs_url'] in crawled}
         assert in_corpus
 
+    def test_schedule_waves_and_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.training.frontier import frontier_schedule
+
+        rows = [('https://h1/x', 'h1', 5, 100), ('https://h1/y', 'h1', 5, 100),
+                ('https://h1/z', 'h1', 9, 100), ('https://h2/a', 'h2', 1, 7)]
+        df = spark.createDataFrame(
+            rows, 'abs_url string, dst_host string, n_refs long, rank_units long')
+        got = {r['abs_url']: r['wave'] for r in frontier_schedule(df).collect()}
+        # n_refs desc, then abs_url asc inside the tie
+        assert got == {'https://h1/z': 1, 'https://h1/x': 2, 'https://h1/y': 3,
+                       'https://h2/a': 1}
+        capped = frontier_schedule(df, max_wave=2).collect()
+        assert {r['abs_url'] for r in capped} == {
+            'https://h1/z', 'https://h1/x', 'https://h2/a'}
+        for parts in (2, 7):
+            again = {r['abs_url']: r['wave'] for r in
+                     frontier_schedule(df.repartition(parts)).collect()}
+            assert again == got
+
     def test_one_page_sized_shuffle_plan(self, spark):
         from markdown_articles_tool_spark.corpus import pages_df, robots_files_df
         from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
