@@ -285,7 +285,32 @@ def parse_http_response(block: bytes) -> Optional[Tuple[int, dict, bytes]]:
             body = dechunk(body)
         except ValueError:
             pass  # malformed framing: raw bytes (out of corpus)
+    body = _content_decode(body, headers.get('content-encoding', ''))
     return status, headers, body
+
+
+def _content_decode(body: bytes, encoding: str) -> bytes:
+    """``Content-Encoding`` decode, applied AFTER de-chunking (transfer
+    coding wraps content coding): ``gzip``/``x-gzip`` inflates a gzip
+    wrapper; ``deflate`` tries the zlib wrapper then raw deflate (the
+    classic broken-server form); anything else — identity, br,
+    multi-codings — and any decode error leaves the bytes as stored
+    (a crawl keeps what it got)."""
+    enc = encoding.strip().lower()
+    if enc in ('gzip', 'x-gzip'):
+        try:
+            d = zlib.decompressobj(wbits=47)
+            return d.decompress(body) + d.flush()
+        except zlib.error:
+            return body
+    if enc == 'deflate':
+        for wbits in (15, -15):
+            try:
+                return zlib.decompress(body, wbits)
+            except zlib.error:
+                continue
+        return body
+    return body
 
 
 def resolve_charset(content_type: str) -> str:

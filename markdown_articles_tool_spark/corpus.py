@@ -571,6 +571,22 @@ def doc_http_response(i: int) -> bytes:
         head.append('Content-Type: ' + ctype)
     if i % 9 == 4:
         head.append('Content-Type: text/plain')  # duplicate: first wins
+    # content coding first (i%10==3 gzip, i%12==7 zlib-deflate,
+    # i%12==11 raw-deflate broken-server), then the transfer coding
+    # wraps it — a chunked+gzip overlap exists (i ≡ 13 mod 20)
+    if status.startswith('200'):
+        import gzip as _gz
+        import zlib as _zl
+
+        if i % 10 == 3:
+            head.append('Content-Encoding: gzip')
+            body = _gz.compress(body, mtime=0)
+        elif i % 12 == 7:
+            head.append('Content-Encoding: deflate')
+            body = _zl.compress(body)
+        elif i % 12 == 11:
+            head.append('Content-Encoding: deflate')
+            body = _zl.compress(body)[2:-4]  # raw deflate, no zlib wrapper
     chunked = i % 4 == 1 and status.startswith('200')
     if chunked:
         head.append('Transfer-Encoding: chunked')

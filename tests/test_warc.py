@@ -30,6 +30,11 @@ def rec(payload: bytes, rec_type: str = 'response',
     ).encode() + payload + b'\r\n\r\n'
 
 
+def _chunk_bytes(body: bytes, size: int = 512) -> bytes:
+    from markdown_articles_tool_spark.corpus import _chunk
+    return _chunk(body, size)
+
+
 def http(body: bytes, status: str = '200 OK', extra: str = '',
          ctype: str = 'text/html; charset=UTF-8') -> bytes:
     head = f'HTTP/1.1 {status}\r\n'
@@ -117,6 +122,30 @@ class TestGoldens:
     def test_whole_file_gzip_and_plain_agree(self):
         plain = rec(http(b'one')) + rec(http(b'two'))
         assert W.warc_responses(plain) == W.warc_responses(gzip.compress(plain, mtime=0))
+
+    @pytest.mark.parametrize('enc,codec', [
+        ('gzip', lambda b: gzip.compress(b, mtime=0)),
+        ('x-gzip', lambda b: gzip.compress(b, mtime=0)),
+        ('deflate', lambda b: __import__('zlib').compress(b)),
+        ('deflate', lambda b: __import__('zlib').compress(b)[2:-4]),  # raw form
+    ])
+    def test_content_encoding_decoded(self, enc, codec):
+        body = codec(b'payload text here')
+        rows = W.warc_responses(rec(http(body, extra=f'Content-Encoding: {enc}\r\n')))
+        assert rows[0][7] == 'payload text here' and rows[0][6] == 17
+
+    def test_content_encoding_garbage_and_unknown_stay_raw(self):
+        rows = W.warc_responses(
+            rec(http(b'notgzip', extra='Content-Encoding: gzip\r\n'))
+            + rec(http(b'brdata', extra='Content-Encoding: br\r\n')))
+        assert rows[0][7] == 'notgzip' and rows[1][7] == 'brdata'
+
+    def test_chunked_wraps_content_encoding(self):
+        inner = gzip.compress(b'chunked and gzipped', mtime=0)
+        payload = (b'HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n'
+                   b'Transfer-Encoding: chunked\r\n\r\n' + _chunk_bytes(inner))
+        rows = W.warc_responses(rec(payload))
+        assert rows[0][7] == 'chunked and gzipped'
 
     def test_status_rotation_rows_survive(self):
         rows = W.warc_responses(

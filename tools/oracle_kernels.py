@@ -1890,6 +1890,26 @@ def warc_responses_seq(data: bytes) -> list:
             except (_hc.HTTPException, ValueError):
                 resp = None
             if resp is not None:
+                # Content-Encoding decode (http.client leaves bodies
+                # as stored): gzip via the gzip module (vs the
+                # engine's zlib wrapper obj), deflate via
+                # zlib wrapper-then-raw, errors -> as stored
+                enc = str(resp.headers.get('Content-Encoding') or '').strip().lower()
+                if enc in ('gzip', 'x-gzip'):
+                    import zlib as _z
+                    try:
+                        body = _gzip.GzipFile(fileobj=_io.BytesIO(body)).read()
+                    except (OSError, EOFError, _z.error):
+                        pass
+                elif enc == 'deflate':
+                    import zlib as _z
+                    for wb in (15, -15):
+                        try:
+                            body = _z.decompress(body, wb)
+                            break
+                        except _z.error:
+                            continue
+            if resp is not None:
                 url = str(msg.get('WARC-Target-URI') or '').strip()
                 if url[:1] == '<' and url[-1:] == '>':
                     url = url[1:-1]
