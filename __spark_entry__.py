@@ -246,6 +246,25 @@ def q_frontier_schedule(spark, sf_dir):
     return frontier_schedule(frontier, max_wave=5).orderBy('dst_host', 'wave')
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WET derive-and-read-back: crawl archives → from-scratch WET
+    writer (gzip-member conversion records of the main-content text,
+    sources/warc.warc_to_wet) → parsed back by the ordinary record
+    walk.  The oracle is the warc_main_content reference — matching
+    hashes prove the WRITER's bytes round-trip to exactly the text the
+    independent twin chain extracts.  Two mapInPandas passes, zero
+    shuffles."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import (
+        read_wet_records, warc_to_wet)
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    wet = warc_to_wet(files)
+    return read_wet_records(wet).select(
+        'url', F.sha2(F.encode('text', 'utf-8'), 256).alias('main_sha'),
+    ).orderBy('url')
+
+
 def q_sitemap_entries(spark, sf_dir):
     """Sitemap discovery records: from-scratch sitemaps.org XML parse
     over the per-host dim (urlset entries + sitemapindex refs, CDATA/
@@ -734,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_frontier': q_crawl_frontier,
         'sitemap_entries': q_sitemap_entries,
         'frontier_schedule': q_frontier_schedule,
+        'wet_roundtrip': q_wet_roundtrip,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -835,6 +855,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         'warc_main_content': _ref(
             'warc_main_content', 'url, main_sha, n_blocks, n_kept', _DOC_SKEY, 'url'
+        ),
+        # the round-trip query must reproduce the independent
+        # warc_main_content reference hashes THROUGH the written WET
+        # bytes — same table, projected to (url, main_sha)
+        'wet_roundtrip': _ref(
+            'warc_main_content', 'url, main_sha', _DOC_SKEY, 'url'
         ),
         'warc_cdx': _ref(
             'warc_cdx',

@@ -325,6 +325,37 @@ def resolve_charset(content_type: str) -> str:
     return 'utf-8'
 
 
+def build_wet(entries: List[Tuple[str, str, str]],
+              software: str = 'graft-synth/1.0') -> bytes:
+    """From-scratch WET writer — the Common-Crawl derived-text layout:
+    a warcinfo record then one ``WARC-Type: conversion`` record per
+    (url, warc_date, text) entry, each record its OWN gzip member
+    (mtime=0: byte-deterministic), payload = the utf-8 text with
+    ``Content-Type: text/plain``.  Symmetric with the reader:
+    ``iter_warc_records`` walks the result member-for-member, and
+    ``warc_cdx`` addresses every record by compressed extent."""
+    import gzip
+
+    def record(rec_type: str, target: str, date: str, payload: bytes,
+               ctype: str) -> bytes:
+        head = f'WARC/1.0\r\nWARC-Type: {rec_type}\r\n'
+        if target:
+            head += f'WARC-Target-URI: {target}\r\n'
+        if date:
+            head += f'WARC-Date: {date}\r\n'
+        head += f'Content-Type: {ctype}\r\nContent-Length: {len(payload)}\r\n\r\n'
+        return gzip.compress(head.encode('latin-1') + payload + b'\r\n\r\n', mtime=0)
+
+    info = (f'software: {software}\r\n'
+            'format: WARC File Format 1.0\r\n'
+            'conversion: text extraction\r\n').encode('latin-1')
+    out = [record('warcinfo', '', '', info, 'application/warc-fields')]
+    for url, date, text in entries:
+        out.append(record('conversion', url, date, text.encode('utf-8'),
+                          'text/plain'))
+    return b''.join(out)
+
+
 def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int, str]]:
     """(rec_ord, url, warc_date, http_status, mime, charset, n_bytes,
     text) per response record, in file order."""

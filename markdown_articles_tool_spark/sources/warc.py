@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 
 from pyspark.sql import functions as F
 
-from ..core.warc import warc_cdx, warc_responses
+from ..core.warc import build_wet, iter_warc_records, warc_cdx, warc_responses
 
 WARC_RESPONSES_SCHEMA = (
     'file_name string, rec_ord int, url string, warc_date string, '
@@ -88,6 +88,65 @@ def read_warc_cdx(files: DataFrame, file_col: str = 'file_name',
             )
 
     return files.select(file_col, data_col).mapInPandas(run, schema=WARC_CDX_SCHEMA)
+
+
+WET_SCHEMA = 'file_name string, wet binary, n_records int'
+
+
+def warc_to_wet(files: DataFrame, file_col: str = 'file_name',
+                data_col: str = 'data') -> DataFrame:
+    """Crawl archive → WET derived-text archive, one blob per input
+    file: the WARC read, the 200+text/html gate, the main-content
+    strip, and the from-scratch WET write (core/warc.build_wet) all in
+    ONE mapInPandas pass — no shuffle, the input file is the natural
+    output unit exactly as in the Common-Crawl WET layout (the WET
+    file mirrors its WARC file record-for-record)."""
+    from ..core import maincontent as mc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                entries = []
+                for (_ord, url, wdate, status, mime, _cs, _nb, text) in (
+                        warc_responses(bytes(data))):
+                    if status == 200 and mime == 'text/html':
+                        blocks = mc.extract_blocks(text.encode('utf-8'))
+                        entries.append((url, wdate, mc.main_text(blocks)))
+                wet_name = fname.rsplit('.warc', 1)[0] + '.warc.wet.gz'
+                rows.append((wet_name, build_wet(entries), len(entries)))
+            yield pd.DataFrame(rows, columns=['file_name', 'wet', 'n_records'])
+
+    return files.select(file_col, data_col).mapInPandas(run, schema=WET_SCHEMA)
+
+
+def read_wet_records(wet_files: DataFrame, file_col: str = 'file_name',
+                     data_col: str = 'wet') -> DataFrame:
+    """Parse WET archives back to (file_name, rec_ord, url, warc_date,
+    text) rows — the ordinary record walk over conversion records (the
+    writer's output is reader-parseable by construction; the round-trip
+    is pinned by the wet_roundtrip driver query and tests)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                k = 0
+                for headers, payload in iter_warc_records(bytes(data)):
+                    if headers.get('warc-type') != 'conversion':
+                        continue
+                    url = headers.get('warc-target-uri', '')
+                    if url.startswith('<') and url.endswith('>'):
+                        url = url[1:-1]
+                    rows.append((fname, k, url, headers.get('warc-date', ''),
+                                 payload.decode('utf-8', errors='replace')))
+                    k += 1
+            yield pd.DataFrame(
+                rows, columns=['file_name', 'rec_ord', 'url', 'warc_date', 'text'])
+
+    return wet_files.select(file_col, data_col).mapInPandas(
+        run, schema='file_name string, rec_ord int, url string, '
+                    'warc_date string, text string')
 
 
 def warc_main_content(files: DataFrame, file_col: str = 'file_name',

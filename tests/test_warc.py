@@ -268,6 +268,49 @@ class TestSoup:
             assert warc_responses_seq(data) == []
 
 
+class TestWet:
+    def test_wet_bytes_reparse_and_cdx_addressable(self):
+        entries = [('https://h/a', '2020-01-01T00:00:00Z', 'text one'),
+                   ('https://h/b', '2020-01-02T00:00:00Z', 'héllo ünïcode')]
+        wet = W.build_wet(entries)
+        recs = list(W.iter_warc_records(wet))
+        assert recs[0][0].get('warc-type') == 'warcinfo'
+        conv = [(h.get('warc-target-uri'), h.get('warc-date'),
+                 p.decode('utf-8')) for h, p in recs[1:]]
+        assert conv == entries
+        # every record addressable by compressed member extent
+        cdx = W.warc_cdx(wet)
+        assert len(cdx) == 3 and all(r[5] for r in cdx)
+        for row, (hdrs, payload) in zip(cdx, recs):
+            assert W.read_record_at(wet, row[3], row[4], True) == (hdrs, payload)
+
+    def test_wet_deterministic(self):
+        e = [('https://h/a', 'd', 'x')]
+        assert W.build_wet(e) == W.build_wet(e)
+
+    def test_warc_to_wet_mirrors_gate(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.core import maincontent as mc
+        from markdown_articles_tool_spark.sources.warc import (
+            read_wet_records, warc_to_wet)
+
+        n = 20
+        tmp = str(tmp_path_factory.mktemp('wet') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        wet = warc_to_wet(spark.read.parquet(tmp))
+        back = {(r['file_name'], r['rec_ord']): (r['url'], r['text'])
+                for r in read_wet_records(wet).collect()}
+        exp = {}
+        for f in range((n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC):
+            wet_name = corpus.warc_file_name(f).rsplit('.warc', 1)[0] + '.warc.wet.gz'
+            k = 0
+            for rec_ in warc_responses_seq(corpus.warc_file_bytes(f, n)):
+                if rec_[3] == 200 and rec_[4] == 'text/html':
+                    blocks = mc.extract_blocks(rec_[7].encode('utf-8'))
+                    exp[(wet_name, k)] = (rec_[1], mc.main_text(blocks))
+                    k += 1
+        assert back == exp and back
+
+
 class TestStreaming:
     def test_streaming_warc_native_and_delta_only(self, spark, tmp_path):
         """WARC ingestion runs as a NATIVE streaming transform:
