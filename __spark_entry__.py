@@ -265,6 +265,22 @@ def q_wet_roundtrip(spark, sf_dir):
     ).orderBy('url')
 
 
+def q_wat_roundtrip(spark, sf_dir):
+    """WAT derive-and-read-back: crawl archives → from-scratch WAT
+    writer (gzip-member metadata records holding canonical-JSON
+    envelopes of the head metadata + outlinks; all responses, the html
+    block only on 200/text-html) → parsed back by the ordinary record
+    walk + JSON decode.  Payload hashes must reproduce the envelopes
+    the independent extraction twins build.  Two mapInPandas passes,
+    zero shuffles."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import (
+        read_wat_records, warc_to_wat)
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    return read_wat_records(warc_to_wat(files)).orderBy('file_name', 'rec_ord')
+
+
 def q_sitemap_entries(spark, sf_dir):
     """Sitemap discovery records: from-scratch sitemaps.org XML parse
     over the per-host dim (urlset entries + sitemapindex refs, CDATA/
@@ -754,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sitemap_entries': q_sitemap_entries,
         'frontier_schedule': q_frontier_schedule,
         'wet_roundtrip': q_wet_roundtrip,
+        'wat_roundtrip': q_wat_roundtrip,
         'page_meta': q_page_meta,
         'page_outlinks': q_page_outlinks,
         'host_pagerank': q_host_pagerank,
@@ -861,6 +878,10 @@ def oracle_sql() -> dict[str, str]:
         # bytes — same table, projected to (url, main_sha)
         'wet_roundtrip': _ref(
             'warc_main_content', 'url, main_sha', _DOC_SKEY, 'url'
+        ),
+        'wat_roundtrip': _ref(
+            'wat_records', 'file_name, rec_ord, url, title, n_links, payload_sha',
+            _DOC_SKEY, 'file_name, rec_ord',
         ),
         'warc_cdx': _ref(
             'warc_cdx',

@@ -325,6 +325,46 @@ def resolve_charset(content_type: str) -> str:
     return 'utf-8'
 
 
+def _build_derived(entries: List[Tuple[str, str, bytes]], rec_type: str,
+                   ctype: str, info_extra: str,
+                   software: str = 'graft-synth/1.0') -> bytes:
+    """Shared derived-archive writer (WET/WAT): warcinfo + one
+    ``rec_type`` record per (url, warc_date, payload) entry, each its
+    OWN gzip member (mtime=0: byte-deterministic)."""
+    import gzip
+
+    def record(rtype: str, target: str, date: str, payload: bytes,
+               ct: str) -> bytes:
+        head = f'WARC/1.0\r\nWARC-Type: {rtype}\r\n'
+        if target:
+            head += f'WARC-Target-URI: {target}\r\n'
+        if date:
+            head += f'WARC-Date: {date}\r\n'
+        head += f'Content-Type: {ct}\r\nContent-Length: {len(payload)}\r\n\r\n'
+        return gzip.compress(head.encode('latin-1') + payload + b'\r\n\r\n', mtime=0)
+
+    info = (f'software: {software}\r\n'
+            'format: WARC File Format 1.0\r\n'
+            f'{info_extra}').encode('latin-1')
+    out = [record('warcinfo', '', '', info, 'application/warc-fields')]
+    for url, date, payload in entries:
+        out.append(record(rec_type, url, date, payload, ctype))
+    return b''.join(out)
+
+
+def build_wat_records(entries: List[Tuple[str, str, str]],
+                      software: str = 'graft-synth/1.0') -> bytes:
+    """From-scratch WAT writer — the Common-Crawl metadata layout:
+    one ``WARC-Type: metadata`` record per (url, warc_date, json_text)
+    entry with ``application/json`` payloads; same gzip-member
+    framing as the WET writer, so ``iter_warc_records``/``warc_cdx``
+    walk and address the result identically."""
+    return _build_derived(
+        [(u, d, j.encode('utf-8')) for u, d, j in entries],
+        'metadata', 'application/json', 'conversion: metadata extraction\r\n',
+        software)
+
+
 def build_wet(entries: List[Tuple[str, str, str]],
               software: str = 'graft-synth/1.0') -> bytes:
     """From-scratch WET writer — the Common-Crawl derived-text layout:
@@ -334,26 +374,9 @@ def build_wet(entries: List[Tuple[str, str, str]],
     ``Content-Type: text/plain``.  Symmetric with the reader:
     ``iter_warc_records`` walks the result member-for-member, and
     ``warc_cdx`` addresses every record by compressed extent."""
-    import gzip
-
-    def record(rec_type: str, target: str, date: str, payload: bytes,
-               ctype: str) -> bytes:
-        head = f'WARC/1.0\r\nWARC-Type: {rec_type}\r\n'
-        if target:
-            head += f'WARC-Target-URI: {target}\r\n'
-        if date:
-            head += f'WARC-Date: {date}\r\n'
-        head += f'Content-Type: {ctype}\r\nContent-Length: {len(payload)}\r\n\r\n'
-        return gzip.compress(head.encode('latin-1') + payload + b'\r\n\r\n', mtime=0)
-
-    info = (f'software: {software}\r\n'
-            'format: WARC File Format 1.0\r\n'
-            'conversion: text extraction\r\n').encode('latin-1')
-    out = [record('warcinfo', '', '', info, 'application/warc-fields')]
-    for url, date, text in entries:
-        out.append(record('conversion', url, date, text.encode('utf-8'),
-                          'text/plain'))
-    return b''.join(out)
+    return _build_derived(
+        [(u, d, t.encode('utf-8')) for u, d, t in entries],
+        'conversion', 'text/plain', 'conversion: text extraction\r\n', software)
 
 
 def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int, str]]:

@@ -149,6 +149,99 @@ def read_wet_records(wet_files: DataFrame, file_col: str = 'file_name',
                     'warc_date string, text string')
 
 
+def wat_payload_json(url: str, wdate: str, status: int, mime: str,
+                     text: str) -> str:
+    """The canonical WAT metadata envelope for one response record:
+    deterministic JSON (sorted keys, compact separators, raw unicode)
+    of the WARC header echo, the HTTP summary, and — for 200/text-html
+    pages — the head metadata + outlink records (core/htmlmeta.py).
+    The metadata chain is the independently-twinned one; json.dumps is
+    only the serialization format, shared by both sides."""
+    import json
+
+    from ..core.htmlmeta import extract_meta, extract_outlinks
+
+    env: dict = {
+        'warc_header': {'target_uri': url, 'date': wdate},
+        'payload': {'status': status, 'mime': mime},
+    }
+    if status == 200 and mime == 'text/html':
+        html = text.encode('utf-8')
+        title, desc, canonical, og, noindex, nofollow = extract_meta(html)
+        env['payload']['html'] = {
+            'title': title, 'meta_description': desc, 'canonical': canonical,
+            'og_title': og, 'robots_noindex': noindex,
+            'robots_nofollow': nofollow,
+            'links': [
+                {'href': href, 'abs_url': abs_url, 'anchor': anchor}
+                for _ord, href, abs_url, anchor in extract_outlinks(url, html)
+            ],
+        }
+    return json.dumps({'envelope': env}, sort_keys=True,
+                      separators=(',', ':'), ensure_ascii=False)
+
+
+def warc_to_wat(files: DataFrame, file_col: str = 'file_name',
+                data_col: str = 'data') -> DataFrame:
+    """Crawl archive → WAT metadata archive, one blob per input file:
+    WARC read, head-metadata + outlink extraction, deterministic JSON
+    envelope, and the gzip-member WARC write (``WARC-Type: metadata``,
+    ``application/json`` payloads) in ONE mapInPandas pass — no
+    shuffle; the WAT file mirrors its WARC file response-for-response
+    (all statuses; the html block only on 200/text-html)."""
+    from ..core.warc import build_wat_records
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                entries = []
+                for (_ord, url, wdate, status, mime, _cs, _nb, text) in (
+                        warc_responses(bytes(data))):
+                    entries.append(
+                        (url, wdate, wat_payload_json(url, wdate, status, mime, text)))
+                wat_name = fname.rsplit('.warc', 1)[0] + '.warc.wat.gz'
+                rows.append((wat_name, build_wat_records(entries), len(entries)))
+            yield pd.DataFrame(rows, columns=['file_name', 'wat', 'n_records'])
+
+    return files.select(file_col, data_col).mapInPandas(
+        run, schema='file_name string, wat binary, n_records int')
+
+
+def read_wat_records(wat_files: DataFrame, file_col: str = 'file_name',
+                     data_col: str = 'wat') -> DataFrame:
+    """Parse WAT archives back: (file_name, rec_ord, url, title,
+    n_links, payload_sha) rows — the ordinary record walk + JSON
+    decode of the metadata payloads."""
+    import hashlib
+    import json
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                k = 0
+                for headers, payload in iter_warc_records(bytes(data)):
+                    if headers.get('warc-type') != 'metadata':
+                        continue
+                    url = headers.get('warc-target-uri', '')
+                    if url.startswith('<') and url.endswith('>'):
+                        url = url[1:-1]
+                    doc = json.loads(payload.decode('utf-8'))
+                    html = doc['envelope']['payload'].get('html') or {}
+                    rows.append((fname, k, url, html.get('title', ''),
+                                 len(html.get('links', [])),
+                                 hashlib.sha256(payload).hexdigest()))
+                    k += 1
+            yield pd.DataFrame(
+                rows, columns=['file_name', 'rec_ord', 'url', 'title',
+                               'n_links', 'payload_sha'])
+
+    return wat_files.select(file_col, data_col).mapInPandas(
+        run, schema='file_name string, rec_ord int, url string, title string, '
+                    'n_links int, payload_sha string')
+
+
 def warc_main_content(files: DataFrame, file_col: str = 'file_name',
                       data_col: str = 'data') -> DataFrame:
     """Crawl archive → training text in one plan: WARC read, the

@@ -311,6 +311,44 @@ class TestWet:
         assert back == exp and back
 
 
+class TestWat:
+    def test_wat_bytes_reparse_and_envelope(self):
+        import json
+
+        from markdown_articles_tool_spark.sources.warc import wat_payload_json
+
+        j = wat_payload_json('https://h/a', '2020-01-01T00:00:00Z', 200,
+                             'text/html',
+                             '<html><head><title>T</title></head>'
+                             '<body><a href="/x">anchor</a></body></html>')
+        doc = json.loads(j)
+        html = doc['envelope']['payload']['html']
+        assert html['title'] == 'T'
+        assert html['links'] == [{'href': '/x', 'abs_url': 'https://h/x',
+                                  'anchor': 'anchor'}]
+        # non-html responses carry no html block
+        j404 = wat_payload_json('https://h/b', 'd', 404, 'text/html', 'nf')
+        assert 'html' not in json.loads(j404)['envelope']['payload']
+        wat = W.build_wat_records([('https://h/a', 'd', j)])
+        recs = list(W.iter_warc_records(wat))
+        assert recs[0][0].get('warc-type') == 'warcinfo'
+        assert recs[1][0].get('warc-type') == 'metadata'
+        assert recs[1][1] == j.encode('utf-8')
+        assert all(r[5] for r in W.warc_cdx(wat))  # member-addressable
+
+    def test_wat_derive_counts_all_responses(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.warc import (
+            read_wat_records, warc_to_wat)
+
+        n = 20
+        tmp = str(tmp_path_factory.mktemp('wat') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        back = read_wat_records(warc_to_wat(spark.read.parquet(tmp))).collect()
+        assert len(back) == n  # every response, 404/301 included
+        assert any(r['n_links'] > 0 for r in back)
+        assert any(r['n_links'] == 0 for r in back)  # the non-200s
+
+
 class TestStreaming:
     def test_streaming_warc_native_and_delta_only(self, spark, tmp_path):
         """WARC ingestion runs as a NATIVE streaming transform:

@@ -271,7 +271,34 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
     (corpus.warc_file_bytes); text is hashed like the driver query."""
     from oracle_kernels import warc_responses_seq
 
-    from oracle_kernels import main_content_blocks, main_content_text, warc_cdx_seq
+    import json as _json
+
+    from oracle_kernels import (
+        html_meta_seq,
+        main_content_blocks,
+        main_content_text,
+        outlinks_seq,
+        warc_cdx_seq,
+    )
+
+    def wat_json(url, wdate, status, mime, text):
+        # the twin-side WAT envelope: html_meta_seq/outlinks_seq (the
+        # independent extraction twins) under the same canonical
+        # serialization the engine uses
+        env = {'warc_header': {'target_uri': url, 'date': wdate},
+               'payload': {'status': status, 'mime': mime}}
+        if status == 200 and mime == 'text/html':
+            html = text.encode('utf-8')
+            title, desc, canonical, og, noindex, nofollow = html_meta_seq(html)
+            env['payload']['html'] = {
+                'title': title, 'meta_description': desc, 'canonical': canonical,
+                'og_title': og, 'robots_noindex': noindex,
+                'robots_nofollow': nofollow,
+                'links': [{'href': h, 'abs_url': a, 'anchor': anc}
+                          for _o, h, a, anc in outlinks_seq(url, html)],
+            }
+        return _json.dumps({'envelope': env}, sort_keys=True,
+                           separators=(',', ':'), ensure_ascii=False)
 
     n = _corpus_n(sf_dir)
     n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
@@ -284,6 +311,14 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
             out['warc_responses'].append(
                 (skey, fname, rec_ord, url, wdate, status, mime, charset,
                  n_bytes, hashlib.sha256(text.encode('utf-8')).hexdigest())
+            )
+            wat_name = fname.rsplit('.warc', 1)[0] + '.warc.wat.gz'
+            j = wat_json(url, wdate, status, mime, text)
+            html_block = _json.loads(j)['envelope']['payload'].get('html') or {}
+            out['wat_records'].append(
+                (skey, wat_name, rec_ord, url, html_block.get('title', ''),
+                 len(html_block.get('links', [])),
+                 hashlib.sha256(j.encode('utf-8')).hexdigest())
             )
             # composed source→extraction twin (warc_main_content): the
             # fetch-policy gate, then the independent main-content
@@ -737,6 +772,11 @@ SCHEMAS = {
     'crawl_frontier': pa.schema(
         [('skey', pa.int64()), ('abs_url', pa.string()), ('dst_host', pa.string()),
          ('n_refs', pa.int64()), ('rank_units', pa.int64())]
+    ),
+    'wat_records': pa.schema(
+        [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),
+         ('url', pa.string()), ('title', pa.string()), ('n_links', pa.int32()),
+         ('payload_sha', pa.string())]
     ),
     'sitemap_entries': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
