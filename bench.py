@@ -177,6 +177,10 @@ def run_bench(emit_json: bool = True) -> dict:
         'warc_responses',
         'warc_main_content',
         'warc_cdx',
+        # derived-archive writers: read -> extract -> write -> reparse,
+        # two pandas passes each, zero shuffles
+        'wet_roundtrip',
+        'wat_roundtrip',
         # robots gate: broadcast host-dim join + one pandas decision
         # pass over the outlink records (robots_rules itself is a
         # 12-row dim parse — not worth a headline slot); the frontier
