@@ -683,6 +683,38 @@ def q_embedding_neardup_exact(spark, sf_dir):
     ).orderBy('a_id', 'b_id')
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality scoring (Wenzek et al. 2020): train a
+    stupid-backoff trigram LM on the lang='en' slice (one Arrow
+    counting pass + one vocabulary-sized groupBy; the pruned model is
+    a bounded broadcast artifact), then score every document's
+    perplexity in one pandas_udf pass.  Oracle = the independent
+    sequential trainer/scorer in tools/oracle_kernels.py (char-walk
+    tokenizer, index-loop counts, unmemoized scorer) — fsum makes the
+    log-prob sum order-independent, so the match is bit-exact."""
+    from markdown_articles_tool_spark.training.lm import perplexity_pipeline
+
+    docs = _t(spark, sf_dir, 'documents')
+    return perplexity_pipeline(
+        docs, train_where=F.col('lang') == 'en'
+    ).orderBy('doc_id')
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: exact NTILE(3) over (ppl, doc_id)
+    computed WITHOUT a global single-partition window (two-level
+    prefix count: range partition, per-partition totals, broadcast
+    bases, SQL-standard tile formula).  Oracle = DuckDB's own ntile(3)
+    over the twin's lm_perplexity table — an independent check of the
+    distributed ranking machinery itself."""
+    from markdown_articles_tool_spark.training.lm import ppl_buckets
+
+    docs = _t(spark, sf_dir, 'documents')
+    return ppl_buckets(
+        docs, train_where=F.col('lang') == 'en'
+    ).orderBy('doc_id')
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide exact LINE dedup (CCNet-style boilerplate removal)
     over the synthetic pages corpus: repeated template/banner lines
@@ -811,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lineage': q_lineage,
         'line_dedup': q_line_dedup,
         'url_canonical': q_url_canonical,
+        'lm_perplexity': q_lm_perplexity,
+        'ppl_buckets': q_ppl_buckets,
     }
 
 
@@ -1003,6 +1037,21 @@ def oracle_sql() -> dict[str, str]:
         'bpe_tokens': _ref(
             'bpe_tokens', 'doc_id, n_bpe_tokens, tokens_sha', _DOC_SKEY, 'doc_id'
         ),
+        'lm_perplexity': _ref(
+            'lm_perplexity', 'doc_id, n_scored, ppl', _DOC_SKEY, 'doc_id'
+        ),
+        # buckets: DuckDB's OWN ntile(3) over the twin's perplexity
+        # table — independently checks the engine's two-level
+        # prefix-count ranking (no shared machinery at all)
+        'ppl_buckets': f"""
+            SELECT doc_id, ppl,
+                   CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM read_parquet('{_ORACLEREF}/lm_perplexity.parquet')
+            WHERE skey = {_DOC_SKEY}
+            ORDER BY doc_id
+        """,
         'ann_lsh_topk': _ref(
             'ann_lsh_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'
         ),

@@ -528,6 +528,26 @@ def gen_bpe(sf_dir: str, skey: int, out: dict) -> None:
         out['bpe_tokens'].append((skey, doc_id, len(ids), bpe_tokens_sha(ids)))
 
 
+def gen_lm(sf_dir: str, skey: int, out: dict) -> None:
+    """CCNet-style perplexity filter twin: train the stupid-backoff
+    trigram LM on the lang='en' slice with the sequential trainer
+    (index loops + defaultdicts), score every document with the plain
+    per-position scorer — vs the engine's Spark groupBy trainer +
+    memoized batch scorer."""
+    from oracle_kernels import lm_counts_seq, lm_ppl_seq
+
+    t = _read(sf_dir, 'documents')
+    ids = t['doc_id'].to_pylist()
+    texts = t['text'].to_pylist()
+    langs = t['lang'].to_pylist()
+    model = lm_counts_seq(
+        [x for x, lg in zip(texts, langs) if lg == 'en'], min_count=2
+    )
+    for d, x in zip(ids, texts):
+        n, ppl = lm_ppl_seq(x, model)
+        out['lm_perplexity'].append((skey, d, n, ppl))
+
+
 def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
@@ -778,6 +798,10 @@ SCHEMAS = {
          ('url', pa.string()), ('title', pa.string()), ('n_links', pa.int32()),
          ('payload_sha', pa.string())]
     ),
+    'lm_perplexity': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()),
+         ('n_scored', pa.int32()), ('ppl', pa.float64())]
+    ),
     'sitemap_entries': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
          ('kind', pa.string()), ('loc', pa.string()), ('lastmod', pa.string()),
@@ -807,6 +831,7 @@ def main() -> None:
         gen_neardup_clusters(sf_dir, dk, out)
         gen_simhash(sf_dir, dk, out)
         gen_bpe(sf_dir, dk, out)
+        gen_lm(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)

@@ -2175,3 +2175,85 @@ def sitemap_entries_seq(text: str) -> list:
                     fields.get('lastmod', ''), fields.get('changefreq', ''),
                     fields.get('priority', '')))
     return out
+
+
+# -------------------------------------------------------- n-gram LM twin
+
+_LM_BOS = '\x01'
+_LM_EOS = '\x02'
+_LM_ALPHA = 0.4
+
+
+def _lm_tokens_seq(text: str) -> list:
+    """Sequential twin of training/lm.lm_tokens on different machinery:
+    an explicit char-walk scanner (vs the engine's single findall over
+    a digit-substituted lowercase view).  Spec: lowercase, ASCII digits
+    -> '0', tokens = runs of [a-z0-9_'] or single non-word non-space
+    chars."""
+    out = []
+    run = []
+    for ch in (text or '').lower():
+        if '0' <= ch <= '9':
+            ch = '0'
+        if ('a' <= ch <= 'z') or ch in "0_'":
+            run.append(ch)
+            continue
+        if run:
+            out.append(''.join(run))
+            run = []
+        if not ch.isspace():
+            out.append(ch)
+    if run:
+        out.append(''.join(run))
+    return out
+
+
+def lm_counts_seq(texts, min_count: int = 2, top_k=None) -> dict:
+    """Sequential LM trainer: one global pass with index loops and
+    defaultdicts (vs the engine's per-batch Counter partials + Spark
+    groupBy sum).  Returns {1: {...}, 2: {...}, 3: {...}, 'N': total}."""
+    from collections import defaultdict
+
+    c = {1: defaultdict(int), 2: defaultdict(int), 3: defaultdict(int)}
+    for t in texts:
+        seq = [_LM_BOS, _LM_BOS] + _lm_tokens_seq(t) + [_LM_EOS]
+        m = len(seq)
+        for i in range(m):
+            c[1][seq[i]] += 1
+            if i + 1 < m:
+                c[2][seq[i] + '\0' + seq[i + 1]] += 1
+            if i + 2 < m:
+                c[3][seq[i] + '\0' + seq[i + 1] + '\0' + seq[i + 2]] += 1
+    model = {1: dict(c[1])}
+    for order in (2, 3):
+        model[order] = {g: n for g, n in c[order].items() if n >= min_count}
+    if top_k is not None:
+        for order in (1, 2, 3):
+            keep = sorted(model[order].items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+            model[order] = dict(keep)
+    model['N'] = sum(model[1].values())
+    return model
+
+
+def lm_ppl_seq(text: str, model: dict) -> tuple:
+    """(n_scored, ppl round-6) for one document — plain per-position
+    loop, no memoization (vs the engine's per-batch trigram memo)."""
+    import math as _m
+
+    c1, c2, c3 = model[1], model[2], model[3]
+    n_total = model['N']
+    seq = [_LM_BOS, _LM_BOS] + _lm_tokens_seq(text) + [_LM_EOS]
+    logs = []
+    for j in range(2, len(seq)):
+        u, v, w = seq[j - 2], seq[j - 1], seq[j]
+        if c3.get(u + '\0' + v + '\0' + w, 0) and c2.get(u + '\0' + v, 0):
+            p = c3[u + '\0' + v + '\0' + w] / c2[u + '\0' + v]
+        elif c2.get(v + '\0' + w, 0) and c1.get(v, 0):
+            p = _LM_ALPHA * (c2[v + '\0' + w] / c1[v])
+        elif c1.get(w, 0):
+            p = _LM_ALPHA * _LM_ALPHA * (c1[w] / n_total)
+        else:
+            p = _LM_ALPHA * _LM_ALPHA * (1.0 / n_total)
+        logs.append(_m.log10(p))
+    n_scored = len(seq) - 2
+    return n_scored, round(10.0 ** (-_m.fsum(logs) / n_scored), 6)
