@@ -187,6 +187,11 @@ def run_bench(emit_json: bool = True) -> dict:
         # composition adds the anti-join + collapse + rank broadcast
         'crawl_allowed',
         'crawl_frontier',
+        # CCNet quality tier: lm_perplexity = one vocabulary-sized
+        # model groupBy (train) + one scoring Arrow pass; ppl_buckets
+        # adds the two-level prefix-count NTILE (no global window)
+        'lm_perplexity',
+        'ppl_buckets',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the
