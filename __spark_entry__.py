@@ -193,7 +193,11 @@ def q_warc_cdx(spark, sf_dir):
     turns file-granular splits into record-granular ones (seek one
     gzip member, hand the slice to the same parser;
     core/warc.warc_cdx + read_record_at, round-trip pin in
-    tests/test_warc.py).  One mapInPandas pass, no shuffle."""
+    tests/test_warc.py) plus each URL's SURT key
+    (core/wwwtools.surt_key — the ``com,example)/path?a=1`` sort key
+    real CDX(J) indexes merge on; oracle twin = urllib-machinery
+    surt_key_seq, fuzz-pinned over 30k adversarial URL spellings).
+    One mapInPandas pass, no shuffle."""
     from markdown_articles_tool_spark.corpus import warc_files_df
     from markdown_articles_tool_spark.sources.warc import read_warc_cdx
 
@@ -919,7 +923,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         'warc_cdx': _ref(
             'warc_cdx',
-            'file_name, ord, warc_type, url, "offset", length, addressable',
+            'file_name, ord, warc_type, url, surt, "offset", length, addressable',
             _DOC_SKEY, 'file_name, ord',
         ),
         'robots_rules': _ref(

@@ -215,3 +215,93 @@ def fetch_key(download_url: str) -> str:
     (www_tools.py:54)."""
     parts = download_url.split()
     return parts[0] if parts else download_url
+
+
+# ------------------------------------------------------------------ SURT
+
+_SURT_SCHEME_RE = None  # built lazily below to keep module import light
+
+
+def surt_key(url: Optional[str]) -> str:
+    """Sort-friendly URI Reordering Transform — the key real CDX(J)
+    indexes sort and merge on (``com,example)/path?a=1&b=2``): all URL
+    spellings of one resource collapse to one key, and sorting by it
+    clusters a host's records adjacently, which is what makes
+    per-archive CDX shards mergeable into one index.
+
+    Spec (implemented independently by ``surt_key_seq`` in
+    tools/oracle_kernels.py on urllib machinery — keep in sync by
+    spec, not shared code):
+
+    * ``None``/empty → ``''``; input is stripped and the WHOLE result
+      is lowercase (the Common-Crawl canonicalization lowercases
+      scheme, host, path and query);
+    * no ``://`` present (urn:, mailto:, relative refs) → identity
+      fallback: the stripped, lowercased input unchanged;
+    * scheme dropped entirely (http/https/ftp spellings collapse);
+    * userinfo up to the LAST ``@`` in the authority dropped;
+    * host: one trailing dot stripped, then a leading ``www`` or
+      ``www<digits>`` label stripped (if a non-empty host remains);
+      dotted-quad IPv4 hosts (4 decimal octets 0-255) keep their
+      order, every other host reverses its labels joined by ``,``;
+    * port: an all-digit tail after the LAST ``:`` in the authority,
+      kept as ``:<port>`` except scheme defaults (http:80, https:443);
+      a non-digit or empty tail is junk and dropped (urllib's
+      ``.hostname``/``.port`` view);
+    * fragment (everything from the FIRST ``#``) dropped BEFORE the
+      query parse — a ``?`` inside a fragment is not a query;
+    * path: up to ``?``, empty → ``/``;
+    * query: split on ``&``, empty segments dropped, segments sorted
+      lexicographically, rejoined — appended as ``?...`` only if
+      non-empty;
+    * key = ``host_rev[:port])/path[?query]``.
+    """
+    import re
+
+    global _SURT_SCHEME_RE
+    if _SURT_SCHEME_RE is None:
+        _SURT_SCHEME_RE = re.compile(r'^[a-z][a-z0-9+.-]*://')
+    if not url:
+        return ''
+    u = url.strip().lower()
+    if not _SURT_SCHEME_RE.match(u):
+        return u
+    scheme, _, rest = u.partition('://')
+    cut = len(rest)
+    for ch in '/?#':
+        p = rest.find(ch)
+        if p != -1:
+            cut = min(cut, p)
+    authority, remainder = rest[:cut], rest[cut:]
+    authority = authority.rpartition('@')[2]
+    host, port = authority, ''
+    colon = authority.rfind(':')
+    if colon != -1:
+        tail = authority[colon + 1:]
+        host = authority[:colon]
+        # all-digit tail is the port, canonicalized as a NUMBER
+        # (':08' ≡ ':8'); anything else (':', ':abc') is junk and
+        # drops, exactly like urllib's .hostname/.port view
+        port = str(int(tail)) if tail.isdigit() else ''
+    if (scheme, port) in (('http', '80'), ('https', '443')):
+        port = ''
+    if host.endswith('.'):
+        host = host[:-1]
+    first, dot, tail = host.partition('.')
+    if dot and tail and (first == 'www' or (first.startswith('www') and first[3:].isdigit())):
+        host = tail
+    labels = host.split('.')
+    is_ipv4 = len(labels) == 4 and all(
+        s.isdigit() and len(s) <= 3 and int(s) <= 255 for s in labels)
+    if not is_ipv4:
+        labels.reverse()
+    key_host = ','.join(labels) if not is_ipv4 else host
+    # fragment is everything from the FIRST '#' — dropped before the
+    # query parse (a '?' inside a fragment is not a query)
+    remainder = remainder.partition('#')[0]
+    path, _, qs = remainder.partition('?')
+    qparts = sorted(s for s in qs.split('&') if s)
+    query = '?' + '&'.join(qparts) if qparts else ''
+    if not path:
+        path = '/'
+    return f'{key_host}{":" + port if port else ""}){path}{query}'

@@ -617,8 +617,29 @@ def _doc_warc_members(i: int) -> List[bytes]:
         )
     members.append(_warc_record('response', target, date, doc_http_response(i)))
     if i % 8 == 6:
-        members.append(_warc_record('metadata', target, date, b'via: synthetic\r\n'))
+        members.append(_warc_record('metadata', _messy_target(i, url), date,
+                                    b'via: synthetic\r\n'))
     return members
+
+
+def _messy_target(i: int, url: str) -> str:
+    """SURT-trap spellings for the metadata records ONLY (the
+    response-based oracles never see metadata URLs, so this exercises
+    the CDX surt column without rippling into warc_responses/WET/WAT):
+    uppercase + default port + www, leading-zero port, trailing-dot
+    host + userinfo + empty query segment, fragment-holding-a-'?',
+    IPv4 host + unsorted query, and a non-hierarchical urn (identity
+    fallback)."""
+    host = url.split('/')[2]
+    path = '/' + url.split('/', 3)[3]
+    return [
+        f'HTTPS://WWW.{host.upper()}:443{path.upper()}?b={i}&a=1#frag',
+        f'https://{host}:0{8080 + i % 7}{path}',
+        f'http://user:pw@{host}.{path}?z={i}&&y=',
+        f'https://{host}{path}#frag?not=query',
+        f'http://192.168.{i % 256}.{(i * 7) % 256}:8080/cgi?z=1&y=&x={i}',
+        f'urn:uuid:0000-{i:08d}',
+    ][(i // 8) % 6]
 
 
 def warc_file_name(file_idx: int) -> str:

@@ -61,7 +61,7 @@ def read_warc_responses(files: DataFrame, file_col: str = 'file_name',
 
 
 WARC_CDX_SCHEMA = (
-    'file_name string, ord int, warc_type string, url string, '
+    'file_name string, ord int, warc_type string, url string, surt string, '
     'offset long, length long, addressable boolean'
 )
 
@@ -74,17 +74,26 @@ def read_warc_cdx(files: DataFrame, file_col: str = 'file_name',
     core/warc.warc_cdx).  This is the index that upgrades
     file-granular crawl splits to record-granular ones — build it
     once, then any executor can slice one record out of a multi-GB
-    archive without reading the rest (core/warc.read_record_at)."""
+    archive without reading the rest (core/warc.read_record_at).
+
+    Each row also carries the record URL's SURT key
+    (core/wwwtools.surt_key, ``com,example)/path?a=1``) — the sort key
+    real CDX(J) indexes use: URL spellings of one resource collapse to
+    one key, and range-partitioning/sorting the index by (surt, ...)
+    clusters each host's records adjacently, which is what makes
+    per-archive CDX shards MERGEABLE into one queryable index at
+    crawl scale."""
+    from ..core.wwwtools import surt_key
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for fname, data in zip(pdf[file_col], pdf[data_col]):
                 for rec in warc_cdx(bytes(data)):
-                    rows.append((fname, *rec))
+                    rows.append((fname, *rec[:3], surt_key(rec[2]), *rec[3:]))
             yield pd.DataFrame(
                 rows, columns=['file_name', 'ord', 'warc_type', 'url',
-                               'offset', 'length', 'addressable']
+                               'surt', 'offset', 'length', 'addressable']
             )
 
     return files.select(file_col, data_col).mapInPandas(run, schema=WARC_CDX_SCHEMA)

@@ -115,3 +115,71 @@ class TestMimeGate:
             'https://h/dir.d/x', 'a.b.c.png',
         ]:
             assert guess_mime_type(u) == db.guess_type(u)[0], u
+
+
+class TestSurtKey:
+    """SURT (the CDX(J) sort key) vs the urllib-machinery twin in
+    tools/oracle_kernels.surt_key_seq — spec in the engine docstring."""
+
+    def test_goldens(self):
+        from markdown_articles_tool_spark.core.wwwtools import surt_key
+
+        cases = [
+            # equivalent spellings collapse to one key
+            ('https://WWW.Example.COM:443/A/B?b=2&a=1#frag', 'com,example)/a/b?a=1&b=2'),
+            ('http://example.com:80/a/b?a=1&b=2', 'com,example)/a/b?a=1&b=2'),
+            # non-default / leading-zero ports, junk port
+            ('http://example.com:8080/x', 'com,example:8080)/x'),
+            ('http://example.com:08080/x', 'com,example:8080)/x'),
+            ('http://example.com:abc/x', 'com,example)/x'),
+            # userinfo dropped, trailing host dot stripped
+            ('http://user:pw@site.example./private?token=abc',
+             'example,site)/private?token=abc'),
+            # IPv4 stays in order; 300 is not an octet so it reverses
+            ('http://192.168.7.13:8080/cgi', '192.168.7.13:8080)/cgi'),
+            ('http://10.0.0.300/', '300,0,0,10)/'),
+            # wwwN strip; bare www.com keeps its sole label
+            ('https://www2.news.example/a', 'example,news)/a'),
+            ('https://www.com/', 'com)/'),
+            ('https://wwwx.e.f/', 'f,e,wwwx)/'),
+            # fragment before '?': no query
+            ('https://h.e/p#frag?not=query', 'e,h)/p'),
+            # empty path / empty query segments
+            ('HTTP://EXAMPLE.COM', 'com,example)/'),
+            ('http://e.x/p?z=1&&y=', 'x,e)/p?y=&z=1'),
+            # identity fallback for non-hierarchical refs
+            ('urn:uuid:1234', 'urn:uuid:1234'),
+            ('mailto:A@B', 'mailto:a@b'),
+            ('', ''),
+            (None, ''),
+        ]
+        for u, want in cases:
+            assert surt_key(u) == want, u
+
+    def test_matches_urllib_twin_on_adversarial_soup(self):
+        import os
+        import random
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tools'))
+        from oracle_kernels import surt_key_seq
+        from markdown_articles_tool_spark.core.wwwtools import surt_key
+
+        rng = random.Random(11)
+        hosts = ['Site3.Example', 'WWW.Example.COM', 'www2.News.example',
+                 '192.168.7.13', '10.0.0.300', 'example.com.', 'www.com',
+                 'a.b.c.d.e', 'localhost', 'xn--bcher-kva.example', '..',
+                 'www.', '256.1.1.1', '01.2.3.4', 'wwwx.e.f']
+        schemes = ['http', 'https', 'ftp', 'HTTP', 'HtTpS', 'h+t.p-s']
+        ports = ['', ':80', ':443', ':0080', ':8080', ':0', ':65536', ':', ':abc', ':08']
+        users = ['', 'user@', 'a:b@', '@', 'a@b@']
+        paths = ['', '/', '/A/B', '/path//x', '/%7Euser', '/p#frag', '/p?q#r?s']
+        queries = ['', '?', '?b=2&a=1', '?z=1&&y=', '?a=1#f', '?B=2&a', '?#']
+        for _ in range(3000):
+            u = (f'{rng.choice(schemes)}://{rng.choice(users)}{rng.choice(hosts)}'
+                 f'{rng.choice(ports)}{rng.choice(paths)}{rng.choice(queries)}')
+            assert surt_key(u) == surt_key_seq(u), repr(u)
+        for u in ['urn:uuid:4', '', None, 'mailto:a@b', '//rel/x', 'not a url',
+                  'http://', 'http:///path', 'https://#', 'https://?x=1']:
+            assert surt_key(u) == surt_key_seq(u), repr(u)

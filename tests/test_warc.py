@@ -449,3 +449,48 @@ class TestSparkOperator:
         plan_str = jdf.queryExecution().explainString(mode)
         assert len(re.findall(r'\(\d+\) MapInPandas', plan_str)) == 2
         assert 'Exchange' not in plan_str, 'warc→main-content must not shuffle'
+
+
+class TestCdxSurt:
+    """The surt column on the CDX index operator: engine string-munch
+    vs urllib twin per row, and the corpus's messy metadata targets
+    actually exercise the trap shapes."""
+
+    def test_surt_column_matches_twin_per_row(self, spark, tmp_path_factory):
+        from oracle_kernels import surt_key_seq
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+        n = 60
+        tmp = str(tmp_path_factory.mktemp('cdxsurt') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        rows = read_warc_cdx(spark.read.parquet(tmp)).collect()
+        assert rows
+        for r in rows:
+            assert r['surt'] == surt_key_seq(r['url']), r['url']
+        # warcinfo records carry no Target-URI → empty key
+        assert all(r['surt'] == '' for r in rows if r['warc_type'] == 'warcinfo')
+        # sorting by surt clusters one host's records adjacently even
+        # though file order interleaves hosts (the mergeability point)
+        keyed = sorted((r['surt'], r['url']) for r in rows if r['surt'])
+        hosts = [k.split(')')[0] for k, _ in keyed]
+        assert hosts == sorted(hosts)
+
+    def test_messy_metadata_targets_cover_all_trap_shapes(self):
+        from markdown_articles_tool_spark.core.wwwtools import surt_key
+
+        seen = set()
+        for i in range(6, 300, 8):  # the metadata-record doc indexes
+            t = corpus._messy_target(i, corpus.doc_url(i))
+            seen.add((i // 8) % 6)
+            k = surt_key(t)
+            if (i // 8) % 6 == 5:
+                assert k.startswith('urn:uuid:')  # identity fallback
+            elif (i // 8) % 6 == 4:
+                assert k.startswith('192.168.')  # IPv4 not reversed
+                assert ':8080)' in k
+            else:
+                assert k.startswith('example,site')  # reversed + www/port strip
+                assert ':443' not in k and 'www' not in k
+        assert seen == {0, 1, 2, 3, 4, 5}
+        # variant 3 (fragment holds a '?') must not grow a query
+        assert '?' not in surt_key(corpus._messy_target(30, corpus.doc_url(30)))

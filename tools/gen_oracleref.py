@@ -278,6 +278,7 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
         main_content_blocks,
         main_content_text,
         outlinks_seq,
+        surt_key_seq,
         warc_cdx_seq,
     )
 
@@ -305,7 +306,10 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
     for f in range(n_files):
         fname = corpus.warc_file_name(f)
         for row in warc_cdx_seq(corpus.warc_file_bytes(f, n)):
-            out['warc_cdx'].append((skey, fname, *row))
+            # (ord, warc_type, url, offset, length, addressable) +
+            # the urllib-machinery SURT twin on the url column
+            out['warc_cdx'].append(
+                (skey, fname, *row[:3], surt_key_seq(row[2]), *row[3:]))
         for rec_ord, url, wdate, status, mime, charset, n_bytes, text in (
                 warc_responses_seq(corpus.warc_file_bytes(f, n))):
             out['warc_responses'].append(
@@ -777,8 +781,8 @@ SCHEMAS = {
     ),
     'warc_cdx': pa.schema(
         [('skey', pa.int64()), ('file_name', pa.string()), ('ord', pa.int32()),
-         ('warc_type', pa.string()), ('url', pa.string()), ('offset', pa.int64()),
-         ('length', pa.int64()), ('addressable', pa.bool_())]
+         ('warc_type', pa.string()), ('url', pa.string()), ('surt', pa.string()),
+         ('offset', pa.int64()), ('length', pa.int64()), ('addressable', pa.bool_())]
     ),
     'robots_rules': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('group_agent', pa.string()),

@@ -2257,3 +2257,55 @@ def lm_ppl_seq(text: str, model: dict) -> tuple:
         logs.append(_m.log10(p))
     n_scored = len(seq) - 2
     return n_scored, round(10.0 ** (-_m.fsum(logs) / n_scored), 6)
+
+
+# ----------------------------------------------------------------- SURT twin
+
+
+def surt_key_seq(url) -> str:
+    """Independent twin of core/wwwtools.surt_key on urllib machinery
+    (urlsplit authority decomposition + parse-level port handling vs
+    the engine's single-pass string munch).  Shared spec in the engine
+    docstring: scheme dropped, userinfo dropped, www/wwwN label strip,
+    one trailing host dot strip, IPv4 stays in order / other hosts
+    label-reversed on commas, default ports dropped, query segments
+    sorted, fragment dropped, no-''://''-input returned lowercased
+    verbatim."""
+    from urllib.parse import urlsplit
+
+    if not url:
+        return ''
+    u = url.strip().lower()
+    import re as _re
+    if not _re.match(r'[a-z][a-z0-9+.-]*://', u):
+        return u
+    sp = urlsplit(u)
+    host = sp.hostname or ''
+    try:
+        port = sp.port
+    except ValueError:
+        # urlsplit refuses non-numeric ports at .port; fall back to
+        # the netloc tail (the engine keeps only all-digit ports)
+        tail = sp.netloc.rpartition('@')[2].rpartition(':')[2]
+        port = int(tail) if tail.isdigit() else None
+        if ':' not in sp.netloc.rpartition('@')[2]:
+            port = None
+    if port is not None and {'http': 80, 'https': 443}.get(sp.scheme) == port:
+        port = None
+    while host.endswith('.'):
+        host = host[:-1]
+        break  # exactly one trailing dot, like the engine
+    parts = host.split('.')
+    if len(parts) > 1 and parts[0] and _re.fullmatch(r'www[0-9]*', parts[0]) and any(parts[1:]):
+        parts = parts[1:]
+    def _octet(s):
+        return s.isdigit() and len(s) <= 3 and int(s) <= 255
+    if len(parts) == 4 and all(_octet(p) for p in parts):
+        key_host = '.'.join(parts)
+    else:
+        key_host = ','.join(reversed(parts))
+    path = sp.path or '/'
+    segs = sorted(s for s in sp.query.split('&') if s)
+    q = ('?' + '&'.join(segs)) if segs else ''
+    p = f':{port}' if port is not None else ''
+    return f'{key_host}{p}){path}{q}'
