@@ -719,6 +719,25 @@ def q_ppl_buckets(spark, sf_dir):
     ).orderBy('doc_id')
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass (the BigScience-ROOTS-style hygiene step):
+    emails, IPv4s, Luhn-validated card numbers, and phone numbers →
+    typed placeholders, ONE Arrow pass over documents+planted PII
+    (corpus.pii_plant rotates email/ip/phones/card/negative-controls/
+    combo/none by doc_id so every detector and every negative control
+    fires).  Engine = coarse-regex runs + validation
+    (training/pii.py); oracle twin = explicit index walks + a
+    forward-parity Luhn (tools/oracle_kernels.pii_redact_seq),
+    fuzz-pinned over 80k adversarial compositions."""
+    from markdown_articles_tool_spark.corpus import pii_plant
+    from markdown_articles_tool_spark.training.pii import pii_redact
+
+    docs = _t(spark, sf_dir, 'documents')
+    return pii_redact(docs, plant=pii_plant).select(
+        'doc_id', 'n_emails', 'n_ips', 'n_ccs', 'n_phones', 'redacted_sha'
+    ).orderBy('doc_id')
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide exact LINE dedup (CCNet-style boilerplate removal)
     over the synthetic pages corpus: repeated template/banner lines
@@ -849,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_canonical': q_url_canonical,
         'lm_perplexity': q_lm_perplexity,
         'ppl_buckets': q_ppl_buckets,
+        'pii_redact': q_pii_redact,
     }
 
 
@@ -1043,6 +1063,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         'lm_perplexity': _ref(
             'lm_perplexity', 'doc_id, n_scored, ppl', _DOC_SKEY, 'doc_id'
+        ),
+        'pii_redact': _ref(
+            'pii_redact',
+            'doc_id, n_emails, n_ips, n_ccs, n_phones, redacted_sha',
+            _DOC_SKEY, 'doc_id',
         ),
         # buckets: DuckDB's OWN ntile(3) over the twin's perplexity
         # table — independently checks the engine's two-level

@@ -192,6 +192,8 @@ def run_bench(emit_json: bool = True) -> dict:
         # adds the two-level prefix-count NTILE (no global window)
         'lm_perplexity',
         'ppl_buckets',
+        # PII scrub: one Arrow detection pass, zero shuffles
+        'pii_redact',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

@@ -853,3 +853,41 @@ def pages_df(spark, n: int, partitions: int | None = None, fat: bool = False):
 
     rng = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+# ------------------------------------------------------------- PII plant
+
+def pii_plant(i: int, text: str) -> str:
+    """Deterministic PII sentences appended to document i's text (the
+    shared INPUT construction for the pii_redact driver query, like
+    warc_file_bytes is for the WARC tier — detection itself is what
+    the independent twins check).  Rotation by i % 7: email / IPv4 /
+    two phones / Luhn-valid card / negative controls (version string,
+    bad octet, 20-digit run, bad email, prose years) / a combo
+    sentence / untouched."""
+    from .training.pii import luhn_check_digit
+
+    k = i % 7
+    if k == 0:
+        return text + f' Contact us at user.{i}%tag+x@mail{i % 9}.example.org today.'
+    if k == 1:
+        return text + f' Edge node 10.{i % 256}.{(i * 3) % 256}.{1 + i % 200} served this page.'
+    if k == 2:
+        return (text + f' Call +1 (415) 555-{i % 10000:04d}'
+                f' or 415-555-{(i * 7) % 10000:04d} now.')
+    if k == 3:
+        base = '4' + f'{i % 10 ** 14:014d}'
+        card = base + str(luhn_check_digit(base))
+        grouped = '-'.join(card[j:j + 4] for j in range(0, 16, 4))
+        return text + f' Card on file: {grouped}.'
+    if k == 4:
+        base = '4' + f'{i % 10 ** 14:014d}'
+        bad = base + str((luhn_check_digit(base) + 5) % 10)
+        return (text + f' Version v1.2.{i % 9}.4 shipped; build 999.{i % 256}.1.1;'
+                f' ref {bad}{bad[:4]}; mail not-an-email@@example..com;'
+                f' years 2024 2025.')
+    if k == 5:
+        return text + (f' Reach admin{i}@ops.example.net from'
+                       f' 172.16.{i % 256}.{1 + i % 250}'
+                       f' or call ({100 + i % 900}) {200 + i % 800}-{i % 10000:04d}.')
+    return text

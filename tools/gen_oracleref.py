@@ -552,6 +552,23 @@ def gen_lm(sf_dir: str, skey: int, out: dict) -> None:
         out['lm_perplexity'].append((skey, d, n, ppl))
 
 
+def gen_pii(sf_dir: str, skey: int, out: dict) -> None:
+    """PII scrub twin: shared input construction (corpus.pii_plant,
+    like warc_file_bytes for the WARC tier), then the index-walk
+    detectors + forward-parity Luhn — vs the engine's coarse-regex
+    runs + reversed-enumerate Luhn."""
+    import hashlib
+
+    from oracle_kernels import pii_redact_seq
+
+    t = _read(sf_dir, 'documents')
+    for d, x in zip(t['doc_id'].to_pylist(), t['text'].to_pylist()):
+        red, ne, nip, ncc, nph = pii_redact_seq(corpus.pii_plant(int(d), x))
+        out['pii_redact'].append(
+            (skey, d, ne, nip, ncc, nph,
+             hashlib.sha256(red.encode('utf-8')).hexdigest()))
+
+
 def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
@@ -806,6 +823,12 @@ SCHEMAS = {
         [('skey', pa.int64()), ('doc_id', pa.int64()),
          ('n_scored', pa.int32()), ('ppl', pa.float64())]
     ),
+    'pii_redact': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()),
+         ('n_emails', pa.int32()), ('n_ips', pa.int32()),
+         ('n_ccs', pa.int32()), ('n_phones', pa.int32()),
+         ('redacted_sha', pa.string())]
+    ),
     'sitemap_entries': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
          ('kind', pa.string()), ('loc', pa.string()), ('lastmod', pa.string()),
@@ -836,6 +859,7 @@ def main() -> None:
         gen_simhash(sf_dir, dk, out)
         gen_bpe(sf_dir, dk, out)
         gen_lm(sf_dir, dk, out)
+        gen_pii(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)

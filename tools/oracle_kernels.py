@@ -2309,3 +2309,175 @@ def surt_key_seq(url) -> str:
     q = ('?' + '&'.join(segs)) if segs else ''
     p = f':{port}' if port is not None else ''
     return f'{key_host}{p}){path}{q}'
+
+
+# ------------------------------------------------------------- PII twin
+
+_PII_LOCAL = set('abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._%+-')
+_PII_DOMAIN = set('abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-')
+_PII_ALNUM = set('abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789')
+
+
+def _pii_luhn_seq(digits: str) -> bool:
+    """Twin Luhn: forward walk with parity derived from length (vs the
+    engine's reversed enumerate)."""
+    total = 0
+    n = len(digits)
+    for i in range(n):
+        d = int(digits[i])
+        if (n - i) % 2 == 0:
+            d = d * 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _runs_of(text: str, charset: set) -> list:
+    """(start, end) of each maximal run of chars from ``charset``."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] in charset:
+            j = i
+            while j < n and text[j] in charset:
+                j += 1
+            out.append((i, j))
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def _pii_email_spans_seq(text: str) -> list:
+    spans = []
+    i, n = 0, len(text)  # i = scan floor: end of the last candidate,
+    while i < n:         # matched or failed — a new local run may not
+        at = text.find('@', i)   # reach back into consumed chars
+        if at == -1:
+            break
+        ls = at
+        while ls > i and text[ls - 1] in _PII_LOCAL:
+            ls -= 1
+        de = at + 1
+        while de < n and text[de] in _PII_DOMAIN:
+            de += 1
+        domain = text[at + 1:de]
+        if ls == at or not domain:
+            # not a candidate at all (the engine's coarse pattern
+            # needs non-empty local AND domain): consume only the '@'
+            i = at + 1
+            continue
+        core = domain
+        while core and core[-1] in '.-':
+            core = core[:-1]
+        labels = core.split('.')
+        ok = (len(labels) >= 2 and all(labels)
+              and len(labels[-1]) >= 2 and labels[-1].isalpha())
+        if ok:
+            spans.append((ls, at + 1 + len(core)))
+        i = de  # resume after the whole candidate, matched or not
+    return spans
+
+
+def _pii_ip_spans_seq(text: str) -> list:
+    spans = []
+    for s, e in _runs_of(text, set('0123456789.')):
+        parts = text[s:e].split('.')
+        if len(parts) != 4:
+            continue
+        if not all(p and len(p) <= 3 and p.isdigit() and int(p) <= 255 for p in parts):
+            continue
+        if s > 0 and text[s - 1] in _PII_ALNUM:
+            continue
+        if e < len(text) and text[e] in _PII_ALNUM:
+            continue
+        spans.append((s, e))
+    return spans
+
+
+def _pii_cc_spans_seq(text: str) -> list:
+    spans = []
+    for s, e in _runs_of(text, set('0123456789 -')):
+        run = text[s:e]
+        ds = [k for k, c in enumerate(run) if c.isdigit()]
+        if not ds:
+            continue
+        cs, ce = s + ds[0], s + ds[-1] + 1
+        core = text[cs:ce]
+        if any(core[k] in ' -' and core[k + 1] in ' -' for k in range(len(core) - 1)):
+            continue
+        digits = ''.join(c for c in core if c.isdigit())
+        if not (13 <= len(digits) <= 19 and _pii_luhn_seq(digits)):
+            continue
+        if cs > 0 and (text[cs - 1] in _PII_ALNUM or text[cs - 1] == '+'):
+            continue
+        if ce < len(text) and text[ce] in _PII_ALNUM:
+            continue
+        spans.append((cs, ce))
+    return spans
+
+
+def _pii_phone_spans_seq(text: str) -> list:
+    spans = []
+    for s, e in _runs_of(text, set('0123456789()+ -')):
+        cs, ce = s, e
+        while cs < ce and text[cs] in ' -':
+            cs += 1
+        while ce > cs and text[ce - 1] in ' -':
+            ce -= 1
+        core = text[cs:ce]
+        if not core or core[0] not in '+(0123456789':
+            continue
+        if not (core[-1] in ')' or core[-1].isdigit()):
+            continue
+        plus = [k for k, c in enumerate(core) if c == '+']
+        if plus and (len(plus) > 1 or plus[0] != 0):
+            continue
+        opens = [k for k, c in enumerate(core) if c == '(']
+        closes = [k for k, c in enumerate(core) if c == ')']
+        if len(opens) > 1 or len(closes) > 1 or len(opens) != len(closes):
+            continue
+        if opens:
+            o, c = opens[0], closes[0]
+            inner = core[o + 1:c]
+            if not (o < c and inner and inner.isdigit()):
+                continue
+            if not (o == 0 or core[o - 1] in '+ -'):
+                continue
+        if any(core[k] in ' -' and core[k + 1] in ' -' for k in range(len(core) - 1)):
+            continue
+        nd = sum(c.isdigit() for c in core)
+        if not 7 <= nd <= 15:
+            continue
+        nsep = sum(c in ' -' for c in core)
+        if not (core[0] == '+' or opens or nsep >= 2):
+            continue
+        if cs > 0 and text[cs - 1] in _PII_ALNUM:
+            continue
+        if ce < len(text) and text[ce] in _PII_ALNUM:
+            continue
+        spans.append((cs, ce))
+    return spans
+
+
+def pii_redact_seq(text: str) -> tuple:
+    """Sequential twin of training/pii.redact_text: explicit index
+    walks vs the engine's coarse-regex + validation.  Same four-pass
+    residue order (email, ip, cc, phone)."""
+    out = text or ''
+    counts = []
+    for finder, ph in ((_pii_email_spans_seq, '<EMAIL>'),
+                       (_pii_ip_spans_seq, '<IP>'),
+                       (_pii_cc_spans_seq, '<CC>'),
+                       (_pii_phone_spans_seq, '<PHONE>')):
+        found = finder(out)
+        pieces, pos = [], 0
+        for a, b in found:
+            pieces.append(out[pos:a])
+            pieces.append(ph)
+            pos = b
+        pieces.append(out[pos:])
+        out = ''.join(pieces)
+        counts.append(len(found))
+    return (out, *counts)
