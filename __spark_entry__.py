@@ -738,6 +738,26 @@ def q_pii_redact(spark, sf_dir):
     ).orderBy('doc_id')
 
 
+def q_mojibake_fix(spark, sf_dir):
+    """Mojibake repair (the ftfy trick): UTF-8 mis-decoded as
+    Latin-1/cp1252 (``Ã©`` for ``é``) detected per maximal high-char
+    run via the reverse-byte-map + strict-UTF-8 round-trip, iterated
+    to a fixed point (double-encoding resolves in two rounds), ONE
+    Arrow pass over documents+planted damage (corpus.mojibake_plant
+    rotates latin-1/cp1252/double/legit-non-Latin/mixed/none by
+    doc_id).  Engine = regex run scan + codec round-trip; oracle twin
+    = index walk + a FROM-SCRATCH strict UTF-8 decoder
+    (tools/oracle_kernels.mojibake_fix_seq — itself differentially
+    pinned against the codec over 200k random byte strings)."""
+    from markdown_articles_tool_spark.corpus import mojibake_plant
+    from markdown_articles_tool_spark.training.mojibake import fix_mojibake
+
+    docs = _t(spark, sf_dir, 'documents')
+    return fix_mojibake(docs, plant=mojibake_plant).select(
+        'doc_id', 'n_runs_fixed', 'n_rounds', 'fixed_sha'
+    ).orderBy('doc_id')
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide exact LINE dedup (CCNet-style boilerplate removal)
     over the synthetic pages corpus: repeated template/banner lines
@@ -869,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lm_perplexity': q_lm_perplexity,
         'ppl_buckets': q_ppl_buckets,
         'pii_redact': q_pii_redact,
+        'mojibake_fix': q_mojibake_fix,
     }
 
 
@@ -1067,6 +1088,11 @@ def oracle_sql() -> dict[str, str]:
         'pii_redact': _ref(
             'pii_redact',
             'doc_id, n_emails, n_ips, n_ccs, n_phones, redacted_sha',
+            _DOC_SKEY, 'doc_id',
+        ),
+        'mojibake_fix': _ref(
+            'mojibake_fix',
+            'doc_id, n_runs_fixed, n_rounds, fixed_sha',
             _DOC_SKEY, 'doc_id',
         ),
         # buckets: DuckDB's OWN ntile(3) over the twin's perplexity

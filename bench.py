@@ -192,8 +192,9 @@ def run_bench(emit_json: bool = True) -> dict:
         # adds the two-level prefix-count NTILE (no global window)
         'lm_perplexity',
         'ppl_buckets',
-        # PII scrub: one Arrow detection pass, zero shuffles
+        # PII scrub + mojibake repair: one Arrow pass each, zero shuffles
         'pii_redact',
+        'mojibake_fix',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

@@ -891,3 +891,42 @@ def pii_plant(i: int, text: str) -> str:
                        f' 172.16.{i % 256}.{1 + i % 250}'
                        f' or call ({100 + i % 900}) {200 + i % 800}-{i % 10000:04d}.')
     return text
+
+
+# -------------------------------------------------------- mojibake plant
+
+def _misdecode_cp1252(raw: bytes) -> str:
+    """Byte-wise cp1252 mis-decode with latin-1 fallback on the five
+    undefined bytes — how real sloppy decoders corrupt UTF-8."""
+    out = []
+    for b in raw:
+        try:
+            out.append(bytes([b]).decode('cp1252'))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return ''.join(out)
+
+
+def mojibake_plant(i: int, text: str) -> str:
+    """Deterministic encoding damage appended to document i's text
+    (shared INPUT construction for the mojibake_fix driver query —
+    repair itself is what the independent twins check).  Rotation by
+    i % 6: latin-1 mis-decode / cp1252 mis-decode / DOUBLE-encoded /
+    legit non-Latin text that must stay untouched / legit accents and
+    one mojibake word in the same doc / untouched."""
+    k = i % 6
+    if k == 0:
+        s = f' Résumé {i}: déjà vu — café №{i % 100}…'
+        return text + s.encode('utf-8').decode('latin-1')
+    if k == 1:
+        s = f' “Smörgåsbord {i}” costs €{i % 90}.'
+        return text + _misdecode_cp1252(s.encode('utf-8'))
+    if k == 2:
+        s = f' naïve Österreich {i}'
+        once = s.encode('utf-8').decode('latin-1')
+        return text + once.encode('utf-8').decode('latin-1')
+    if k == 3:
+        return text + f' Привет мир {i} — 中文測試。'
+    if k == 4:
+        return text + f' naïve café plus broken cafÃ© {i}.'
+    return text

@@ -569,6 +569,22 @@ def gen_pii(sf_dir: str, skey: int, out: dict) -> None:
              hashlib.sha256(red.encode('utf-8')).hexdigest()))
 
 
+def gen_mojibake(sf_dir: str, skey: int, out: dict) -> None:
+    """Mojibake repair twin: shared input construction
+    (corpus.mojibake_plant), then the index-walk fixer with the
+    from-scratch strict UTF-8 decoder — vs the engine's regex scan +
+    codec round-trip."""
+    import hashlib
+
+    from oracle_kernels import mojibake_fix_seq
+
+    t = _read(sf_dir, 'documents')
+    for d, x in zip(t['doc_id'].to_pylist(), t['text'].to_pylist()):
+        fixed, n, r = mojibake_fix_seq(corpus.mojibake_plant(int(d), x))
+        out['mojibake_fix'].append(
+            (skey, d, n, r, hashlib.sha256(fixed.encode('utf-8')).hexdigest()))
+
+
 def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
@@ -829,6 +845,11 @@ SCHEMAS = {
          ('n_ccs', pa.int32()), ('n_phones', pa.int32()),
          ('redacted_sha', pa.string())]
     ),
+    'mojibake_fix': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()),
+         ('n_runs_fixed', pa.int32()), ('n_rounds', pa.int32()),
+         ('fixed_sha', pa.string())]
+    ),
     'sitemap_entries': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
          ('kind', pa.string()), ('loc', pa.string()), ('lastmod', pa.string()),
@@ -860,6 +881,7 @@ def main() -> None:
         gen_bpe(sf_dir, dk, out)
         gen_lm(sf_dir, dk, out)
         gen_pii(sf_dir, dk, out)
+        gen_mojibake(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)

@@ -2481,3 +2481,114 @@ def pii_redact_seq(text: str) -> tuple:
         out = ''.join(pieces)
         counts.append(len(found))
     return (out, *counts)
+
+
+# -------------------------------------------------------- mojibake twin
+
+
+def _cp1252_rev_seq() -> dict:
+    """cp1252 specials derived from the stdlib codec itself (vs the
+    engine's literal table): byte -> char for 0x80-0x9F, reversed."""
+    rev = {}
+    for b in range(0x80, 0xA0):
+        try:
+            rev[bytes([b]).decode('cp1252')] = b
+        except UnicodeDecodeError:
+            pass  # the 5 undefined cp1252 bytes
+    return rev
+
+
+_MOJI_REV = _cp1252_rev_seq()
+
+
+def _utf8_decode_seq(data: bytes):
+    """From-scratch STRICT UTF-8 decoder (Unicode best-practice lead
+    ranges; overlongs, surrogates, >U+10FFFF, truncation all rejected)
+    — the twin of the engine's bytes.decode('utf-8').  Returns the
+    decoded string or None."""
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if b0 < 0x80:
+            out.append(chr(b0))
+            i += 1
+            continue
+        if 0xC2 <= b0 <= 0xDF:
+            need, lo1, hi1 = 1, 0x80, 0xBF
+        elif b0 == 0xE0:
+            need, lo1, hi1 = 2, 0xA0, 0xBF
+        elif 0xE1 <= b0 <= 0xEC or b0 in (0xEE, 0xEF):
+            need, lo1, hi1 = 2, 0x80, 0xBF
+        elif b0 == 0xED:
+            need, lo1, hi1 = 2, 0x80, 0x9F  # no surrogates
+        elif b0 == 0xF0:
+            need, lo1, hi1 = 3, 0x90, 0xBF
+        elif 0xF1 <= b0 <= 0xF3:
+            need, lo1, hi1 = 3, 0x80, 0xBF
+        elif b0 == 0xF4:
+            need, lo1, hi1 = 3, 0x80, 0x8F  # caps at U+10FFFF
+        else:
+            return None  # 0x80-0xC1 stray/overlong lead, 0xF5-0xFF
+        if i + need >= n:
+            return None  # truncated sequence
+        c1 = data[i + 1]
+        if not lo1 <= c1 <= hi1:
+            return None
+        cp = (b0 & (0x3F >> need)) << (6 * need) | (c1 & 0x3F) << (6 * (need - 1))
+        for k in range(2, need + 1):
+            ck = data[i + k]
+            if not 0x80 <= ck <= 0xBF:
+                return None
+            cp |= (ck & 0x3F) << (6 * (need - k))
+        out.append(chr(cp))
+        i += need + 1
+    return ''.join(out)
+
+
+def mojibake_fix_seq(text: str) -> tuple:
+    """Sequential twin of training/mojibake.fix_text: explicit index
+    walk over high-char runs + the from-scratch UTF-8 decoder (vs the
+    engine's regex scan + codec round-trip).  Same spec: maximal
+    ord>=0x80 runs of length >=2, latin-1/cp1252 reverse byte map,
+    strict decode, up to 3 rounds to a fixed point."""
+    out = text or ''
+    total = rounds = 0
+    for _ in range(3):
+        fixed = 0
+        pieces = []
+        i, n = 0, len(out)
+        last = 0
+        while i < n:
+            if ord(out[i]) < 0x80:
+                i += 1
+                continue
+            j = i
+            while j < n and ord(out[j]) >= 0x80:
+                j += 1
+            if j - i >= 2:
+                raw = bytearray()
+                ok = True
+                for ch in out[i:j]:
+                    cp = ord(ch)
+                    if cp < 0x100:
+                        raw.append(cp)
+                    elif ch in _MOJI_REV:
+                        raw.append(_MOJI_REV[ch])
+                    else:
+                        ok = False
+                        break
+                dec = _utf8_decode_seq(bytes(raw)) if ok else None
+                if dec is not None:
+                    pieces.append(out[last:i])
+                    pieces.append(dec)
+                    last = j
+                    fixed += 1
+            i = j
+        pieces.append(out[last:])
+        if fixed == 0:
+            break
+        out = ''.join(pieces)
+        total += fixed
+        rounds += 1
+    return out, total, rounds
