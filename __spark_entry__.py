@@ -758,6 +758,37 @@ def q_mojibake_fix(spark, sf_dir):
     ).orderBy('doc_id')
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The composed hygiene pipeline — what a release run actually
+    executes: mojibake repair → PII scrub → Gopher quality verdict,
+    ALL in one plan with exactly three Arrow passes and ZERO shuffles
+    (each stage consumes the previous stage's output column in the
+    same projection chain; `carry=` threads the pii counts and clean
+    sha through the quality stage instead of a join).  Oracle: the
+    clean text is produced by the CHAINED independent twins
+    (mojibake_fix_seq → pii_redact_seq) into oracleref, and the
+    quality verdict over it is DuckDB's own SQL (the token/repetition
+    CTEs re-targeted via a `documents` CTE shadow) — three independent
+    machineries checking the one engine plan."""
+    from markdown_articles_tool_spark.corpus import mojibake_plant, pii_plant
+    from markdown_articles_tool_spark.training.mojibake import fix_mojibake
+    from markdown_articles_tool_spark.training.pii import pii_redact
+    from markdown_articles_tool_spark.training.textstats import gopher_filter
+
+    docs = _t(spark, sf_dir, 'documents')
+    fixed = fix_mojibake(
+        docs, plant=lambda i, t: pii_plant(i, mojibake_plant(i, t)))
+    scrubbed = pii_redact(fixed, text_col='fixed')
+    n_pii = (F.col('n_emails') + F.col('n_ips')
+             + F.col('n_ccs') + F.col('n_phones')).cast('int')
+    scrubbed = scrubbed.select(
+        'doc_id', n_pii.alias('n_pii'),
+        F.col('redacted_sha').alias('clean_sha'), 'redacted')
+    out = gopher_filter(scrubbed, text_col='redacted',
+                        carry=('n_pii', 'clean_sha'))
+    return out.select('doc_id', 'n_pii', 'keep', 'clean_sha').orderBy('doc_id')
+
+
 def q_line_dedup(spark, sf_dir):
     """Corpus-wide exact LINE dedup (CCNet-style boilerplate removal)
     over the synthetic pages corpus: repeated template/banner lines
@@ -890,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ppl_buckets': q_ppl_buckets,
         'pii_redact': q_pii_redact,
         'mojibake_fix': q_mojibake_fix,
+        'clean_corpus': q_clean_corpus,
     }
 
 
@@ -1457,6 +1489,29 @@ def oracle_sql() -> dict[str, str]:
                 AND ts.stopword_ratio >= 0.005 AND ts.punct_ratio <= 0.2
                 AND rs.dup_line_frac <= 0.30 AND rs.top_bigram_frac <= 0.18) AS keep
         FROM ts JOIN rs ON ts.doc_id = rs.doc_id
+        ORDER BY ts.doc_id
+    """
+    # composed hygiene pipeline: the clean text comes from the CHAINED
+    # python twins (mojibake_fix_seq → pii_redact_seq, gen_oracleref),
+    # and DuckDB's own token/repetition CTEs — retargeted from the
+    # documents view onto that clean text — compute the keep verdict
+    _clean_src = (
+        f"SELECT doc_id, clean_text AS text, n_pii, clean_sha "
+        f"FROM read_parquet('{_ORACLEREF}/clean_corpus.parquet') "
+        f"WHERE skey = {_DOC_SKEY}"
+    )
+    d['clean_corpus'] = f"""
+        WITH cleandocs AS ({_clean_src}),
+        ts AS ({d['token_stats'].replace('FROM documents', 'FROM cleandocs')}),
+        rs AS ({d['repetition_stats'].replace('FROM documents', 'FROM cleandocs')})
+        SELECT ts.doc_id, cd.n_pii,
+               ((ts.n_tokens >= 50 AND ts.n_tokens <= 100000)
+                AND (ts.mean_word_len >= 3.0 AND ts.mean_word_len <= 10.0)
+                AND ts.stopword_ratio >= 0.005 AND ts.punct_ratio <= 0.2
+                AND rs.dup_line_frac <= 0.30 AND rs.top_bigram_frac <= 0.18) AS keep,
+               cd.clean_sha
+        FROM ts JOIN rs ON ts.doc_id = rs.doc_id
+        JOIN cleandocs cd ON ts.doc_id = cd.doc_id
         ORDER BY ts.doc_id
     """
     return d

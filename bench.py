@@ -192,9 +192,12 @@ def run_bench(emit_json: bool = True) -> dict:
         # adds the two-level prefix-count NTILE (no global window)
         'lm_perplexity',
         'ppl_buckets',
-        # PII scrub + mojibake repair: one Arrow pass each, zero shuffles
+        # PII scrub + mojibake repair: one Arrow pass each, zero shuffles;
+        # clean_corpus composes mojibake -> pii -> quality into ONE
+        # pipelined plan (three Arrow passes, no joins, no hash shuffle)
         'pii_redact',
         'mojibake_fix',
+        'clean_corpus',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

@@ -185,6 +185,7 @@ def gopher_filter(
     max_punct_ratio: float = 0.2,
     max_dup_line_frac: float = 0.30,
     max_top_bigram_frac: float = 0.18,
+    carry: tuple = (),
 ) -> DataFrame:
     """Composite Gopher-rule document filter (Rae et al. 2021 §A1.1,
     the subset our features express): per-doc boolean per rule plus the
@@ -217,6 +218,7 @@ def gopher_filter(
     )
     base = ensure_parallelism(df).select(
         F.col(id_col),
+        *[F.col(c) for c in carry],  # ride the same projection, zero cost
         n_tokens.alias('n_tokens'),
         mean_word_len.alias('mean_word_len'),
         stop_ratio.alias('stopword_ratio'),
@@ -234,7 +236,7 @@ def gopher_filter(
         (r['dup_line_frac'] <= max_dup_line_frac).alias('ok_dup_lines'),
         (r['top_bigram_frac'] <= max_top_bigram_frac).alias('ok_top_bigram'),
     ]
-    out = base.select(id_col, *flags)
+    out = base.select(id_col, *[F.col(c) for c in carry], *flags)
     keep = F.lit(True)
     for nm in ('ok_n_tokens', 'ok_mean_word_len', 'ok_stopwords',
                'ok_punct', 'ok_dup_lines', 'ok_top_bigram'):

@@ -151,3 +151,48 @@ class TestSparkOperator:
         plan = pii.pii_redact(df)._jdf.queryExecution().executedPlan().toString()
         assert len(re.findall(r'ArrowEvalPython', plan)) <= 1, plan
         assert 'Exchange' not in plan
+
+
+class TestCleanCorpusComposition:
+    """The composed hygiene pipeline (mojibake → pii → quality) must
+    stay ONE pipelined plan: three Arrow passes, no joins, no hash
+    shuffles."""
+
+    def test_matches_chained_twins(self, spark):
+        import hashlib
+
+        from markdown_articles_tool_spark.corpus import mojibake_plant, pii_plant
+        from markdown_articles_tool_spark.training.mojibake import fix_mojibake
+        from markdown_articles_tool_spark.training.pii import pii_redact
+        from pyspark.sql import functions as F
+
+        rows = [(i, f'doc body {i} with words enough to exist. ')
+                for i in range(28)]
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        fixed = fix_mojibake(
+            df, plant=lambda i, t: pii_plant(i, mojibake_plant(i, t)))
+        scrubbed = pii_redact(fixed, text_col='fixed')
+        got = {r['doc_id']: (r['n_emails'] + r['n_ips'] + r['n_ccs']
+                             + r['n_phones'], r['redacted_sha'])
+               for r in scrubbed.collect()}
+        for i, t in rows:
+            fixed_t, _, _ = ok.mojibake_fix_seq(pii_plant(i, mojibake_plant(i, t)))
+            red, ne, nip, ncc, nph = ok.pii_redact_seq(fixed_t)
+            assert got[i] == (ne + nip + ncc + nph,
+                              hashlib.sha256(red.encode()).hexdigest()), i
+
+    def test_plan_three_arrow_passes_no_hash_shuffle(self, spark):
+        import re
+
+        import __spark_entry__ as entry_mod
+
+        q = entry_mod.queries()['clean_corpus'](spark, '/root/testdata/sf0.001')
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # the three stage UDFs each evaluate once (<=2 plan prints under AQE)
+        for udf in ('fix(', 'scrub(', 'rep_udf('):
+            assert 1 <= plan.count(udf) <= 2, (udf, plan)
+        # only the small-scan widening and the final sort may exchange —
+        # never a hash shuffle or join in the hygiene chain
+        kinds = set(re.findall(r'Exchange (\w+)', plan))
+        assert kinds <= {'RoundRobinPartitioning', 'rangepartitioning'}, kinds
+        assert 'SortMergeJoin' not in plan and 'BroadcastHashJoin' not in plan

@@ -585,6 +585,25 @@ def gen_mojibake(sf_dir: str, skey: int, out: dict) -> None:
             (skey, d, n, r, hashlib.sha256(fixed.encode('utf-8')).hexdigest()))
 
 
+def gen_clean(sf_dir: str, skey: int, out: dict) -> None:
+    """Composed hygiene twin: the chained sequential twins
+    (mojibake_fix_seq → pii_redact_seq) produce the clean text; the
+    quality verdict over it is computed by DuckDB SQL at oracle time
+    (the token/repetition CTEs retargeted in __spark_entry__)."""
+    import hashlib
+
+    from oracle_kernels import mojibake_fix_seq, pii_redact_seq
+
+    t = _read(sf_dir, 'documents')
+    for d, x in zip(t['doc_id'].to_pylist(), t['text'].to_pylist()):
+        planted = corpus.pii_plant(int(d), corpus.mojibake_plant(int(d), x))
+        fixed, _n, _r = mojibake_fix_seq(planted)
+        red, ne, nip, ncc, nph = pii_redact_seq(fixed)
+        out['clean_corpus'].append(
+            (skey, d, red, ne + nip + ncc + nph,
+             hashlib.sha256(red.encode('utf-8')).hexdigest()))
+
+
 def gen_simhash(sf_dir: str, skey: int, out: dict, max_hamming=3) -> None:
     t = _read(sf_dir, 'documents')
     ids = t['doc_id'].to_pylist()
@@ -850,6 +869,11 @@ SCHEMAS = {
          ('n_runs_fixed', pa.int32()), ('n_rounds', pa.int32()),
          ('fixed_sha', pa.string())]
     ),
+    'clean_corpus': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()),
+         ('clean_text', pa.string()), ('n_pii', pa.int32()),
+         ('clean_sha', pa.string())]
+    ),
     'sitemap_entries': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
          ('kind', pa.string()), ('loc', pa.string()), ('lastmod', pa.string()),
@@ -882,6 +906,7 @@ def main() -> None:
         gen_lm(sf_dir, dk, out)
         gen_pii(sf_dir, dk, out)
         gen_mojibake(sf_dir, dk, out)
+        gen_clean(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)
