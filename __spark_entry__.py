@@ -771,22 +771,12 @@ def q_clean_corpus(spark, sf_dir):
     CTEs re-targeted via a `documents` CTE shadow) — three independent
     machineries checking the one engine plan."""
     from markdown_articles_tool_spark.corpus import mojibake_plant, pii_plant
-    from markdown_articles_tool_spark.training.mojibake import fix_mojibake
-    from markdown_articles_tool_spark.training.pii import pii_redact
-    from markdown_articles_tool_spark.training.textstats import gopher_filter
+    from markdown_articles_tool_spark.training.hygiene import scrub
 
     docs = _t(spark, sf_dir, 'documents')
-    fixed = fix_mojibake(
-        docs, plant=lambda i, t: pii_plant(i, mojibake_plant(i, t)))
-    scrubbed = pii_redact(fixed, text_col='fixed')
-    n_pii = (F.col('n_emails') + F.col('n_ips')
-             + F.col('n_ccs') + F.col('n_phones')).cast('int')
-    scrubbed = scrubbed.select(
-        'doc_id', n_pii.alias('n_pii'),
-        F.col('redacted_sha').alias('clean_sha'), 'redacted')
-    out = gopher_filter(scrubbed, text_col='redacted',
-                        carry=('n_pii', 'clean_sha'))
-    return out.select('doc_id', 'n_pii', 'keep', 'clean_sha').orderBy('doc_id')
+    return scrub(
+        docs, plant=lambda i, t: pii_plant(i, mojibake_plant(i, t))
+    ).orderBy('doc_id')
 
 
 def q_line_dedup(spark, sf_dir):

@@ -41,6 +41,11 @@ def main() -> None:
                     help="input is a (url, pdf binary) table: run the PDF/layout "
                          "extraction tier (content streams, Flate/LZW filters, "
                          "hex strings, ToUnicode CMaps) instead of the HTML strip")
+    ap.add_argument('--scrub', action='store_true',
+                    help='corpus hygiene over (url, text) pages: mojibake repair -> '
+                         'PII redaction -> Gopher keep verdict in one pipelined plan, '
+                         'writes out/scrubbed with the clean text; --stream drains '
+                         'newly-landed files exactly-once')
     ap.add_argument('--neardup-stream', action='store_true',
                     help='incremental MinHash-band near-dup dedup over (url, text) '
                          'pages: drains new files exactly-once, writes kept/dropped '
@@ -70,6 +75,27 @@ def main() -> None:
         if args.verify_threshold is not None:
             vk = read_verified(spark, args.output).where('kept_verified').count()
             print(f'verified at jaccard<{args.verify_threshold}: {vk}/{total} urls kept')
+        spark.stop()
+        return
+    if args.scrub:
+        from markdown_articles_tool_spark.training.hygiene import scrub
+
+        if args.stream:
+            from markdown_articles_tool_spark.streaming.incremental import (
+                start_incremental_scrub,
+            )
+
+            q = start_incremental_scrub(spark, args.input, args.output)
+            q.awaitTermination()
+            print('scrub stream drained')
+            spark.stop()
+            return
+        pages = spark.read.parquet(args.input).select('url', 'text')
+        scrub(pages, id_col='url', keep_text=True).write.mode('overwrite').parquet(
+            f'{args.output}/scrubbed')
+        out = spark.read.parquet(f'{args.output}/scrubbed')
+        n, kept = out.count(), out.where('keep').count()
+        print(f'scrubbed {n} documents, {kept} kept')
         spark.stop()
         return
     if args.warc:

@@ -207,3 +207,36 @@ def start_incremental_warc(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_scrub(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming corpus hygiene over the landing pages directory: each
+    newly-landed file's documents get mojibake repair → PII scrub →
+    the Gopher keep verdict, exactly once, with the scrubbed text in
+    the output row (the release-run shape).  Every stage is a
+    stateless projection (three Arrow passes, Column algebra), so the
+    whole chain runs as a NATIVE streaming transform — no state store,
+    no shuffle, no batch bridge; the identical single-scan plan as the
+    batch ``training/hygiene.scrub``."""
+    from ..training.hygiene import scrub
+
+    stream = (
+        spark.readStream.schema(corpus.PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select('url', 'text')
+    )
+    writer = (
+        scrub(stream, id_col='url', keep_text=True)
+        .writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'scrubbed'))
+        .option('checkpointLocation', os.path.join(output_dir, '_scrub_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -384,3 +384,43 @@ class TestStreamingIngest:
         rows = spark.read.parquet(_os.path.join(out_dir, 'deduped')).collect()
         assert len(rows) == 4  # exactly one new row (t3), no re-emits
         assert {r['text'] for r in rows} == {'t0' * 40, 't1' * 40, 't2' * 40, 't3' * 40}
+
+
+class TestStreamingScrub:
+    def test_streaming_scrub_native_and_delta_only(self, spark, tmp_path):
+        """The full hygiene chain (mojibake → pii → quality) runs as a
+        NATIVE streaming transform — three stateless Arrow passes, no
+        state store; availableNow drains the backlog exactly once, a
+        second start sees only new files, and rows equal the batch
+        scrub row-for-row including the scrubbed text."""
+        import os
+
+        from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_scrub,
+        )
+        from markdown_articles_tool_spark.training.hygiene import scrub
+
+        in_dir = str(tmp_path / 'in')
+        out_dir = str(tmp_path / 'out')
+        spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(8)], corpus.PAGES_SCHEMA
+        ).write.mode('overwrite').parquet(in_dir)
+
+        q = start_incremental_scrub(spark, in_dir, out_dir)
+        q.awaitTermination(240)
+        got = {r['url']: tuple(r) for r in
+               spark.read.parquet(os.path.join(out_dir, 'scrubbed')).collect()}
+        batch = spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(8)], corpus.PAGES_SCHEMA
+        ).select('url', 'text')
+        want = {r['url']: tuple(r) for r in
+                scrub(batch, id_col='url', keep_text=True).collect()}
+        assert got == want
+        assert all(len(t) == 5 for t in got.values())  # incl. clean_text
+
+        spark.createDataFrame(
+            [corpus.doc_row(i) for i in range(8, 11)], corpus.PAGES_SCHEMA
+        ).write.mode('append').parquet(in_dir)
+        q2 = start_incremental_scrub(spark, in_dir, out_dir)
+        q2.awaitTermination(240)
+        assert spark.read.parquet(os.path.join(out_dir, 'scrubbed')).count() == 11
