@@ -758,6 +758,27 @@ def q_mojibake_fix(spark, sf_dir):
     ).orderBy('doc_id')
 
 
+def q_cdx_index(spark, sf_dir):
+    """The merged crawl index — what Common Crawl actually publishes:
+    every per-archive CDX shard's records under ONE global SURT order,
+    so a record is findable by binary search over (surt, position)
+    across the whole crawl.  The global position comes from the
+    two-level prefix-count rank (training/util.global_rank: range
+    partition, per-partition totals, broadcast bases — NEVER a
+    single-partition global window), so the build is partition-count
+    invariant and the sort work stays distributed.  Oracle = DuckDB's
+    OWN row_number() OVER (ORDER BY surt, file_name, ord) over the
+    twin's CDX table — an independent check of the distributed
+    ranking machinery, like ppl_buckets."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+    from markdown_articles_tool_spark.training.util import global_rank
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    cdx = read_warc_cdx(files).select('surt', 'file_name', 'ord')
+    return global_rank(cdx, ['surt', 'file_name', 'ord'], 'idx').orderBy('idx')
+
+
 def q_clean_corpus(spark, sf_dir):
     """The composed hygiene pipeline — what a release run actually
     executes: mojibake repair → PII scrub → Gopher quality verdict,
@@ -912,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_redact': q_pii_redact,
         'mojibake_fix': q_mojibake_fix,
         'clean_corpus': q_clean_corpus,
+        'cdx_index': q_cdx_index,
     }
 
 
@@ -1117,6 +1139,16 @@ def oracle_sql() -> dict[str, str]:
             'doc_id, n_runs_fixed, n_rounds, fixed_sha',
             _DOC_SKEY, 'doc_id',
         ),
+        # merged CDX index: DuckDB's OWN global window over the twin's
+        # CDX rows — independently checks the two-level prefix-count
+        # ranking that replaces the single-partition sort
+        'cdx_index': f"""
+            SELECT surt, file_name, ord,
+                   row_number() OVER (ORDER BY surt, file_name, ord) AS idx
+            FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet')
+            WHERE skey = {_DOC_SKEY}
+            ORDER BY idx
+        """,
         # buckets: DuckDB's OWN ntile(3) over the twin's perplexity
         # table — independently checks the engine's two-level
         # prefix-count ranking (no shared machinery at all)

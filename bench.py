@@ -181,6 +181,8 @@ def run_bench(emit_json: bool = True) -> dict:
         # two pandas passes each, zero shuffles
         'wet_roundtrip',
         'wat_roundtrip',
+        # merged CDX index: WARC parse + two-level prefix-count rank
+        'cdx_index',
         # robots gate: broadcast host-dim join + one pandas decision
         # pass over the outlink records (robots_rules itself is a
         # 12-row dim parse — not worth a headline slot); the frontier

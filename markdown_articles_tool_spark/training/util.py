@@ -93,3 +93,45 @@ def capped_buckets(
             F.max('bucket_n').alias('max_bucket_seen'),
         )
     return b.where((F.col('bucket_n') >= 2) & (F.col('bucket_n') <= F.lit(max_bucket))).drop('bucket_n')
+
+
+def global_rank(df: DataFrame, cols, rank_col: str = 'rank') -> DataFrame:
+    """1-based global position of every row under ``ORDER BY cols`` —
+    computed WITHOUT a global single-partition window (``row_number()
+    OVER (ORDER BY ...)`` with no partition key sorts the whole table
+    in ONE task, the classic driver-shaped bottleneck).
+
+    Two-level prefix count, same machinery as ``lm.ppl_ntile`` /
+    ``packing.pack_sequences``: range-partition by the key, sort
+    within partitions, count per partition (a tiny n_partitions-row
+    frame), exclusive prefix over that frame, broadcast the bases
+    back, rank = base + local row_number.  Partition-count invariant;
+    ``cols`` must be a TOTAL order (include a tiebreaker) or ranks
+    within ties follow partition placement.
+
+    The input is localCheckpointed: the rank needs two jobs over the
+    same rows (totals, then the ranked pass), and re-running an
+    expensive upstream (a scoring UDF, a WARC parse) per job would
+    double the corpus scan.
+    """
+    from pyspark.sql import Window
+
+    src = df.localCheckpoint(eager=True)
+    parts = src.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        src.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn('_pid', F.spark_partition_id())
+    )
+    totals = ordered.groupBy('_pid').agg(F.count('*').alias('_pn'))
+    wp = Window.orderBy('_pid').rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.withColumn(
+        '_base', F.coalesce(F.sum('_pn').over(wp), F.lit(0))
+    ).select('_pid', '_base')
+    ww = Window.partitionBy('_pid').orderBy(*cols)
+    return (
+        ordered.join(F.broadcast(bases), '_pid')
+        .withColumn(rank_col,
+                    (F.col('_base') + F.row_number().over(ww)).cast('long'))
+        .drop('_pid', '_base')
+    )

@@ -494,3 +494,35 @@ class TestCdxSurt:
         assert seen == {0, 1, 2, 3, 4, 5}
         # variant 3 (fragment holds a '?') must not grow a query
         assert '?' not in surt_key(corpus._messy_target(30, corpus.doc_url(30)))
+
+
+class TestCdxGlobalIndex:
+    def test_global_rank_exact_and_partition_invariant(self, spark):
+        import random
+
+        from markdown_articles_tool_spark.training.util import global_rank
+
+        rng = random.Random(9)
+        rows = [(f'k{rng.randrange(40):02d}', i) for i in range(157)]
+        want = {t: r for r, t in enumerate(sorted(rows), start=1)}
+        for parts in (1, 4, 11):
+            df = spark.createDataFrame(rows, 'k string, i long').repartition(parts)
+            got = {(r['k'], r['i']): r['rank']
+                   for r in global_rank(df, ['k', 'i']).collect()}
+            assert got == want, parts
+
+    def test_cdx_index_is_binary_searchable(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+        from markdown_articles_tool_spark.training.util import global_rank
+
+        n = 40
+        tmp = str(tmp_path_factory.mktemp('cdxidx') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        cdx = read_warc_cdx(spark.read.parquet(tmp)).select('surt', 'file_name', 'ord')
+        rows = global_rank(cdx, ['surt', 'file_name', 'ord'], 'idx').collect()
+        by_idx = sorted(rows, key=lambda r: r['idx'])
+        # ranks are 1..n dense and the key sequence is non-decreasing —
+        # exactly the property binary search over (surt, idx) needs
+        assert [r['idx'] for r in by_idx] == list(range(1, len(rows) + 1))
+        keys = [(r['surt'], r['file_name'], r['ord']) for r in by_idx]
+        assert keys == sorted(keys)
