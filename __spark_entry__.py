@@ -657,6 +657,35 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_int8_quant(spark, sf_dir):
+    """Symmetric max-abs INT8 embedding quantization (the 4x-smaller
+    storage form a 10^12-vector serving tier actually holds): one
+    Arrow pass → (vec_id, scale, sha of the 1-byte/dim two's-complement
+    row).  Twin = a scalar pure-python quantizer
+    (oracle_kernels.int8_quant_seq) vs the engine's numpy batch kernel;
+    round-half-even and float64 widening make the two bit-equal."""
+    from markdown_articles_tool_spark.training.similarity import int8_quantize
+
+    emb = _t(spark, sf_dir, 'embeddings')
+    return int8_quantize(emb).select(
+        'vec_id', 'scale', F.sha2('q_bytes', 256).alias('q_sha')
+    ).orderBy('vec_id')
+
+
+def q_ann_int8_topk(spark, sf_dir):
+    """Compressed ANN serving shape: LSH buckets prune (signatures on
+    the original floats), INT8 vectors score with a pure-JVM INTEGER
+    dot product — exactly reproducible (no float summation hazards),
+    so the driver gate hashes the scores themselves, not a rounding
+    of them.  Twin chains the python quantizer + integer dot under
+    the shared banding spec."""
+    from markdown_articles_tool_spark.training.similarity import lsh_int8_topk
+
+    emb = _t(spark, sf_dir, 'embeddings')
+    queries = emb.where(F.col('vec_id') % 50 == 0).select(F.col('vec_id').alias('query_id'))
+    return lsh_int8_topk(emb, queries, k=5).orderBy('query_id', 'rank')
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from markdown_articles_tool_spark.training.similarity import ivf_cosine_topk
 
@@ -934,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mojibake_fix': q_mojibake_fix,
         'clean_corpus': q_clean_corpus,
         'cdx_index': q_cdx_index,
+        'int8_quant': q_int8_quant,
+        'ann_int8_topk': q_ann_int8_topk,
     }
 
 
@@ -1163,6 +1194,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         'ann_lsh_topk': _ref(
             'ann_lsh_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'
+        ),
+        'int8_quant': _ref(
+            'int8_quant', 'vec_id, scale, q_sha', _EMB_SKEY, 'vec_id'
+        ),
+        'ann_int8_topk': _ref(
+            'ann_int8_topk', 'query_id, neighbor_id, rank, dot', _EMB_SKEY,
+            'query_id, rank'
         ),
         'ann_ivf_topk': _ref(
             'ann_ivf_topk', 'query_id, neighbor_id, rank', _EMB_SKEY, 'query_id, rank'

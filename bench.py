@@ -161,6 +161,9 @@ def run_bench(emit_json: bool = True) -> dict:
         'fingerprint',
         'url_canonical',
         'ann_lsh_topk',
+        # compressed ANN serving: LSH prune + INT8 integer-dot scoring
+        'int8_quant',
+        'ann_int8_topk',
         # r5 crawl-structure tier: table/meta/outlink extraction is the
         # same one-pass mapInPandas shape as main_content; host_pagerank
         # adds K host-sized iteration jobs (its ~0.4 s/iteration here is

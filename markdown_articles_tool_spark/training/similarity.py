@@ -405,3 +405,117 @@ def embedding_near_duplicates_exact(emb: DataFrame, threshold: float = 0.95) -> 
         )
         .where(F.col('sim') >= threshold)
     )
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def int8_quantize(
+    emb: DataFrame,
+    id_col: str = 'vec_id',
+    vec_col: str = 'embedding',
+) -> DataFrame:
+    """Per-vector symmetric max-abs INT8 quantization — the standard
+    compressed storage form for embedding corpora (4x smaller than
+    float32: at 10^12 vectors the difference between fitting the
+    serving tier in RAM or not).
+
+    Spec (twin: ``tools/oracle_kernels.int8_quant_seq``, a scalar
+    pure-python loop vs this numpy batch kernel):
+
+    * arithmetic in float64 (float32 inputs widen exactly);
+    * ``scale = max(|x_i|)``; all-zero (or empty) vectors quantize to
+      zeros with scale 0.0;
+    * ``q_i = clip(rint(x_i * 127 / scale), -127, 127)`` —
+      round-half-even (numpy ``rint`` == python ``round`` on doubles),
+      symmetric range (-128 unused);
+    * ``q_bytes`` = the two's-complement int8 bytes in vector order
+      (the 1-byte/dim storage row); ``q`` = the same values as an int
+      array for JVM-side integer dot products.
+
+    One Arrow pass, zero shuffles.
+    """
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, DoubleType, StructField, StructType,
+    )
+
+    from .util import ensure_parallelism
+
+    out_schema = StructType([
+        StructField('scale', DoubleType()),
+        StructField('q', ArrayType(IntegerType())),
+        StructField('q_bytes', BinaryType()),
+    ])
+
+    @pandas_udf(out_schema)
+    def quant(vec: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for v in vec:
+            x = np.asarray(v, dtype='float64')
+            s = float(np.max(np.abs(x))) if x.size else 0.0
+            if s == 0.0:
+                q = np.zeros(x.size, dtype='int64')
+            else:
+                q = np.clip(np.rint(x * 127.0 / s), -127, 127).astype('int64')
+            rows.append((s, [int(t) for t in q], q.astype('int8').tobytes()))
+        return pd.DataFrame(rows, columns=['scale', 'q', 'q_bytes'])
+
+    r = F.col('_r')
+    return (
+        ensure_parallelism(emb)
+        .select(F.col(id_col).alias('vec_id'), quant(F.col(vec_col)).alias('_r'))
+        .select('vec_id', r['scale'].alias('scale'), r['q'].alias('q'),
+                r['q_bytes'].alias('q_bytes'))
+    )
+
+
+def lsh_int8_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_planes: int = 32,
+    max_bucket: int = 512,
+    observation=None,
+) -> DataFrame:
+    """The compressed serving shape at 10^12 embeddings: LSH buckets
+    prune the candidate set (signatures on the ORIGINAL floats — sign
+    structure is what hyperplane LSH needs), then scoring runs on the
+    1-byte/dim INT8 vectors with a pure-JVM INTEGER dot product —
+    exactly reproducible under any partitioning or evaluation order
+    (no float summation hazards), and the score column the driver
+    gate can hash directly.
+
+    Same banding/bucket-cap machinery as ``lsh_cosine_topk``; only
+    the scoring join pulls the quantized arrays.  Rank ties break by
+    neighbor_id.
+    """
+    from .util import capped_buckets
+
+    sig = make_signature_udf(n_planes)
+    signed = emb.select('vec_id', F.posexplode(sig(F.col('embedding'))).alias('band', 'band_key'))
+    buckets = capped_buckets(
+        signed, ['band', 'band_key'], 'vec_id', max_bucket, 'int8_topk', observation
+    ).withColumnRenamed('items', 'ids')
+    quant = int8_quantize(emb).select('vec_id', 'q')
+    bucket_pairs = (
+        buckets.select(F.explode('ids').alias('query_id'), 'ids')
+        .join(F.broadcast(query_ids), 'query_id')
+        .select('query_id', F.explode('ids').alias('neighbor_id'))
+        .where(F.col('query_id') != F.col('neighbor_id'))
+        .distinct()
+        .join(quant.selectExpr('vec_id as query_id', 'q as q_q'), 'query_id')
+        .join(quant.selectExpr('vec_id as neighbor_id', 'q as n_q'), 'neighbor_id')
+    )
+    dot = F.aggregate(
+        F.zip_with('q_q', 'n_q', lambda x, y: (x * y).cast('long')),
+        F.lit(0).cast('long'), lambda acc, v: acc + v,
+    )
+    scored = bucket_pairs.select('query_id', 'neighbor_id', dot.alias('dot'))
+    w = Window.partitionBy('query_id').orderBy(F.col('dot').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .where(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id', 'rank', 'dot')
+    )

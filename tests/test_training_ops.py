@@ -854,3 +854,68 @@ class TestUrlCanonicalSoup:
             FROM p5
         """).fetchall())
         assert got == want
+
+
+class TestInt8Quantization:
+    @pytest.fixture(scope='class')
+    def emb(self, spark):
+        import math
+        rows = []
+        for i in range(120):
+            vec = [math.sin(i * 0.7 + j) * (1 + (i % 5)) for j in range(16)]
+            rows.append((i, vec))
+        rows.append((900, [0.0] * 16))  # zero vector: scale 0, all-zero q
+        return spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+
+    def test_quantize_matches_scalar_twin(self, spark, emb):
+        import hashlib
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), 'tools'))
+        from oracle_kernels import int8_quant_seq
+
+        from markdown_articles_tool_spark.training.similarity import int8_quantize
+
+        src = {r['vec_id']: list(r['embedding']) for r in emb.collect()}
+        for r in int8_quantize(emb).collect():
+            s, q, b = int8_quant_seq([float(t) for t in src[r['vec_id']]])
+            assert (r['scale'], list(r['q']), bytes(r['q_bytes'])) == (s, q, b)
+        zero = [r for r in int8_quantize(emb).collect() if r['vec_id'] == 900][0]
+        assert zero['scale'] == 0.0 and set(zero['q']) == {0}
+
+    def test_values_bounded_and_max_hits_127(self, spark, emb):
+        from markdown_articles_tool_spark.training.similarity import int8_quantize
+
+        for r in int8_quantize(emb).collect():
+            assert all(-127 <= v <= 127 for v in r['q'])
+            if r['scale'] > 0:
+                assert max(abs(v) for v in r['q']) == 127  # max-abs lands on ±127
+
+    def test_int8_topk_recall_vs_exact_cosine(self, spark, emb):
+        from markdown_articles_tool_spark.training.similarity import (
+            cosine_topk, lsh_int8_topk,
+        )
+        from pyspark.sql import functions as F
+
+        queries = emb.where(F.col('vec_id') % 40 == 0).where('vec_id < 900') \
+                     .select(F.col('vec_id').alias('query_id'))
+        exact = {(r['query_id'], r['neighbor_id'])
+                 for r in cosine_topk(emb, queries, k=5).collect()}
+        got = {(r['query_id'], r['neighbor_id'])
+               for r in lsh_int8_topk(emb, queries, k=5).collect()}
+        # quantization + banding vs exact float cosine: demand >=60%
+        # overlap on this easy corpus (sin-wave vectors, strong structure)
+        assert len(got & exact) >= 0.6 * len(exact), (len(got & exact), len(exact))
+
+    def test_plan_integer_scoring_no_cartesian(self, spark, emb):
+        from markdown_articles_tool_spark.training.similarity import lsh_int8_topk
+        from pyspark.sql import functions as F
+
+        queries = emb.select(F.col('vec_id').alias('query_id')).limit(3)
+        plan = lsh_int8_topk(emb, queries)._jdf.queryExecution().executedPlan().toString()
+        assert 'CartesianProduct' not in plan
+        # scoring is JVM Column algebra over int arrays — the dot
+        # product must NOT be a python UDF (only signature + quantize are)
+        assert plan.count('ArrowEvalPython') <= 4  # sig + quant (x2 under AQE)

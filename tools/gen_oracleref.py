@@ -665,6 +665,44 @@ def gen_ann_lsh(sf_dir: str, skey: int, out: dict, k=5, n_planes=32, band_bits=8
             out['ann_lsh_topk'].append((skey, qid, nid, rank))
 
 
+def gen_int8(sf_dir: str, skey: int, out: dict, k=5, n_planes=32, band_bits=8) -> None:
+    """INT8 quantization + compressed LSH top-k twins: the scalar
+    pure-python quantizer and integer dot (vs the engine's numpy batch
+    kernel + JVM Column integer fold); bucketing mirrors gen_ann_lsh
+    (signatures on the ORIGINAL floats, 512 bucket cap)."""
+    import hashlib
+
+    import numpy as np
+
+    from oracle_kernels import int8_dot_seq, int8_quant_seq
+
+    ids, embs = _load_emb(sf_dir)
+    qt = {vid: int8_quant_seq([float(t) for t in v]) for vid, v in zip(ids, embs)}
+    for vid in sorted(ids):
+        s, _q, b = qt[vid]
+        out['int8_quant'].append((skey, vid, s, hashlib.sha256(b).hexdigest()))
+    mat = np.stack([np.asarray(v, dtype='float64') for v in embs])
+    keys = _pack_band_keys(mat, n_planes, band_bits)
+    buckets = defaultdict(set)
+    for vid, row in zip(ids, keys):
+        for band, bk in enumerate(row):
+            buckets[(band, int(bk))].add(vid)
+    for qid in sorted(i for i in ids if i % 50 == 0):
+        cands = set()
+        for band, bk in enumerate(keys[ids.index(qid)]):
+            members = buckets[(band, int(bk))]
+            if len(members) > 512:  # mirrors the engine bucket cap
+                continue
+            cands |= members
+        cands.discard(qid)
+        scored = sorted(
+            ((int8_dot_seq(qt[qid][1], qt[c][1]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (dot, nid) in enumerate(scored[:k], start=1):
+            out['ann_int8_topk'].append((skey, qid, nid, rank, dot))
+
+
 def gen_ann_ivf(sf_dir: str, skey: int, out: dict, k=5, n_cells=16, nprobe=4, sample=2048) -> None:
     import numpy as np
 
@@ -874,6 +912,15 @@ SCHEMAS = {
          ('clean_text', pa.string()), ('n_pii', pa.int32()),
          ('clean_sha', pa.string())]
     ),
+    'int8_quant': pa.schema(
+        [('skey', pa.int64()), ('vec_id', pa.int64()),
+         ('scale', pa.float64()), ('q_sha', pa.string())]
+    ),
+    'ann_int8_topk': pa.schema(
+        [('skey', pa.int64()), ('query_id', pa.int64()),
+         ('neighbor_id', pa.int64()), ('rank', pa.int32()),
+         ('dot', pa.int64())]
+    ),
     'sitemap_entries': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('ord', pa.int32()),
          ('kind', pa.string()), ('loc', pa.string()), ('lastmod', pa.string()),
@@ -908,6 +955,7 @@ def main() -> None:
         gen_mojibake(sf_dir, dk, out)
         gen_clean(sf_dir, dk, out)
         gen_ann_lsh(sf_dir, ek, out)
+        gen_int8(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)
     for name, schema in SCHEMAS.items():

@@ -2592,3 +2592,36 @@ def mojibake_fix_seq(text: str) -> tuple:
         total += fixed
         rounds += 1
     return out, total, rounds
+
+
+# ------------------------------------------------------------- int8 twin
+
+
+def int8_quant_seq(vec) -> tuple:
+    """Sequential twin of training/similarity.int8_quantize: scalar
+    pure-python loop (vs the engine's numpy batch kernel).  Spec:
+    float64 arithmetic, scale = max|x|, q = clip(round-half-even(x *
+    127 / scale), -127, 127), zeros at scale 0; bytes = two's
+    complement in order.  Returns (scale, q_list, q_bytes)."""
+    xs = [float(v) for v in vec]
+    s = 0.0
+    for x in xs:
+        a = -x if x < 0 else x
+        if a > s:
+            s = a
+    if s == 0.0:
+        q = [0] * len(xs)
+    else:
+        q = []
+        for x in xs:
+            r = round(x * 127.0 / s)  # python round = half-even on floats
+            q.append(-127 if r < -127 else (127 if r > 127 else int(r)))
+    b = b''.join(int(t).to_bytes(1, 'big', signed=True) for t in q)
+    return s, q, b
+
+
+def int8_dot_seq(qa, qb) -> int:
+    total = 0
+    for x, y in zip(qa, qb):
+        total += x * y
+    return total
