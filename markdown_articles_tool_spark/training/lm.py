@@ -268,11 +268,20 @@ def perplexity_pipeline(
     text_col: str = 'text',
     train_where=None,
     min_count: int = 2,
-    top_k: int | None = None,
+    top_k: int | None = 200_000,
 ) -> DataFrame:
     """Train on the ``train_where`` slice (CCNet's "clean reference
     corpus" — e.g. ``F.col('lang') == 'en'``; None = whole input),
-    score EVERY document.  Returns (doc_id, n_scored, ppl)."""
+    score EVERY document.  Returns (doc_id, n_scored, ppl).
+
+    ``top_k`` defaults ON (200k grams per order) because min-count
+    pruning alone does NOT bound order 1 — the unigram table grows
+    with corpus VOCABULARY (every typo/URL token at 10^12 docs), and
+    an unbounded broadcast model is exactly the kind of silently-
+    growing driver artifact that dies first at scale.  A pruned-away
+    unigram scores through the OOV branch, which the spec already
+    defines.  At the test scales the cap is far above the vocabulary
+    (33 unigrams at sf0.1), so defaults change nothing there."""
     train = df.where(train_where) if train_where is not None else df
     model = collect_lm(ngram_counts(train, text_col, min_count, top_k))
     return lm_perplexity(df, model, id_col=id_col, text_col=text_col)
