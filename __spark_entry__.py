@@ -250,6 +250,29 @@ def q_frontier_schedule(spark, sf_dir):
     return frontier_schedule(frontier, max_wave=5).orderBy('dst_host', 'wave')
 
 
+def q_frontier_budget(spark, sf_dir):
+    """Crawl-delay-aware politeness budgets: the wave schedule cut per
+    host at clamp(floor(60s / delay), 1, 8) where delay = agent
+    graftbot's effective robots crawl-delay (last valid value,
+    specific group over '*'; junk values ignored; 0 = no constraint →
+    the cap; no robots → 5 s default).  The delay decision runs once
+    per HOST over the broadcast robots dim, never per frontier row
+    (training/frontier.frontier_budget).  Oracle = DuckDB's window
+    over the hash-gated crawl_frontier records joined with the twin's
+    per-host budgets (crawl_delay_seq: explicit-loop last-wins +
+    manual digit validation, vs the engine's comprehension + regex)."""
+    from markdown_articles_tool_spark.corpus import pages_df, robots_files_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.training.frontier import (
+        crawl_frontier, frontier_budget)
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    links = extract_page_outlinks(pages)
+    frontier = crawl_frontier(links, robots_files_df(spark), pages.select('url'))
+    return frontier_budget(frontier, robots_files_df(spark)).orderBy(
+        'dst_host', 'wave')
+
+
 def q_wet_roundtrip(spark, sf_dir):
     """WET derive-and-read-back: crawl archives → from-scratch WET
     writer (gzip-member conversion records of the main-content text,
@@ -965,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdx_index': q_cdx_index,
         'int8_quant': q_int8_quant,
         'ann_int8_topk': q_ann_int8_topk,
+        'frontier_budget': q_frontier_budget,
     }
 
 
@@ -1073,6 +1097,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{_ORACLEREF}/crawl_frontier.parquet')
                 WHERE skey = {_DOC_SKEY}
             ) WHERE wave <= 5 ORDER BY dst_host, wave
+        """,
+        # crawl-delay budgets: the same window, cut by the twin's
+        # per-host budget table (default 8 = clamp(floor(60/5),1,8)
+        # for hosts outside the robots dim)
+        'frontier_budget': f"""
+            WITH sched AS (
+                SELECT abs_url, dst_host, n_refs,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dst_host
+                           ORDER BY n_refs DESC, abs_url ASC
+                       ) AS wave
+                FROM read_parquet('{_ORACLEREF}/crawl_frontier.parquet')
+                WHERE skey = {_DOC_SKEY}
+            ), b AS (
+                SELECT host, budget
+                FROM read_parquet('{_ORACLEREF}/host_budget.parquet')
+                WHERE skey = {_DOC_SKEY}
+            )
+            SELECT s.abs_url, s.dst_host, s.n_refs, CAST(s.wave AS INT) AS wave,
+                   CAST(COALESCE(b.budget, 8) AS INT) AS budget
+            FROM sched s LEFT JOIN b ON s.dst_host = b.host
+            WHERE s.wave <= COALESCE(b.budget, 8)
+            ORDER BY s.dst_host, s.wave
         """,
         'page_meta': _ref(
             'page_meta',

@@ -192,6 +192,8 @@ def run_bench(emit_json: bool = True) -> dict:
         # composition adds the anti-join + collapse + rank broadcast
         'crawl_allowed',
         'crawl_frontier',
+        # crawl-delay budgets: schedule window + broadcast host budgets
+        'frontier_budget',
         # CCNet quality tier: lm_perplexity = one vocabulary-sized
         # model groupBy (train) + one scoring Arrow pass; ppl_buckets
         # adds the two-level prefix-count NTILE (no global window)

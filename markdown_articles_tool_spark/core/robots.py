@@ -127,3 +127,23 @@ def url_path(abs_url: str) -> str:
     if not m:
         return '/'
     return m.group(1) or '/'
+
+
+_DELAY_RE = re.compile(r'^[0-9]+(\.[0-9]+)?$')  # ASCII digits only
+
+
+def crawl_delay(records: List[Tuple[str, int, str, str]], agent: str):
+    """Effective crawl-delay (seconds) for ``agent``: the LAST valid
+    ``crawl-delay`` record in the agent's own groups, else the last in
+    the ``*`` groups, else None.  A valid value is a non-negative
+    ASCII decimal (``^[0-9]+(\\.[0-9]+)?$``); invalid values are
+    ignored at selection time (a group whose only delay is junk falls
+    through to ``*``).  Mirrors ``is_allowed``'s specific-agent-over-
+    ``*`` preference."""
+    agent = agent.lower()
+    for scope in (agent, '*'):
+        vals = [v for a, _o, verb, v in records
+                if a == scope and verb == 'crawl-delay' and _DELAY_RE.match(v)]
+        if vals:
+            return float(vals[-1])
+    return None

@@ -728,7 +728,7 @@ def robots_txt_for(host: str) -> str:
     if r == 0:
         return ''
     if r == 1:
-        return 'User-agent: *\r\nDisallow: /\r\n'
+        return 'User-agent: *\r\nDisallow: /\r\nCrawl-delay: 10\r\n'
     if r == 2:
         return (
             f'# policy for {host}\n'
@@ -747,9 +747,11 @@ def robots_txt_for(host: str) -> str:
             'User-agent: otherbot\n'
             'Disallow: /refs/\n'
             'Allow: /refs/r1\n'
+            'Crawl-delay: 20\n'
             f'Sitemap: https://{host}/sitemap.xml\n'
             'User-Agent: *\n'
             'Disallow: /articles/hub/\n'
+            'Crawl-delay: 5\n'
         )
     if r == 4:
         return (
@@ -757,13 +759,19 @@ def robots_txt_for(host: str) -> str:
             'DisAllow: /s1/\n'
             'Noindex: /x\n'
             f'Allow: /s1/{host[0]}\n'
+            'Crawl-Delay: 12.5\n'
             f'Host: {host}\n'
         )
     if r == 5:
-        return 'User-agent: *\nDisallow: /consent\nAllow: /consent\n'
+        # junk delay value: ignored at selection → the default applies
+        return ('User-agent: *\nDisallow: /consent\nAllow: /consent\n'
+                'Crawl-delay: abc\n')
     if r == 6:
-        return 'User-agent: *\nDisallow: /lib/\nAllow: /lib/*.js$\n'
-    return 'User-agent: graftbot\nDisallow:\n'
+        # two delays in one group: LAST wins (3 → 30)
+        return ('User-agent: *\nDisallow: /lib/\nAllow: /lib/*.js$\n'
+                'Crawl-delay: 3\nCrawl-delay: 30\n')
+    # delay 0 = explicit no-constraint → the max_budget cap applies
+    return 'User-agent: graftbot\nDisallow:\nCrawl-delay: 0\n'
 
 
 def robots_files_df(spark):

@@ -86,3 +86,62 @@ def frontier_schedule(frontier: DataFrame, max_wave: int | None = None) -> DataF
     if max_wave is not None:
         out = out.where(F.col('wave') <= max_wave)
     return out
+
+
+def frontier_budget(
+    frontier: DataFrame,
+    robots: DataFrame,
+    agent: str = 'graftbot',
+    cycle_seconds: float = 60.0,
+    default_delay: float = 5.0,
+    max_budget: int = 8,
+) -> DataFrame:
+    """Crawl-delay-aware politeness budgets: the wave schedule of
+    ``frontier_schedule``, cut per host at
+    ``budget = clamp(floor(cycle_seconds / delay), 1, max_budget)``
+    where ``delay`` is the agent's effective robots crawl-delay
+    (core/robots.crawl_delay: last valid value, specific agent over
+    ``*``), ``default_delay`` when the host has no robots or no valid
+    delay, and an explicit ``delay: 0`` means "no delay constraint" →
+    ``max_budget``.
+
+    Scale shape: the delay decision runs ONCE PER HOST over the
+    host-sized robots dim (one Arrow pass over the broadcast side —
+    never per frontier row), then the tiny (host, budget) frame
+    broadcast-joins onto the scheduled frontier; the only window is
+    frontier_schedule's host-partitioned one.  Returns (abs_url,
+    dst_host, n_refs, wave, budget).
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from ..core.robots import crawl_delay, parse_robots
+
+    def _budget(delay) -> int:
+        if delay is None:
+            delay = float(default_delay)
+        if delay == 0:
+            return int(max_budget)
+        return max(1, min(int(max_budget), int(float(cycle_seconds) // delay)))
+
+    out_schema = StructType([
+        StructField('host', StringType()),
+        StructField('budget', IntegerType()),
+    ])
+
+    def per_host(batches):
+        for pdf in batches:
+            rows = [
+                (h, _budget(crawl_delay(parse_robots(txt or ''), agent)))
+                for h, txt in zip(pdf['host'], pdf['robots_txt'])
+            ]
+            yield pd.DataFrame(rows, columns=['host', 'budget'])
+
+    budgets = robots.select('host', 'robots_txt').mapInPandas(per_host, out_schema)
+    sched = frontier_schedule(frontier)
+    out = (
+        sched.join(F.broadcast(budgets), sched.dst_host == budgets.host, 'left')
+        .withColumn('budget', F.coalesce(F.col('budget'), F.lit(_budget(None))))
+        .where(F.col('wave') <= F.col('budget'))
+    )
+    return out.select('abs_url', 'dst_host', 'n_refs', 'wave', 'budget')

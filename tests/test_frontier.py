@@ -129,3 +129,58 @@ class TestFrontier:
         # REUSES the abs_url partitioning and adds no Exchange
         assert sorted(keys) == ['_crawled_url', '_groupingexpression', 'abs_url'], keys
         assert 'BroadcastExchange' in plan  # the rank-priority dim join
+
+
+class TestCrawlDelayBudget:
+    def test_crawl_delay_selection_goldens(self):
+        from markdown_articles_tool_spark.core.robots import crawl_delay, parse_robots
+
+        r = parse_robots(
+            'User-agent: graftbot\nDisallow: /x\nCrawl-delay: 20\n'
+            'User-agent: *\nCrawl-delay: 5\n')
+        assert crawl_delay(r, 'graftbot') == 20.0   # specific over *
+        assert crawl_delay(r, 'GraftBot') == 20.0   # case-folded
+        assert crawl_delay(r, 'nobot') == 5.0
+        assert crawl_delay([], 'x') is None
+        # junk values ignored; last VALID wins; floats; zero kept
+        assert crawl_delay(parse_robots('User-agent: *\nCrawl-delay: abc\n'), 'x') is None
+        assert crawl_delay(parse_robots(
+            'User-agent: *\nCrawl-delay: 3\nCrawl-delay: 30\n'), 'x') == 30.0
+        assert crawl_delay(parse_robots(
+            'User-agent: *\nCrawl-delay: 30\nCrawl-delay: bad\n'), 'x') == 30.0
+        assert crawl_delay(parse_robots('User-agent: *\nCrawl-delay: 12.5\n'), 'x') == 12.5
+        assert crawl_delay(parse_robots('User-agent: *\nCrawl-delay: 0\n'), 'x') == 0.0
+        for junk in ('5.', '.5', '1.2.3', '²', '１２', '-1', ' '):
+            assert crawl_delay(parse_robots(
+                f'User-agent: *\nCrawl-delay: {junk}\n'), 'x') is None, junk
+
+    def test_budget_math_and_host_decision_once(self, spark):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+        from markdown_articles_tool_spark.training.frontier import (
+            crawl_frontier, frontier_budget, frontier_schedule)
+
+        pages = corpus.pages_df(spark, 40)
+        links = extract_page_outlinks(pages)
+        robots = corpus.robots_files_df(spark)
+        frontier = crawl_frontier(links, robots, pages.select('url'))
+        out = frontier_budget(frontier, robots).collect()
+        assert out
+        # clamp(floor(60/delay),1,8): delays 4→8(clamped) 20→3 12.5→4
+        # 30→2 0→8 none→8; budget constant per host and wave<=budget
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r['dst_host'], set()).add(r['budget'])
+            assert 1 <= r['budget'] <= 8
+            assert r['wave'] <= r['budget']
+        assert all(len(b) == 1 for b in by_host.values())
+        budgets = {h: next(iter(b)) for h, b in by_host.items()}
+        assert len(set(budgets.values())) >= 3  # rotation gives a real spread
+        # budgeted output == schedule filtered by the per-host budget
+        sched = frontier_schedule(frontier).collect()
+        want = {(r['abs_url'], r['wave']) for r in sched
+                if r['wave'] <= budgets.get(r['dst_host'], 8)
+                and r['dst_host'] in budgets}
+        got = {(r['abs_url'], r['wave']) for r in out
+               if r['dst_host'] in budgets}
+        assert got == want

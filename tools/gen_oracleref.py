@@ -354,6 +354,10 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
 
     from oracle_kernels import sitemap_entries_seq
 
+    import math as _math
+
+    from oracle_kernels import crawl_delay_seq
+
     parsed = {}
     for host in corpus.ROBOTS_HOSTS:
         recs = robots_rules_seq(corpus.robots_txt_for(host))
@@ -362,6 +366,14 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
             out['robots_rules'].append((skey, host, *rec))
         for rec in sitemap_entries_seq(corpus.sitemap_xml_for(host)):
             out['sitemap_entries'].append((skey, host, *rec))
+        # per-host politeness budget twin (frontier_budget's params:
+        # agent graftbot, 60 s cycle, 5 s default delay, cap 8):
+        # clamp(floor(60/delay), 1, 8); delay 0 → the cap
+        delay = crawl_delay_seq(recs, 'graftbot')
+        if delay is None:
+            delay = 5.0
+        budget = 8 if delay == 0 else max(1, min(8, int(_math.floor(60.0 / delay))))
+        out['host_budget'].append((skey, host, budget))
     n = _corpus_n(sf_dir)
     # frontier composition state: crawled set, per-target refs, host
     # edges for the priority ranks (verbatim-case hosts, like the
@@ -911,6 +923,9 @@ SCHEMAS = {
         [('skey', pa.int64()), ('doc_id', pa.int64()),
          ('clean_text', pa.string()), ('n_pii', pa.int32()),
          ('clean_sha', pa.string())]
+    ),
+    'host_budget': pa.schema(
+        [('skey', pa.int64()), ('host', pa.string()), ('budget', pa.int32())]
     ),
     'int8_quant': pa.schema(
         [('skey', pa.int64()), ('vec_id', pa.int64()),

@@ -2625,3 +2625,32 @@ def int8_dot_seq(qa, qb) -> int:
     for x, y in zip(qa, qb):
         total += x * y
     return total
+
+
+def crawl_delay_seq(records: list, agent: str):
+    """Twin of core/robots.crawl_delay on different machinery: an
+    explicit loop keeping the LAST valid value (vs the engine's
+    comprehension + regex validator); validity checked by manual
+    ASCII-digit segmentation (vs the compiled pattern).  Specific
+    agent groups preempt '*'; invalid values are skipped at
+    selection."""
+    def _valid(v: str) -> bool:
+        if not v:
+            return False
+        parts = v.split('.')
+        if len(parts) > 2:
+            return False
+        for k, p in enumerate(parts):
+            if not p or any(c not in '0123456789' for c in p):
+                return False
+        return True
+
+    agent = agent.lower()
+    for scope in (agent, '*'):
+        found = None
+        for a, _o, verb, v in records:
+            if a == scope and verb == 'crawl-delay' and _valid(v):
+                found = v
+        if found is not None:
+            return float(found)
+    return None
