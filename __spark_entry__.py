@@ -831,6 +831,42 @@ def q_cdx_index(spark, sf_dir):
     return global_rank(cdx, ['surt', 'file_name', 'ord'], 'idx').orderBy('idx')
 
 
+def q_cdx_lookup(spark, sf_dir):
+    """The index answering queries — the operational proof of the
+    whole CDX tier: write the range-partitioned SURT-sorted shard
+    layout + boundary table (sources/cdxindex.write_cdx_index — the
+    CC cdx-NNNNN + cluster.idx shape, built fully distributed), then
+    point-look-up the first five metadata SURTs through the boundary
+    prune (each lookup scans only its covering shard file).  Because
+    metadata records carry SURT-trap spellings of their page's URL
+    (corpus._messy_target), a lookup on the MESSY spelling finds the
+    clean response/request records too — the SURT-collapse property
+    doing its job.  Oracle = DuckDB selecting the same five keys'
+    rows from the twin's CDX table."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.cdxindex import (
+        lookup_surt, write_cdx_index)
+    from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+    n = _corpus_n(sf_dir)
+    files = warc_files_df(spark, n)
+    cdx = read_warc_cdx(files)
+    path = f'/tmp/mats_cdx_index/{n}'
+    write_cdx_index(cdx, path)
+    keys = [r['surt'] for r in
+            cdx.where((F.col('warc_type') == 'metadata')
+                      & F.col('surt').startswith('example,'))
+            .select('surt').distinct().orderBy('surt').limit(5).collect()]
+    parts = [lookup_surt(spark, path, k) for k in keys]
+    return reduce(_DF.unionByName, parts).select(
+        'surt', 'file_name', 'ord', 'warc_type', 'url'
+    ).orderBy('surt', 'file_name', 'ord')
+
+
 def q_clean_corpus(spark, sf_dir):
     """The composed hygiene pipeline — what a release run actually
     executes: mojibake repair → PII scrub → Gopher quality verdict,
@@ -989,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'int8_quant': q_int8_quant,
         'ann_int8_topk': q_ann_int8_topk,
         'frontier_budget': q_frontier_budget,
+        'cdx_lookup': q_cdx_lookup,
     }
 
 
@@ -1217,6 +1254,23 @@ def oracle_sql() -> dict[str, str]:
             'doc_id, n_runs_fixed, n_rounds, fixed_sha',
             _DOC_SKEY, 'doc_id',
         ),
+        # point lookups through the sharded index: the first five
+        # metadata SURTs (the messy-spelling keys) must retrieve the
+        # same rows the twin's flat CDX table holds for those keys
+        'cdx_lookup': f"""
+            WITH k AS (
+                SELECT DISTINCT surt
+                FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet')
+                WHERE skey = {_DOC_SKEY} AND warc_type = 'metadata'
+                  AND surt LIKE 'example,%'
+                ORDER BY surt LIMIT 5
+            )
+            SELECT c.surt, c.file_name, c.ord, c.warc_type, c.url
+            FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet') c
+            JOIN k USING (surt)
+            WHERE c.skey = {_DOC_SKEY}
+            ORDER BY c.surt, c.file_name, c.ord
+        """,
         # merged CDX index: DuckDB's OWN global window over the twin's
         # CDX rows — independently checks the two-level prefix-count
         # ranking that replaces the single-partition sort

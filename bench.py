@@ -184,8 +184,12 @@ def run_bench(emit_json: bool = True) -> dict:
         # two pandas passes each, zero shuffles
         'wet_roundtrip',
         'wat_roundtrip',
-        # merged CDX index: WARC parse + two-level prefix-count rank
+        # merged CDX index: WARC parse + two-level prefix-count rank;
+        # cdx_lookup additionally WRITES the sharded layout and runs 5
+        # boundary-pruned point lookups (its ~4.5 s here is per-job
+        # orchestration floor — build once, lookups are one-file scans)
         'cdx_index',
+        'cdx_lookup',
         # robots gate: broadcast host-dim join + one pandas decision
         # pass over the outlink records (robots_rules itself is a
         # 12-row dim parse — not worth a headline slot); the frontier

@@ -526,3 +526,54 @@ class TestCdxGlobalIndex:
         assert [r['idx'] for r in by_idx] == list(range(1, len(rows) + 1))
         keys = [(r['surt'], r['file_name'], r['ord']) for r in by_idx]
         assert keys == sorted(keys)
+
+
+class TestCdxShardedIndex:
+    def test_write_prune_lookup_roundtrip(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.cdxindex import (
+            covering_shards, lookup_surt, write_cdx_index,
+        )
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+        n = 60
+        tmp = str(tmp_path_factory.mktemp('cdxshard') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        cdx = read_warc_cdx(spark.read.parquet(tmp))
+        path = str(tmp_path_factory.mktemp('cdxshard') / 'index')
+        write_cdx_index(cdx, path, n_shards=4)
+
+        import glob
+        shard_files = glob.glob(f'{path}/shards/*.parquet')
+        bounds = spark.read.parquet(f'{path}/_boundaries').collect()
+        assert len(bounds) == len(shard_files) >= 2  # one row per shard
+
+        full = cdx.collect()
+        keys = sorted({r['surt'] for r in full if r['surt']})
+        # a middle key is covered by exactly ONE shard (the prune), and
+        # the pruned lookup equals the full-scan filter — for EVERY key
+        mid = keys[len(keys) // 2]
+        assert len(covering_shards(spark, path, mid)) == 1
+        for key in keys[:: max(1, len(keys) // 20)]:
+            got = sorted((r['surt'], r['file_name'], r['ord'])
+                         for r in lookup_surt(spark, path, key).collect())
+            want = sorted((r['surt'], r['file_name'], r['ord'])
+                          for r in full if r['surt'] == key)
+            assert got == want, key
+        # a key outside every range: no shard touched, empty result
+        assert covering_shards(spark, path, '￿') == []
+        assert lookup_surt(spark, path, '￿').count() == 0
+
+    def test_shards_are_globally_sorted(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.cdxindex import write_cdx_index
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+        n = 40
+        tmp = str(tmp_path_factory.mktemp('cdxsort') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        path = str(tmp_path_factory.mktemp('cdxsort') / 'index')
+        write_cdx_index(read_warc_cdx(spark.read.parquet(tmp)), path, n_shards=3)
+        bounds = sorted((r['lo'], r['hi']) for r in
+                        spark.read.parquet(f'{path}/_boundaries').collect())
+        # shard ranges are disjoint and ordered: hi(i) <= lo(i+1)
+        for (l1, h1), (l2, h2) in zip(bounds, bounds[1:]):
+            assert l1 <= h1 <= l2 <= h2
