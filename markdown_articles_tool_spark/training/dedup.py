@@ -57,17 +57,33 @@ def dedup_lines(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
     n_lines, n_kept, text_dedup = '\\n'-join of kept norms in document
     order).
 
-    Plan shape: posexplode to narrow (id, idx, norm) rows, ONE hash
-    exchange on ``sha2(norm, 256)`` — a fixed 32-byte shuffle key, the
-    raw line never keys an exchange (same digest-key rule as
-    exact_dedup; sha equality stands in at 2^-128 odds) — a window
-    row_number picks winners, then one exchange back on id for the
-    per-document fold.  Dup-group sizes are bounded by corpus
-    repetition, not corpus size, so the window sort is O(group) —
-    scales to crawl corpora.
-    """
-    from pyspark.sql import Window
+    Plan shape (r6 — de-skewed, zero windows): winner selection is an
+    AGGREGATION, never a window.  ``row_number() OVER (PARTITION BY
+    digest)`` would put every copy of a duplicated line in ONE window
+    partition and sort it on one task — and this operator's TARGET
+    input is exactly that worst case (a site-template footer appears
+    once per page, so at 10^12 pages the hottest group is
+    corpus-sized).  Instead:
 
+    * ``groupBy(sha2(norm)).agg(min(struct(_id, idx, norm)))`` —
+      map-side partial aggregation collapses the hot line to ONE row
+      per map partition before the exchange, and because (_id, idx) is
+      unique the min struct IS the kept occurrence (the norm rides
+      along), so no join-back of the raw line table is needed at all;
+    * ``n_lines`` per doc is a second count aggregation over the
+      exploded lines (also map-side combined: the exchange carries one
+      (doc, count) row per doc per map partition);
+    * the two doc-keyed aggregates outer-join on ``_id`` — both sides
+      already hash-partitioned on it.
+
+    The shuffle keys are ``sha2(norm, 256)`` (fixed 32-byte digest;
+    the raw line never keys an exchange — same rule as exact_dedup,
+    sha equality stands in at 2^-128 odds) and the doc id.  NO
+    exchange carries un-aggregated corpus-scale rows, so there is no
+    skew to split: the cost of the explode running under both
+    aggregations (two scans of the text column) buys the removal of
+    the corpus-sized window shuffle + single-task sort.
+    """
     from .util import ensure_parallelism
 
     lines = (
@@ -79,20 +95,31 @@ def dedup_lines(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
         .select('_id', 'idx', F.trim('line').alias('norm'))
         .where(F.col('norm') != '')
     )
-    w = Window.partitionBy(F.sha2(F.encode('norm', 'utf-8'), 256)).orderBy('_id', 'idx')
-    flagged = lines.withColumn('rn', F.row_number().over(w))
-    kept_struct = F.when(F.col('rn') == 1, F.struct('idx', 'norm'))
+    # kept occurrences = the per-digest minimum (_id, idx) — the min
+    # struct carries the norm, so the winners ARE the kept rows
+    winners = (
+        lines.groupBy(F.sha2(F.encode('norm', 'utf-8'), 256).alias('_digest'))
+        .agg(F.min(F.struct('_id', 'idx', 'norm')).alias('_w'))
+        .select(F.col('_w._id').alias('_id'), F.col('_w.idx').alias('idx'),
+                F.col('_w.norm').alias('norm'))
+    )
+    kept = winners.groupBy('_id').agg(
+        F.count(F.lit(1)).alias('n_kept'),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct('idx', 'norm'))),
+                        lambda s: s['norm']),
+            '\n',
+        ).alias('text_dedup'),
+    )
+    stats = lines.groupBy('_id').agg(F.count(F.lit(1)).alias('n_lines'))
     return (
-        flagged.groupBy('_id')
-        .agg(
-            F.count(F.lit(1)).alias('n_lines'),
-            F.sum(F.when(F.col('rn') == 1, 1).otherwise(0)).cast('long').alias('n_kept'),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s['norm']),
-                '\n',
-            ).alias('text_dedup'),
+        stats.join(kept, '_id', 'left')
+        .select(
+            F.col('_id').alias(id_col),
+            'n_lines',
+            F.coalesce('n_kept', F.lit(0).cast('long')).alias('n_kept'),
+            F.coalesce('text_dedup', F.lit('')).alias('text_dedup'),
         )
-        .withColumnRenamed('_id', id_col)
     )
 
 

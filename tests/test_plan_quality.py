@@ -148,9 +148,14 @@ class TestExactDedupPlan:
             )
 
     def test_line_dedup_plan_shape(self, spark):
-        """dedup_lines: the window exchange keys on the sha2 digest of
-        the normalized line (never the raw line string), the scan is
-        pruned to (id, text), and no Python UDF enters the plan."""
+        """dedup_lines (r6 de-skewed shape): winner selection is a
+        partial-aggregated groupBy on the sha2 digest — NO window node
+        anywhere in the plan (a row_number window over the digest puts
+        every copy of a duplicated line in one window partition: a
+        corpus-ubiquitous boilerplate line = a corpus-sized single-task
+        sort, on exactly the input this operator exists to clean).  The
+        digest keys the exchange, the raw line string never does, and
+        no Python UDF enters the plan."""
         from markdown_articles_tool_spark.training.dedup import dedup_lines
 
         docs = spark.createDataFrame(
@@ -159,22 +164,30 @@ class TestExactDedupPlan:
         jdf = dedup_lines(docs)._jdf
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
         plan_str = jdf.queryExecution().explainString(mode)
-        # the window key is projected as _wN = sha2(encode(norm, utf-8))
-        # and the exchange partitions on that digest column, never on
-        # the raw norm string
+        # no window machinery at all — winners come from an aggregation
+        assert 'Window' not in plan_str, 'window node back in dedup_lines plan'
+        assert 'row_number' not in plan_str
+        # the winner exchange keys on the digest grouping column …
         m = re.search(
-            r'sha2\([^\n]*norm#\d+[^\n]*\), 256\) AS (_w\d+)#(\d+)', plan_str
+            r'sha2\([^\n]*norm#\d+[^\n]*\), 256\) AS (_groupingexpression|_digest)#(\d+)',
+            plan_str,
         )
-        assert m, 'no sha2-digest window key projection in plan'
+        assert m, 'no sha2-digest grouping projection in plan'
         assert re.search(rf'hashpartitioning\({m.group(1)}#{m.group(2)}', plan_str), (
-            'window exchange does not key on the digest column'
+            'winner exchange does not key on the digest column'
         )
+        # … fed by a map-side partial aggregate (the skew armor: the
+        # hot line collapses to one row per map partition pre-shuffle)
+        assert 'partial_min' in plan_str, 'no partial min aggregation before the exchange'
         assert not re.search(r'hashpartitioning\(norm#\d+', plan_str), (
             'raw line string keys an exchange'
         )
         for udf_node in ('ArrowEvalPython', 'BatchEvalPython', 'PythonUDF', 'MapInPandas'):
             assert udf_node not in plan_str, f'python UDF in plan: {udf_node}'
-        assert plan_str.count('Exchange') <= 4  # widen + digest + per-doc fold
+        # widen (×2: the explode feeds both aggregations) + digest agg
+        # + winners-per-doc + stats-per-doc + join alignment — every
+        # one carries partially-aggregated or input-sized rows only
+        assert plan_str.count('Exchange') <= 6
     """Every bucketed sketch operator must consume its (expensive)
     signature UDF exactly ONCE — the band self-join formulations
     evaluated it once per join side (minhash 2x, simhash 4x, winnow

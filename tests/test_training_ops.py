@@ -539,6 +539,39 @@ class TestLineDedup:
         # the corpus genuinely exercises cross-doc dedup
         assert any(nk < nl for _u, nl, nk, _t in want)
 
+    def test_degenerate_hot_line(self, spark):
+        """The operator's TARGET worst case: one boilerplate line
+        planted in EVERY document (at crawl scale the hot digest group
+        is corpus-sized).  The r6 agg shape collapses it map-side — no
+        window partition ever holds the group — and the output is the
+        spec one: the min-(id, idx) doc keeps the banner, everyone
+        else drops it; docs made ONLY of the banner fold to n_kept=0
+        with text_dedup=''."""
+        n = 500
+        rows = [(i, f'unique {i}\nGLOBAL FOOTER' if i % 3 else 'GLOBAL FOOTER')
+                for i in range(n)]
+        df = spark.createDataFrame(rows, 'doc_id long, text string').repartition(16)
+        got = {r['doc_id']: r for r in dedup.dedup_lines(df).collect()}
+        assert len(got) == n
+        # doc 0 is all-banner and the global min occurrence → keeps it
+        assert (got[0]['n_lines'], got[0]['n_kept'], got[0]['text_dedup']) == (1, 1, 'GLOBAL FOOTER')
+        for i in range(1, n):
+            if i % 3:
+                assert (got[i]['n_lines'], got[i]['n_kept']) == (2, 1)
+                assert got[i]['text_dedup'] == f'unique {i}'
+            else:
+                assert (got[i]['n_lines'], got[i]['n_kept'], got[i]['text_dedup']) == (1, 0, '')
+
+    def test_partition_invariance(self, spark):
+        """Identical output at 1, 7 and 32 input partitions (the agg
+        winner rule is a pure min over a total order — placement-free)."""
+        rows = [(i, f'common line\nrow {i % 9}\ncommon line') for i in range(80)]
+        df = spark.createDataFrame(rows, 'doc_id long, text string')
+        want = sorted(map(tuple, dedup.dedup_lines(df.coalesce(1)).collect()))
+        for parts in (7, 32):
+            got = sorted(map(tuple, dedup.dedup_lines(df.repartition(parts)).collect()))
+            assert got == want
+
 
 class TestUrlCanonical:
     def test_spec_cases(self, spark):
