@@ -60,7 +60,11 @@ def crawl_allowed(outlinks: DataFrame, robots: DataFrame,
         'url', 'ord', 'abs_url',
         F.lower(F.regexp_extract('abs_url', _HOST_RE, 1)).alias('dst_host'),
     )
-    rob = robots.select(F.col('host').alias('_rhost'), 'robots_txt')
+    # the link side's dst_host is lowercased above — lowercase the
+    # robots-dim host at join time too, or a mixed-case host in the
+    # robots table silently never matches and the gate fails OPEN
+    # (allowed=true) for exactly the hosts that published a policy
+    rob = robots.select(F.lower(F.col('host')).alias('_rhost'), 'robots_txt')
     joined = links.join(F.broadcast(rob), links.dst_host == rob._rhost, 'left')
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -66,26 +66,56 @@ def crawl_frontier(outlinks: DataFrame, robots: DataFrame, crawled: DataFrame,
     )
 
 
-def frontier_schedule(frontier: DataFrame, max_wave: int | None = None) -> DataFrame:
+def frontier_schedule(frontier: DataFrame, max_wave: int | None = None,
+                      n_salts: int | None = None) -> DataFrame:
     """Politeness scheduling: assign every frontier target its fetch
     WAVE — the 1-based position within its host under the total order
     (n_refs desc, abs_url asc) — so a crawler that issues one request
     per host per cycle fetches wave 1 everywhere, then wave 2, …
     deterministic under any partitioning (the order is total).
 
-    Scale shape: ONE window over dst_host — host-sized partitions of
-    the already-collapsed distinct targets (a mega-host's partition
-    holds its frontier entries, not its raw inlinks); ``max_wave``
-    caps the per-host fetch budget for the cycle, the standard
-    window-top-k cut."""
+    Scale shape (r6 — mega-host armor): a per-host window numbers a
+    host's ENTIRE frontier in one task, and crawl frontiers are
+    Zipf-hosted — one domain can hold 10^9 targets.  When ``max_wave``
+    is set (every production consumer cuts at a small budget):
+
+    * ``max_wave <= spark.sql.optimizer.windowGroupLimitThreshold``
+      (default 1000): the plain window + rank filter is kept and
+      Catalyst's InferWindowGroupLimit turns it into the two-level
+      bounded top-k itself — a Partial WindowGroupLimit keeps only
+      ``max_wave`` rows per host per MAP partition before the
+      exchange, the Final one ranks the ≤ max_wave·n_map_parts
+      survivors (plan-pinned in tests/test_plan_quality.py);
+    * above the threshold (or with ``n_salts`` forced) the explicit
+      salted two-level ``util.grouped_topk`` takes over — identical
+      output for wave ≤ max_wave because the order is total.
+
+    ``max_wave=None`` is the labeled EXACT path (unbounded numbering,
+    full per-host sort) — correct, and the right tool only when the
+    complete ordering is genuinely wanted."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy('dst_host').orderBy(
-        F.desc('n_refs'), F.asc('abs_url'))
-    out = frontier.withColumn('wave', F.row_number().over(w))
-    if max_wave is not None:
-        out = out.where(F.col('wave') <= max_wave)
-    return out
+    order = [F.desc('n_refs'), F.asc('abs_url')]
+    if max_wave is None:
+        w = Window.partitionBy('dst_host').orderBy(*order)
+        return frontier.withColumn('wave', F.row_number().over(w))
+    try:
+        threshold = int(frontier.sparkSession.conf.get(
+            'spark.sql.optimizer.windowGroupLimitThreshold'))
+    except Exception:
+        threshold = 1000
+    if n_salts is None and 0 <= int(max_wave) <= threshold:
+        w = Window.partitionBy('dst_host').orderBy(*order)
+        return (
+            frontier.withColumn('wave', F.row_number().over(w))
+            .where(F.col('wave') <= int(max_wave))
+        )
+    from .util import grouped_topk
+
+    return grouped_topk(
+        frontier, ['dst_host'], order, int(max_wave),
+        salt_on=['abs_url'], rank_col='wave', n_salts=n_salts or 32,
+    )
 
 
 def frontier_budget(
@@ -138,9 +168,17 @@ def frontier_budget(
             yield pd.DataFrame(rows, columns=['host', 'budget'])
 
     budgets = robots.select('host', 'robots_txt').mapInPandas(per_host, out_schema)
-    sched = frontier_schedule(frontier)
+    # budgets clamp to [1, max_budget], so waves beyond max_budget can
+    # never survive the cut — route through the BOUNDED schedule path
+    # (identical output; a mega-host's frontier is never fully sorted)
+    sched = frontier_schedule(frontier, max_wave=int(max_budget))
+    # dst_host is lowercased upstream (crawl_allowed extracts it with
+    # F.lower); lowercase the robots-dim side at join time too, or a
+    # mixed-case host in the robots table silently never matches and
+    # its budget falls back to the default (ADVICE r5)
     out = (
-        sched.join(F.broadcast(budgets), sched.dst_host == budgets.host, 'left')
+        sched.join(F.broadcast(budgets),
+                   sched.dst_host == F.lower(budgets.host), 'left')
         .withColumn('budget', F.coalesce(F.col('budget'), F.lit(_budget(None))))
         .where(F.col('wave') <= F.col('budget'))
     )

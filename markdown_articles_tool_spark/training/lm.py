@@ -70,12 +70,12 @@ Scale shape:
   tokens on repetitive web text;
 * **bucketing** never uses a global window (``ntile() OVER (ORDER BY
   ppl)`` with no partition key would sort the corpus in ONE task).
-  ``ppl_ntile`` is the two-level prefix-count from packing.py: range
-  partition by (ppl, doc_id), per-partition counts (a tiny
-  n_partitions-row frame), exclusive prefix over that frame, broadcast
-  the bases back, global rank = base + local row_number, then the
-  SQL-standard NTILE formula from (rank, n, k).  Partition-count
-  invariant; DuckDB's own ``ntile(3)`` is the oracle twin.
+  ``ppl_ntile`` rides the SHARED two-level prefix-count machinery
+  (``training/util.global_rank`` — range partition by (ppl, doc_id),
+  per-partition counts, exclusive prefix, broadcast bases, rank =
+  base + local row_number) and adds only the SQL-standard NTILE
+  formula from (rank, n, k).  Partition-count invariant; DuckDB's own
+  ``ntile(3)`` is the oracle twin.
 """
 
 from __future__ import annotations
@@ -84,7 +84,7 @@ import math
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     DoubleType, IntegerType, LongType, StringType, StructField, StructType,
 )
@@ -157,11 +157,20 @@ def ngram_counts(
         .where((F.col('order') == 1) | (F.col('count') >= int(min_count)))
     )
     if top_k is not None:
-        w = Window.partitionBy('order').orderBy(F.col('count').desc(), 'gram')
-        counts = (
-            counts.withColumn('_rk', F.row_number().over(w))
-            .where(F.col('_rk') <= int(top_k))
-            .drop('_rk')
+        # per-order top-k WITHOUT a per-order single-task sort: a
+        # Window.partitionBy('order') would land the entire order-1
+        # unigram table — the unbounded, vocabulary-sized table top_k
+        # exists to cap — in ONE window partition (and top_k=200k is
+        # far above Catalyst's windowGroupLimitThreshold, so no
+        # automatic two-level rewrite applies).  grouped_topk salts
+        # each order across 32 buckets, takes per-bucket top-k, then
+        # ranks the bounded survivors — identical output (the
+        # (-count, gram) order is total).
+        from .util import grouped_topk
+
+        counts = grouped_topk(
+            counts, ['order'], [F.col('count').desc(), 'gram'], int(top_k),
+            salt_on=['gram'],
         )
     return counts
 
@@ -185,9 +194,17 @@ def collect_lm(counts_df: DataFrame) -> dict:
 # ------------------------------------------------------------- scoring
 
 
+MEMO_CAP = 1 << 20  # distinct (u,v,w) entries per scoring memo
+
+
 def score_tokens(toks: list, model: dict, memo: dict | None = None) -> tuple:
     """(log10-prob fsum, n_scored) for one token list under the spec.
-    ``memo`` caches per (u,v,w) across documents of one batch."""
+    ``memo`` caches per (u,v,w) across documents of one batch.  It is
+    a pure cache (results never depend on its contents), and it is
+    BOUNDED: at ``MEMO_CAP`` entries it resets — on adversarially
+    diverse text an unbounded per-batch memo would otherwise grow to
+    rival the model itself (one entry per distinct trigram seen, with
+    10k-doc Arrow batches that is millions of keys)."""
     c1, c2, c3 = model[1], model[2], model[3]
     n_total = model['N']
     if memo is None:
@@ -215,6 +232,8 @@ def score_tokens(toks: list, model: dict, memo: dict | None = None) -> tuple:
                     else:
                         p = ALPHA * ALPHA * (1.0 / n_total)
             lp = math.log10(p)
+            if len(memo) >= MEMO_CAP:
+                memo.clear()
             memo[key] = lp
         logs.append(lp)
     return math.fsum(logs), len(seq) - 2
@@ -293,27 +312,18 @@ def perplexity_pipeline(
 def ppl_ntile(scored: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, ppl) → (doc_id, ppl, tile) with tile = SQL-standard
     NTILE(k) over (ORDER BY ppl, doc_id) — computed WITHOUT a global
-    single-partition window (see module docstring: two-level prefix
-    count, partition-count invariant).
+    single-partition window.  The rank machinery is the shared
+    ``training/util.global_rank`` (two-level prefix count, partition-
+    count invariant; it localCheckpoints so the upstream scoring UDF
+    runs once, not once per rank job); this function only adds the
+    SQL-standard NTILE formula over (rank, n, k)."""
+    from .util import global_rank
 
-    The input is localCheckpointed first: the rank needs two jobs over
-    the same rows (per-partition totals, then the ranked pass), and
-    re-running an upstream scoring UDF per job would double the
-    corpus scan.
-    """
-    src = scored.select('doc_id', 'ppl').localCheckpoint(eager=True)
-    parts = src.sparkSession.sparkContext.defaultParallelism
-    ordered = (
-        src.repartitionByRange(parts, 'ppl', 'doc_id')
-        .sortWithinPartitions('ppl', 'doc_id')
-        .withColumn('_pid', F.spark_partition_id())
+    ranked = global_rank(
+        scored.select('doc_id', 'ppl'), ['ppl', 'doc_id'],
+        rank_col='_rank', total_col='_n',
     )
-    totals = ordered.groupBy('_pid').agg(F.count('*').alias('_pn'))
-    wp = Window.orderBy('_pid').rowsBetween(Window.unboundedPreceding, -1)
-    bases = totals.withColumn('_base', F.coalesce(F.sum('_pn').over(wp), F.lit(0)))
-    n_row = totals.agg(F.sum('_pn').alias('_n'))
-    ww = Window.partitionBy('_pid').orderBy('ppl', 'doc_id')
-    rank = F.col('_base') + F.row_number().over(ww)
+    rank = F.col('_rank')
     # SQL-standard NTILE: q, rem = divmod(n, k); the first rem tiles
     # hold q+1 rows each, the rest q rows.
     q = F.floor(F.col('_n') / k)
@@ -324,11 +334,7 @@ def ppl_ntile(scored: DataFrame, k: int = 3) -> DataFrame:
         .otherwise(rem + F.floor((rank - boundary - 1) / F.greatest(q, F.lit(1))) + 1)
         .cast('int')
     )
-    return (
-        ordered.join(F.broadcast(bases.select('_pid', '_base')), '_pid')
-        .crossJoin(F.broadcast(n_row))
-        .select('doc_id', 'ppl', tile.alias('tile'))
-    )
+    return ranked.select('doc_id', 'ppl', tile.alias('tile'))
 
 
 def ppl_buckets(

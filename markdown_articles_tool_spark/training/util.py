@@ -95,19 +95,80 @@ def capped_buckets(
     return b.where((F.col('bucket_n') >= 2) & (F.col('bucket_n') <= F.lit(max_bucket))).drop('bucket_n')
 
 
-def global_rank(df: DataFrame, cols, rank_col: str = 'rank') -> DataFrame:
+def grouped_topk(
+    df: DataFrame,
+    group_cols,
+    order_cols,
+    k: int,
+    salt_on,
+    rank_col: str | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group top-``k`` under a TOTAL order without ever sorting a
+    whole group in one task — the explicit two-level form of what
+    Catalyst's ``InferWindowGroupLimit`` does for rank filters at or
+    below ``spark.sql.optimizer.windowGroupLimitThreshold`` (default
+    1000): above the threshold the optimizer silently declines and a
+    plain ``row_number() OVER (PARTITION BY group)`` window sorts a
+    mega-group (a hot host's frontier, the order-1 unigram table) on a
+    single task.
+
+    Level 1 salts each row by ``xxhash64(salt_on) % n_salts`` and takes
+    top-k per (group, salt): each window partition holds ~1/n_salts of
+    the group.  Level 2 ranks the ≤ k·n_salts survivors per group.
+    Correctness (requires ``order_cols`` to be a total order): every
+    row in the true global top-k is also in the top-k of its own salt
+    bucket, so it survives level 1; and every row ranked above it
+    globally also survives, so its level-2 rank equals its global rank
+    for ranks ≤ k.  Deterministic and partition-invariant (the salt is
+    a hash of row values, not of placement).
+
+    ``rank_col=None`` drops the rank (filter-only callers);
+    ``salt_on`` should be (nearly) unique per row within a group for
+    an even spread — a URL, a gram string.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if isinstance(salt_on, str):
+        salt_on = [salt_on]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(int(n_salts)))
+    w1 = Window.partitionBy(*group_cols, '_gtk_salt').orderBy(*order_cols)
+    lvl1 = (
+        df.withColumn('_gtk_salt', salt)
+        .withColumn('_gtk_r', F.row_number().over(w1))
+        .where(F.col('_gtk_r') <= int(k))
+        .drop('_gtk_salt', '_gtk_r')
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out_col = rank_col or '_gtk_rank'
+    out = (
+        lvl1.withColumn(out_col, F.row_number().over(w2))
+        .where(F.col(out_col) <= int(k))
+    )
+    return out if rank_col else out.drop(out_col)
+
+
+def global_rank(df: DataFrame, cols, rank_col: str = 'rank',
+                total_col: str | None = None) -> DataFrame:
     """1-based global position of every row under ``ORDER BY cols`` —
     computed WITHOUT a global single-partition window (``row_number()
     OVER (ORDER BY ...)`` with no partition key sorts the whole table
     in ONE task, the classic driver-shaped bottleneck).
 
-    Two-level prefix count, same machinery as ``lm.ppl_ntile`` /
-    ``packing.pack_sequences``: range-partition by the key, sort
-    within partitions, count per partition (a tiny n_partitions-row
-    frame), exclusive prefix over that frame, broadcast the bases
-    back, rank = base + local row_number.  Partition-count invariant;
-    ``cols`` must be a TOTAL order (include a tiebreaker) or ranks
-    within ties follow partition placement.
+    Two-level prefix count, the ONE shared implementation (``lm.
+    ppl_ntile`` and ``packing.pack_sequences`` ride this machinery):
+    range-partition by the key, sort within partitions, count per
+    partition (a tiny n_partitions-row frame), exclusive prefix over
+    that frame, broadcast the bases back, rank = base + local
+    row_number.  Partition-count invariant; ``cols`` must be a TOTAL
+    order (include a tiebreaker) or ranks within ties follow partition
+    placement.
+
+    ``total_col`` additionally attaches the grand row count to every
+    row (from the same tiny per-partition totals frame — no extra pass
+    over the data), which rank-derived quantities like NTILE need.
 
     The input is localCheckpointed: the rank needs two jobs over the
     same rows (totals, then the ranked pass), and re-running an
@@ -129,9 +190,13 @@ def global_rank(df: DataFrame, cols, rank_col: str = 'rank') -> DataFrame:
         '_base', F.coalesce(F.sum('_pn').over(wp), F.lit(0))
     ).select('_pid', '_base')
     ww = Window.partitionBy('_pid').orderBy(*cols)
-    return (
+    out = (
         ordered.join(F.broadcast(bases), '_pid')
         .withColumn(rank_col,
                     (F.col('_base') + F.row_number().over(ww)).cast('long'))
         .drop('_pid', '_base')
     )
+    if total_col is not None:
+        n_row = totals.agg(F.sum('_pn').cast('long').alias(total_col))
+        out = out.crossJoin(F.broadcast(n_row))
+    return out

@@ -131,6 +131,68 @@ class TestFrontier:
         assert 'BroadcastExchange' in plan  # the rank-priority dim join
 
 
+class TestBoundedSchedule:
+    """r6 mega-host armor: a capped schedule must never sort a host's
+    whole frontier in one task — Catalyst's WindowGroupLimit handles
+    caps <= windowGroupLimitThreshold (pinned in the plan), the salted
+    grouped_topk path handles the rest; both must equal the exact
+    window cut (the order is total)."""
+
+    def _hot_df(self, spark, n=400):
+        # >50% of the frontier on one host
+        rows = [(f'https://hot/{i:04d}', 'hot', i % 17, 1) for i in range(n // 2 + 60)]
+        rows += [(f'https://h{i % 9}/p{i}', f'h{i % 9}', i % 5, 1)
+                 for i in range(n - len(rows))]
+        return spark.createDataFrame(
+            rows, 'abs_url string, dst_host string, n_refs long, rank_units long')
+
+    def test_window_group_limit_pinned_in_plan(self, spark):
+        from markdown_articles_tool_spark.training.frontier import frontier_schedule
+
+        df = self._hot_df(spark)
+        plan = frontier_schedule(df, max_wave=5)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted'))
+        # Partial (map-side, before the exchange) + Final — the
+        # two-level bounded top-k, done by the optimizer itself
+        assert plan.count('WindowGroupLimit') >= 2, plan
+
+    def test_hot_host_capped_paths_match_exact(self, spark):
+        from markdown_articles_tool_spark.training.frontier import frontier_schedule
+
+        df = self._hot_df(spark)
+        exact = sorted(
+            tuple(r) for r in frontier_schedule(df).collect() if r['wave'] <= 4)
+        got_wgl = sorted(tuple(r) for r in frontier_schedule(df, max_wave=4).collect())
+        got_salted = sorted(
+            tuple(r) for r in frontier_schedule(df, max_wave=4, n_salts=8).collect())
+        assert got_wgl == exact
+        assert got_salted == exact
+
+    def test_salted_path_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.training.frontier import frontier_schedule
+
+        df = self._hot_df(spark, 240)
+        want = sorted(tuple(r) for r in
+                      frontier_schedule(df.coalesce(1), max_wave=3, n_salts=4).collect())
+        for parts in (5, 16):
+            got = sorted(tuple(r) for r in frontier_schedule(
+                df.repartition(parts), max_wave=3, n_salts=4).collect())
+            assert got == want
+
+    def test_salted_path_no_unsalted_host_window(self, spark):
+        """The salted plan's FIRST window partitions on (host, salt) —
+        the only per-host-alone window runs over the bounded level-1
+        survivors."""
+        from markdown_articles_tool_spark.training.frontier import frontier_schedule
+
+        df = self._hot_df(spark)
+        plan = frontier_schedule(df, max_wave=4, n_salts=8)._jdf.queryExecution() \
+            .explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                           .fromString('formatted'))
+        # level-1 exchange keys on (dst_host, _gtk_salt)
+        assert re.search(r'hashpartitioning\(dst_host#\d+, _gtk_salt#\d+', plan), plan
+
+
 class TestCrawlDelayBudget:
     def test_crawl_delay_selection_goldens(self):
         from markdown_articles_tool_spark.core.robots import crawl_delay, parse_robots

@@ -180,3 +180,30 @@ class TestSparkOperators:
         assert 'BroadcastExchange' in plan_str
         blocks = re.findall(r'\(\d+\) Exchange\b', plan_str)
         assert not blocks, f'links side must not shuffle: {blocks}'
+
+    def test_mixed_case_robots_host_still_gates(self, spark):
+        """A robots dim whose host column carries mixed case must match
+        the (lowercased) destination host — without the join-side
+        lower() the gate fails OPEN for exactly the hosts that
+        published a policy (r5 ADVICE).  Same for the crawl-delay
+        budget join."""
+        from markdown_articles_tool_spark.operators.robots import crawl_allowed
+        from markdown_articles_tool_spark.training.frontier import frontier_budget
+
+        links = spark.createDataFrame(
+            [('https://src/a', 0, 'https://Example.COM/private/x'),
+             ('https://src/a', 1, 'https://example.com/open')],
+            'url string, ord int, abs_url string')
+        robots = spark.createDataFrame(
+            [('Example.COM', 'User-agent: *\nDisallow: /private\nCrawl-delay: 30\n')],
+            'host string, robots_txt string')
+        got = {r['abs_url']: r['allowed']
+               for r in crawl_allowed(links, robots, 'anybot').collect()}
+        assert got == {'https://Example.COM/private/x': False,
+                       'https://example.com/open': True}
+        frontier = spark.createDataFrame(
+            [('https://example.com/open', 'example.com', 3, 1)],
+            'abs_url string, dst_host string, n_refs long, rank_units long')
+        out = frontier_budget(frontier, robots).collect()
+        # delay 30 → clamp(floor(60/30),1,8) = 2, NOT the default 8
+        assert [r['budget'] for r in out] == [2]

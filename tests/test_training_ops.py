@@ -573,6 +573,54 @@ class TestLineDedup:
             assert got == want
 
 
+class TestGroupedTopk:
+    """util.grouped_topk — the explicit two-level salted per-group
+    top-k (for caps above Catalyst's windowGroupLimitThreshold).  Must
+    equal the plain window cut exactly, rank included, because the
+    order is total."""
+
+    def _df(self, spark):
+        rows = [(f'g{i % 3}', (i * 7) % 23, f'item-{i:03d}') for i in range(200)]
+        return spark.createDataFrame(rows, 'grp string, score long, item string')
+
+    def test_matches_window_reference(self, spark):
+        from pyspark.sql import Window
+
+        from markdown_articles_tool_spark.training.util import grouped_topk
+
+        df = self._df(spark)
+        w = Window.partitionBy('grp').orderBy(F.desc('score'), F.asc('item'))
+        for k in (1, 5, 40, 500):
+            want = sorted(map(tuple, df.withColumn('rk', F.row_number().over(w))
+                              .where(F.col('rk') <= k).collect()))
+            for n_salts in (1, 4, 16):
+                got = sorted(map(tuple, grouped_topk(
+                    df, ['grp'], [F.desc('score'), F.asc('item')], k,
+                    salt_on=['item'], rank_col='rk', n_salts=n_salts).collect()))
+                assert got == want, (k, n_salts)
+
+    def test_rank_dropped_when_unnamed(self, spark):
+        from markdown_articles_tool_spark.training.util import grouped_topk
+
+        df = self._df(spark)
+        out = grouped_topk(df, 'grp', [F.desc('score'), 'item'], 3, salt_on='item')
+        assert out.columns == ['grp', 'score', 'item']
+        assert out.count() == 9
+
+    def test_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.training.util import grouped_topk
+
+        df = self._df(spark)
+        want = sorted(map(tuple, grouped_topk(
+            df.coalesce(1), ['grp'], [F.desc('score'), 'item'], 7,
+            salt_on=['item'], rank_col='rk').collect()))
+        for parts in (3, 17):
+            got = sorted(map(tuple, grouped_topk(
+                df.repartition(parts), ['grp'], [F.desc('score'), 'item'], 7,
+                salt_on=['item'], rank_col='rk').collect()))
+            assert got == want
+
+
 class TestUrlCanonical:
     def test_spec_cases(self, spark):
         from markdown_articles_tool_spark.training.urlnorm import canonicalize_url
