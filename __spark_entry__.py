@@ -842,14 +842,15 @@ def q_cdx_lookup(spark, sf_dir):
     (corpus._messy_target), a lookup on the MESSY spelling finds the
     clean response/request records too — the SURT-collapse property
     doing its job.  Oracle = DuckDB selecting the same five keys'
-    rows from the twin's CDX table."""
-    from functools import reduce
+    rows from the twin's CDX table.
 
-    from pyspark.sql import DataFrame as _DF
-
+    r6: the five lookups go through ``lookup_surts`` — the BATCH form
+    (union of covering shards scanned once, broadcast-joined against
+    the key set, ONE job) instead of one Spark job per key; identical
+    rows, the reprocessing-pipeline shape."""
     from markdown_articles_tool_spark.corpus import warc_files_df
     from markdown_articles_tool_spark.sources.cdxindex import (
-        lookup_surt, write_cdx_index)
+        lookup_surts, write_cdx_index)
     from markdown_articles_tool_spark.sources.warc import read_warc_cdx
 
     n = _corpus_n(sf_dir)
@@ -861,8 +862,37 @@ def q_cdx_lookup(spark, sf_dir):
             cdx.where((F.col('warc_type') == 'metadata')
                       & F.col('surt').startswith('example,'))
             .select('surt').distinct().orderBy('surt').limit(5).collect()]
-    parts = [lookup_surt(spark, path, k) for k in keys]
-    return reduce(_DF.unionByName, parts).select(
+    return lookup_surts(spark, path, keys).select(
+        'surt', 'file_name', 'ord', 'warc_type', 'url'
+    ).orderBy('surt', 'file_name', 'ord')
+
+
+def q_cdx_prefix(spark, sf_dir):
+    """``matchType=host`` through the sharded index — the most common
+    real CDX query ("give me everything for this host"): SURT keys
+    make a host query a PREFIX query, so ``lookup_prefix`` boundary-
+    prunes to the shards overlapping the prefix range (a shard can
+    hold a ``p``-prefixed key iff ``lo[:len(p)] <= p <= hi``) and
+    scans only those.  The prefix is site1's host prefix derived by
+    ``host_prefix`` from a deliberately MESSY spelling of the host
+    (scheme/case/www/default-port traps) — the SURT collapse makes
+    them the same query.  Oracle = DuckDB ``LIKE 'prefix%'`` over the
+    independent twin's flat CDX table."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.cdxindex import (
+        host_prefix, lookup_prefix, write_cdx_index)
+    from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+    n = _corpus_n(sf_dir)
+    files = warc_files_df(spark, n)
+    cdx = read_warc_cdx(files)
+    path = f'/tmp/mats_cdx_index/{n}'
+    write_cdx_index(cdx, path)
+    prefix = host_prefix('HTTPS://WWW.Site1.Example:443/ignored?x=1')
+    # ^ messy spelling of corpus host site1.example: scheme, case,
+    #   the www label and the https default port all collapse away
+    #   and the labels reverse, leaving exactly 'example,site1)'
+    return lookup_prefix(spark, path, prefix).select(
         'surt', 'file_name', 'ord', 'warc_type', 'url'
     ).orderBy('surt', 'file_name', 'ord')
 
@@ -1026,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_int8_topk': q_ann_int8_topk,
         'frontier_budget': q_frontier_budget,
         'cdx_lookup': q_cdx_lookup,
+        'cdx_prefix': q_cdx_prefix,
     }
 
 
@@ -1270,6 +1301,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN k USING (surt)
             WHERE c.skey = {_DOC_SKEY}
             ORDER BY c.surt, c.file_name, c.ord
+        """,
+        # host matchType = prefix scan through the sharded index: the
+        # twin's flat CDX table answers the same question with LIKE
+        'cdx_prefix': f"""
+            SELECT surt, file_name, ord, warc_type, url
+            FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet')
+            WHERE skey = {_DOC_SKEY} AND surt LIKE 'example,site1)%'
+            ORDER BY surt, file_name, ord
         """,
         # merged CDX index: DuckDB's OWN global window over the twin's
         # CDX rows — independently checks the two-level prefix-count

@@ -12,18 +12,32 @@ Spark-native translation:
   entirely distributed (the same two-level machinery as
   ``training/util.global_rank``; no single-task sort anywhere);
 * a ``_boundaries`` side table (the ``cluster.idx`` analog) records
-  each shard file's (lo, hi) surt range from a cheap post-write scan;
+  each shard file's (lo, hi) surt range from a cheap post-write scan.
+  It stores shard BASENAMES, not absolute paths, so a written index
+  is relocatable — move or re-mount the directory and lookups rejoin
+  the caller-supplied path (the normal fate of a published artifact);
 * ``lookup_surt`` reads the tiny boundary table, selects ONLY the
   shard files whose range covers the key, and scans just those —
   plus parquet row-group min/max stats prune WITHIN the shard because
   the rows are sorted.  At web scale that is a thousands-of-shards
-  index answering a URL lookup from one file.
+  index answering a URL lookup from one file;
+* ``lookup_surts`` is the BATCH form (a reprocessing pipeline's
+  million-key lookup): ONE job — the union of covering shards for
+  all keys, scanned once, broadcast-joined against the key set —
+  instead of one Spark job per key;
+* ``lookup_prefix`` answers ``matchType=prefix`` range scans, which
+  is how "everything for example.com" — the most common CDX query —
+  works: SURT keys make host and domain queries plain prefix queries
+  (``host_prefix``/``domain_prefix`` derive them from a URL).  A
+  shard can contain a key starting with ``p`` iff
+  ``lo[:len(p)] <= p <= hi`` (interval overlap with the prefix range
+  ``[p, p·sup)``), so pruning stays boundary-table-only.
 
-Driver-checked as the ``cdx_lookup`` query: the metadata records'
-SURT-trap spellings (corpus._messy_target) must find their host's
-records through the index — the operational proof of the SURT-collapse
-property (``HTTPS://WWW.Example.COM:443/A?b=2&a=1`` finds
-``https://example.com/a?a=1&b=2``'s records).
+Driver-checked as the ``cdx_lookup`` query (point lookups through the
+SURT-collapse property: ``HTTPS://WWW.Example.COM:443/A?b=2&a=1``
+finds ``https://example.com/a?a=1&b=2``'s records) and the
+``cdx_prefix`` query (host matchType via prefix scan vs DuckDB
+``LIKE 'prefix%'`` over the independent twin table).
 """
 
 from __future__ import annotations
@@ -45,10 +59,14 @@ def write_cdx_index(cdx: DataFrame, path: str, n_shards: int | None = None) -> N
         .write.mode('overwrite').parquet(f'{path}/shards')
     )
     # cluster.idx analog: one (file, lo, hi) row per written shard —
-    # a cheap narrow scan over just the surt column at build time
+    # a cheap narrow scan over just the surt column at build time.
+    # Basenames only: the index must survive a directory move.
     (
         spark.read.parquet(f'{path}/shards')
-        .select(F.input_file_name().alias('shard'), 'surt')
+        .select(
+            F.regexp_extract(F.input_file_name(), r'([^/]+)$', 1).alias('shard'),
+            'surt',
+        )
         .groupBy('shard')
         .agg(F.min('surt').alias('lo'), F.max('surt').alias('hi'))
         .coalesce(1)
@@ -56,12 +74,40 @@ def write_cdx_index(cdx: DataFrame, path: str, n_shards: int | None = None) -> N
     )
 
 
-def covering_shards(spark: SparkSession, path: str, key: str) -> list:
-    """The shard files whose (lo, hi) range covers ``key`` — the
-    boundary table is tiny (one row per shard), read driver-side like
-    any secondary index."""
+def _boundary_rows(spark: SparkSession, path: str) -> list:
+    """The boundary table, driver-side (one row per shard — tiny, read
+    like any secondary index).  Tolerates the pre-r6 layout that stored
+    absolute paths by reducing them to basenames."""
     rows = spark.read.parquet(f'{path}/_boundaries').collect()
-    return sorted(r['shard'] for r in rows if r['lo'] <= key <= r['hi'])
+    return [(r['shard'].rsplit('/', 1)[-1], r['lo'], r['hi']) for r in rows]
+
+
+def covering_shards(spark: SparkSession, path: str, key: str) -> list:
+    """Full paths of the shard files whose (lo, hi) range covers
+    ``key``, rejoined to the caller-supplied ``path``."""
+    return sorted(
+        f'{path}/shards/{shard}'
+        for shard, lo, hi in _boundary_rows(spark, path)
+        if lo <= key <= hi
+    )
+
+
+def covering_shards_prefix(spark: SparkSession, path: str, prefix: str) -> list:
+    """Full paths of the shard files that can contain a key starting
+    with ``prefix``: the prefix-key range is ``[prefix, prefix·sup)``,
+    and a sorted shard [lo, hi] overlaps it iff
+    ``lo[:len(prefix)] <= prefix <= hi`` (lo below the range's top,
+    hi at or above its bottom)."""
+    p = prefix
+    return sorted(
+        f'{path}/shards/{shard}'
+        for shard, lo, hi in _boundary_rows(spark, path)
+        if lo[: len(p)] <= p <= hi
+    )
+
+
+def _empty_like_shards(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f'{path}/shards').where(F.lit(False))
 
 
 def lookup_surt(spark: SparkSession, path: str, key: str) -> DataFrame:
@@ -71,5 +117,56 @@ def lookup_surt(spark: SparkSession, path: str, key: str) -> DataFrame:
     shard too).  Empty DataFrame when no shard covers the key."""
     files = covering_shards(spark, path, key)
     if not files:
-        return spark.read.parquet(f'{path}/shards').where(F.lit(False))
+        return _empty_like_shards(spark, path)
     return spark.read.parquet(*files).where(F.col('surt') == key)
+
+
+def lookup_surts(spark: SparkSession, path: str, keys) -> DataFrame:
+    """BATCH point lookup — ONE job for the whole key set (the
+    reprocessing-pipeline shape; ``lookup_surt`` in a loop is one
+    Spark job per key).  The union of covering shards is scanned once
+    and inner-broadcast-joined against the key set, so each shard
+    file is read exactly once no matter how many keys land in it."""
+    keys = sorted(set(keys))
+    if not keys:
+        return _empty_like_shards(spark, path)
+    files = sorted({
+        f
+        for k in keys
+        for f in covering_shards(spark, path, k)
+    })
+    if not files:
+        return _empty_like_shards(spark, path)
+    keys_df = spark.createDataFrame([(k,) for k in keys], 'surt string')
+    return spark.read.parquet(*files).join(F.broadcast(keys_df), 'surt')
+
+
+def lookup_prefix(spark: SparkSession, path: str, prefix: str) -> DataFrame:
+    """``matchType=prefix`` range scan: boundary-prune to the shards
+    overlapping the prefix range, scan only those, filter
+    ``startswith(prefix)`` (pushed down as a parquet filter; sorted
+    row groups prune within the shard)."""
+    files = covering_shards_prefix(spark, path, prefix)
+    if not files:
+        return _empty_like_shards(spark, path)
+    return spark.read.parquet(*files).where(F.col('surt').startswith(prefix))
+
+
+def host_prefix(url: str) -> str:
+    """The SURT prefix that makes a ``matchType=host`` query a prefix
+    query: everything up to and including the ``)`` authority
+    terminator (``com,example)``)."""
+    from ..core.wwwtools import surt_key
+
+    key = surt_key(url)
+    head, sep, _ = key.partition(')')
+    return head + sep
+
+
+def domain_prefix(url: str) -> str:
+    """The SURT prefix for ``matchType=domain``: the reversed
+    registered host WITHOUT the ``)`` terminator, so subdomains
+    (``com,example,www)…``, ``com,example,api)…``) match too."""
+    from ..core.wwwtools import surt_key
+
+    return surt_key(url).partition(')')[0]
