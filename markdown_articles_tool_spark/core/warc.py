@@ -79,21 +79,60 @@ _GZIP_MAGIC = b'\x1f\x8b'
 _CHARSET_RE = re.compile(r'charset\s*=\s*"?\'?([^";\s\']+)', re.IGNORECASE)
 
 
+_CHUNK_MIN = 1 << 12   # first chunk fed to a fresh member (4 KiB)
+_CHUNK_MAX = 1 << 20   # steady-state chunk for long members (1 MiB)
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[Tuple[int, int, bytes]]:
+    """(offset, compressed_length, inflated_bytes) per gzip member of a
+    concatenated-member stream, O(total bytes) — the shared walk under
+    ``decompress_warc`` and ``_gzip_member_spans``.
+
+    The naive shape (feed ``data[pos:]`` to each member's
+    decompressobj and resume from ``unused_data``) copies the entire
+    remaining buffer once per member: a CC record-per-member archive
+    (tens of thousands of members) costs O(members × file_size)
+    memcpy.  Here each member is fed zero-copy memoryview slices with
+    a chunk size that starts small and doubles per feed (reset per
+    member): a small member's post-end ``unused_data`` materialization
+    is bounded by the FIRST chunk, a large member converges to
+    ``_CHUNK_MAX`` feeds — total copying is O(1) amortized per byte
+    either way.
+
+    Stops before trailing non-gzip garbage.  A truncated final member
+    yields whatever inflated (its compressed_length = the rest of the
+    buffer) and ends the walk — same semantics the old per-function
+    loops had."""
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos + 2 <= n and data[pos:pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip wrapper
+        parts: List[bytes] = []
+        fed = pos
+        chunk = _CHUNK_MIN
+        while not d.eof and fed < n:
+            piece = view[fed:fed + chunk]
+            parts.append(d.decompress(piece))
+            fed += len(piece)
+            chunk = min(chunk * 2, _CHUNK_MAX)
+        parts.append(d.flush())
+        if not d.eof:
+            # truncated member: partial output, consumed to EOF, done
+            yield pos, n - pos, b''.join(parts)
+            return
+        consumed = (fed - pos) - len(d.unused_data)
+        yield pos, consumed, b''.join(parts)
+        pos += consumed
+    return
+
+
 def decompress_warc(data: bytes) -> bytes:
-    """Concatenated-gzip-member decompression (or pass-through)."""
+    """Concatenated-gzip-member decompression (or pass-through).
+    Trailing non-gzip garbage after the last member is dropped."""
     if not data.startswith(_GZIP_MAGIC):
         return data
-    out: List[bytes] = []
-    view = memoryview(data)
-    while len(view) >= 2 and view[:2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=47)  # 32+15: gzip wrapper
-        out.append(d.decompress(bytes(view)))
-        out.append(d.flush())
-        tail = d.unused_data
-        if not tail:
-            break
-        view = memoryview(tail)
-    return b''.join(out)
+    return b''.join(m for _off, _clen, m in _iter_gzip_members(data))
 
 
 def _parse_header_block(block: bytes) -> dict:
@@ -169,17 +208,9 @@ def _target_uri(headers: dict) -> str:
 
 
 def _gzip_member_spans(data: bytes) -> List[Tuple[int, int, bytes]]:
-    """(offset, compressed_length, inflated_bytes) per gzip member."""
-    spans: List[Tuple[int, int, bytes]] = []
-    pos = 0
-    n = len(data)
-    while pos + 2 <= n and data[pos:pos + 2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=47)
-        m = d.decompress(data[pos:]) + d.flush()
-        consumed = n - pos - len(d.unused_data)
-        spans.append((pos, consumed, m))
-        pos += consumed
-    return spans
+    """(offset, compressed_length, inflated_bytes) per gzip member —
+    the O(total bytes) chunked-cursor walk (see _iter_gzip_members)."""
+    return list(_iter_gzip_members(data))
 
 
 def warc_cdx(data: bytes) -> List[Tuple[int, str, str, int, int, bool]]:
