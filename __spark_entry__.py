@@ -205,6 +205,32 @@ def q_warc_cdx(spark, sf_dir):
     return read_warc_cdx(files).orderBy('file_name', 'ord')
 
 
+def q_warc_revisit(spark, sf_dir):
+    """Revisit records resolved against their originals — the CC
+    URL-agnostic-dedup record type completed: ``WARC-Type: revisit``
+    rows (headers-only refetches with WARC-Refers-To pointers;
+    profile/bracket/unresolvable rotations in corpus._revisit_member)
+    left-joined to the response records on (refers_to_uri,
+    refers_to_date) = (url, warc_date).  The original routinely lives
+    in a DIFFERENT archive file, so resolution is an honest shuffle
+    join (sources/warc.resolve_revisits); unresolvable revisits keep
+    NULL orig_* columns.  Oracle = DuckDB joining the independent
+    twin's revisit table (email.parser/http.client machinery) against
+    the twin's response table."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import (
+        read_warc_responses, read_warc_revisits, resolve_revisits)
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    resolved = resolve_revisits(
+        read_warc_revisits(files), read_warc_responses(files))
+    return resolved.select(
+        'url', 'warc_date', 'profile', 'refers_to_uri', 'refers_to_date',
+        'http_status', 'orig_status', 'orig_n_bytes',
+        F.sha2(F.encode('orig_text', 'utf-8'), 256).alias('orig_sha'),
+    ).orderBy('url', 'warc_date')
+
+
 def q_robots_rules(spark, sf_dir):
     """Crawl-policy rules: from-scratch robots.txt parse over the
     per-host dim table — (host, group_agent, ord, verb, value) records
@@ -997,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'content_spans': q_content_spans,
         'html_tables': q_html_tables,
         'warc_responses': q_warc_responses,
+        'warc_revisit': q_warc_revisit,
         'warc_main_content': q_warc_main_content,
         'warc_cdx': q_warc_cdx,
         'robots_rules': q_robots_rules,
@@ -1134,6 +1161,22 @@ def oracle_sql() -> dict[str, str]:
             'file_name, ord, warc_type, url, surt, "offset", length, addressable',
             _DOC_SKEY, 'file_name, ord',
         ),
+        # revisit resolution: the twin's revisit records (email.parser
+        # machinery) left-joined to the twin's response records on the
+        # WARC-Refers-To pointers — unresolvable revisits keep NULLs
+        'warc_revisit': f"""
+            SELECT v.url, v.warc_date, v.profile, v.refers_to_uri,
+                   v.refers_to_date, v.http_status,
+                   r.http_status AS orig_status,
+                   r.n_bytes AS orig_n_bytes,
+                   r.text_sha AS orig_sha
+            FROM read_parquet('{_ORACLEREF}/warc_revisits.parquet') v
+            LEFT JOIN read_parquet('{_ORACLEREF}/warc_responses.parquet') r
+              ON r.skey = {_DOC_SKEY}
+             AND r.url = v.refers_to_uri AND r.warc_date = v.refers_to_date
+            WHERE v.skey = {_DOC_SKEY}
+            ORDER BY v.url, v.warc_date
+        """,
         'robots_rules': _ref(
             'robots_rules', 'host, group_agent, ord, verb, value', _DOC_SKEY,
             'host, ord',

@@ -58,6 +58,28 @@ Response extraction (``warc_responses``):
   lines, ``;ext`` chunk extensions ignored, terminated by a 0 chunk;
   trailers ignored).  Malformed chunk framing falls back to the raw
   body bytes (out of corpus);
+Revisit extraction (``warc_revisits``) — the CC URL-agnostic-dedup
+record type (an identical refetch stores only headers + pointers):
+
+* only ``WARC-Type: revisit`` records are emitted, in file order,
+  with a 0-based ordinal among emitted revisits;
+* ``url`` = the target URI (one ``<...>`` layer stripped, as for
+  responses); ``warc_date`` verbatim; ``profile`` = ``WARC-Profile``
+  verbatim (``''`` when absent); ``refers_to_uri`` = the
+  ``WARC-Refers-To-Target-URI`` header with the same one-layer
+  bracket strip; ``refers_to_date`` = ``WARC-Refers-To-Date``
+  verbatim;
+* ``http_status`` = the payload's HTTP status line code when the
+  payload parses as an HTTP block (revisit payloads are the headers
+  of the refetch — ``200``/``304``), else ``0``; unlike responses the
+  record is NOT dropped on an unparseable payload (the revisit's
+  information lives in the WARC headers).
+
+Resolution (``sources/warc.resolve_revisits``) joins
+``(refers_to_uri, refers_to_date)`` against the response records'
+``(url, warc_date)`` — across files, which is exactly why it is a
+join and not a local lookup.
+
 * ``mime`` = the ``Content-Type`` media type (before any ``;``),
   stripped and lowercased; ``''`` when the header is absent;
 * ``charset`` = the resolved codec: the ``charset=`` parameter
@@ -430,4 +452,34 @@ def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int,
             (len(out), url, headers.get('warc-date', ''), status, mime,
              charset, len(body), text)
         )
+    return out
+
+
+def _strip_brackets(url: str) -> str:
+    if url.startswith('<') and url.endswith('>'):
+        return url[1:-1]
+    return url
+
+
+def warc_revisits(data: bytes) -> List[Tuple[int, str, str, str, str, str, int]]:
+    """(rec_ord, url, warc_date, profile, refers_to_uri,
+    refers_to_date, http_status) per ``WARC-Type: revisit`` record, in
+    file order — see the module docstring's revisit spec.  The twin is
+    ``tools/oracle_kernels.warc_revisits_seq`` (email.parser +
+    http.client machinery)."""
+    out: List[Tuple[int, str, str, str, str, str, int]] = []
+    for headers, payload in iter_warc_records(data):
+        if headers.get('warc-type') != 'revisit':
+            continue
+        parsed = parse_http_response(payload)
+        status = parsed[0] if parsed is not None else 0
+        out.append((
+            len(out),
+            _target_uri(headers),
+            headers.get('warc-date', ''),
+            headers.get('warc-profile', ''),
+            _strip_brackets(headers.get('warc-refers-to-target-uri', '')),
+            headers.get('warc-refers-to-date', ''),
+            status,
+        ))
     return out

@@ -524,7 +524,8 @@ _WARC_DATE_FMT = '%Y-%m-%dT%H:%M:%SZ'
 
 
 def _warc_record(rec_type: str, target: str, date: str, payload: bytes,
-                 content_type: str = 'application/http; msgtype=response') -> bytes:
+                 content_type: str = 'application/http; msgtype=response',
+                 extra: str = '') -> bytes:
     head = (
         f'WARC/1.0\r\n'
         f'WARC-Type: {rec_type}\r\n'
@@ -533,6 +534,7 @@ def _warc_record(rec_type: str, target: str, date: str, payload: bytes,
     )
     if target:
         head += f'WARC-Target-URI: {target}\r\n'
+    head += extra
     head += f'Content-Type: {content_type}\r\nContent-Length: {len(payload)}\r\n\r\n'
     return head.encode('latin-1') + payload + b'\r\n\r\n'
 
@@ -619,7 +621,48 @@ def _doc_warc_members(i: int) -> List[bytes]:
     if i % 8 == 6:
         members.append(_warc_record('metadata', _messy_target(i, url), date,
                                     b'via: synthetic\r\n'))
+    if i % 7 == 5 and i >= 5:
+        members.append(_revisit_member(i, date))
     return members
+
+
+def _revisit_member(i: int, date: str) -> bytes:
+    """A ``WARC-Type: revisit`` record (the CC URL-agnostic-dedup
+    record type): the crawler refetched a URL at doc i's time and the
+    payload matched an earlier capture, so only the HTTP headers are
+    stored plus WARC-Profile / WARC-Refers-To-* pointers to the
+    original.  Rotations: profile identical-payload-digest (headers
+    payload ``200 OK``) vs server-not-modified (``304``), an
+    angle-bracketed target spelling (i % 10 == 5), and an
+    UNRESOLVABLE refers-to ((i // 7) % 3 == 2 — the original lives
+    outside this crawl) so resolution's left-join miss path is
+    exercised."""
+    if (i // 7) % 3 == 2:
+        rurl = f'https://gone.example/x{i}'
+        rdate = date
+    else:
+        j = i - 5
+        rurl = doc_url(j)
+        rdate = warc_doc_date(j)
+    not_modified = (i // 7) % 2 == 1
+    profile = (
+        'http://netpreserve.org/warc/1.0/revisit/server-not-modified'
+        if not_modified else
+        'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest'
+    )
+    payload = (
+        b'HTTP/1.1 304 Not Modified\r\nServer: graft-synth/1.0\r\n\r\n'
+        if not_modified else
+        b'HTTP/1.1 200 OK\r\nServer: graft-synth/1.0\r\n'
+        b'Content-Type: text/html; charset=UTF-8\r\n\r\n'
+    )
+    target = f'<{rurl}>' if i % 10 == 5 else rurl
+    extra = (
+        f'WARC-Profile: {profile}\r\n'
+        f'WARC-Refers-To-Target-URI: {rurl}\r\n'
+        f'WARC-Refers-To-Date: {rdate}\r\n'
+    )
+    return _warc_record('revisit', target, date, payload, extra=extra)
 
 
 def _messy_target(i: int, url: str) -> str:

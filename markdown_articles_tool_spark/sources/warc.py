@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 
 from pyspark.sql import functions as F
 
-from ..core.warc import build_wet, iter_warc_records, warc_cdx, warc_responses
+from ..core.warc import (
+    build_wet, iter_warc_records, warc_cdx, warc_responses, warc_revisits)
 
 WARC_RESPONSES_SCHEMA = (
     'file_name string, rec_ord int, url string, warc_date string, '
@@ -58,6 +59,65 @@ def read_warc_responses(files: DataFrame, file_col: str = 'file_name',
             )
 
     return files.select(file_col, data_col).mapInPandas(run, schema=WARC_RESPONSES_SCHEMA)
+
+
+WARC_REVISITS_SCHEMA = (
+    'file_name string, rec_ord int, url string, warc_date string, '
+    'profile string, refers_to_uri string, refers_to_date string, '
+    'http_status int'
+)
+
+
+def read_warc_revisits(files: DataFrame, file_col: str = 'file_name',
+                       data_col: str = 'data') -> DataFrame:
+    """Every ``WARC-Type: revisit`` record of every archive blob — the
+    CC URL-agnostic-dedup record type (identical refetches store only
+    headers + WARC-Refers-To pointers; see core/warc.py's revisit
+    spec).  One mapInPandas pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                for rec in warc_revisits(bytes(data)):
+                    rows.append((fname, *rec))
+            yield pd.DataFrame(
+                rows, columns=['file_name', 'rec_ord', 'url', 'warc_date',
+                               'profile', 'refers_to_uri', 'refers_to_date',
+                               'http_status']
+            )
+
+    return files.select(file_col, data_col).mapInPandas(run, schema=WARC_REVISITS_SCHEMA)
+
+
+def resolve_revisits(revisits: DataFrame, responses: DataFrame) -> DataFrame:
+    """Resolve each revisit record to the ORIGINAL capture it points
+    at: left-join ``(refers_to_uri, refers_to_date)`` against the
+    response records' ``(url, warc_date)``.  The original routinely
+    lives in a DIFFERENT archive file (that is the point of revisit
+    records), so resolution is a join, not a per-file lookup.
+
+    Scale shape: both sides are page-sized at crawl scale, so this is
+    an honest shuffle join on the (url, date) key — neither side
+    broadcasts; AQE handles any hot-URL skew (a join, not a window).
+    Unresolvable revisits (the original predates this crawl's
+    archives) keep NULL ``orig_*`` columns."""
+    orig = responses.select(
+        F.col('url').alias('_o_url'),
+        F.col('warc_date').alias('_o_date'),
+        F.col('http_status').alias('orig_status'),
+        F.col('n_bytes').alias('orig_n_bytes'),
+        F.col('text').alias('orig_text'),
+    )
+    return (
+        revisits.join(
+            orig,
+            (revisits.refers_to_uri == orig._o_url)
+            & (revisits.refers_to_date == orig._o_date),
+            'left',
+        )
+        .drop('_o_url', '_o_date')
+    )
 
 
 WARC_CDX_SCHEMA = (

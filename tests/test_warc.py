@@ -528,6 +528,100 @@ class TestCdxGlobalIndex:
         assert keys == sorted(keys)
 
 
+class TestRevisit:
+    """WARC-Type: revisit — the CC URL-agnostic-dedup record type:
+    spec goldens, the engine-vs-independent-twin corpus differential,
+    and resolution (Spark join + CDX seek-read roundtrip)."""
+
+    def test_spec_goldens(self):
+        extra = ('WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n'
+                 'WARC-Refers-To-Target-URI: <https://orig.example/a>\r\n'
+                 'WARC-Refers-To-Date: 2019-01-01T00:00:00Z\r\n')
+        data = rec(b'HTTP/1.1 200 OK\r\nServer: s\r\n\r\n', 'revisit',
+                   '<https://x.example/a>', extra)
+        got = W.warc_revisits(data)
+        assert got == [(0, 'https://x.example/a', '2020-01-01T00:00:00Z',
+                        'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest',
+                        'https://orig.example/a', '2019-01-01T00:00:00Z', 200)]
+        # unparseable payload: status 0, record KEPT (unlike responses)
+        data2 = rec(b'not an http block', 'revisit', 'https://x.example/b', extra)
+        got2 = W.warc_revisits(data2)
+        assert len(got2) == 1 and got2[0][6] == 0
+        # missing optional headers: empty strings
+        data3 = rec(b'HTTP/1.1 304 Not Modified\r\n\r\n', 'revisit', 'https://x.example/c')
+        got3 = W.warc_revisits(data3)
+        assert got3 == [(0, 'https://x.example/c', '2020-01-01T00:00:00Z', '', '', '', 304)]
+        # a response record is NOT a revisit
+        assert W.warc_revisits(rec(b'HTTP/1.1 200 OK\r\n\r\nx')) == []
+
+    def test_matches_twin_on_corpus(self):
+        from oracle_kernels import warc_revisits_seq
+
+        n = 120
+        n_files = (n + corpus.DOCS_PER_WARC - 1) // corpus.DOCS_PER_WARC
+        tot, n304, unresolved, bracketed = 0, 0, 0, 0
+        for f in range(n_files):
+            data = corpus.warc_file_bytes(f, n)
+            got = W.warc_revisits(data)
+            assert got == warc_revisits_seq(data), f
+            tot += len(got)
+            n304 += sum(1 for r in got if r[6] == 304)
+            unresolved += sum(1 for r in got if 'gone.example' in r[4])
+        assert tot and n304 and unresolved  # rotations all present
+        assert 0 < n304 < tot and 0 < unresolved < tot
+
+    def test_resolution_and_cdx_seek_roundtrip(self, spark):
+        """resolve_revisits joins each revisit to its original across
+        FILES; for an addressable original the CDX extent seek-read
+        reparses to the same capture — the record-granular fetch a
+        real revisit consumer performs."""
+        from markdown_articles_tool_spark.sources.warc import (
+            read_warc_cdx, read_warc_responses, read_warc_revisits,
+            resolve_revisits)
+
+        n = 120
+        files = corpus.warc_files_df(spark, n)
+        resolved = resolve_revisits(
+            read_warc_revisits(files), read_warc_responses(files)).collect()
+        assert resolved
+        responses = {(r['url'], r['warc_date']): r
+                     for r in read_warc_responses(files).collect()}
+        hits = misses = 0
+        for r in resolved:
+            key = (r['refers_to_uri'], r['refers_to_date'])
+            if key in responses:
+                hits += 1
+                assert r['orig_text'] == responses[key]['text']
+                assert r['orig_n_bytes'] == responses[key]['n_bytes']
+            else:
+                misses += 1
+                assert r['orig_text'] is None and r['orig_status'] is None
+        assert hits and misses  # both join outcomes exercised
+        # CDX seek-read: pick resolvable revisits whose original's
+        # record extent is addressable; slice + reparse == direct row
+        cdx = read_warc_cdx(files).collect()
+        raw = {fn: corpus.warc_file_bytes(i, n)
+               for i, fn in enumerate(sorted({c['file_name'] for c in cdx}))}
+        by_url = {}
+        for c in cdx:
+            if c['warc_type'] == 'response' and c['addressable']:
+                by_url.setdefault(c['url'], c)
+        done = 0
+        for r in resolved:
+            c = by_url.get(r['refers_to_uri'])
+            if c is None or r['orig_text'] is None:
+                continue
+            hdrs, payload = W.read_record_at(
+                raw[c['file_name']], c['offset'], c['length'], True)
+            assert hdrs.get('warc-type') == 'response'
+            status, _hh, _body = W.parse_http_response(payload)
+            assert status == r['orig_status']
+            done += 1
+            if done >= 5:
+                break
+        assert done
+
+
 class TestCdxShardedIndex:
     def test_write_prune_lookup_roundtrip(self, spark, tmp_path_factory):
         from markdown_articles_tool_spark.sources.cdxindex import (

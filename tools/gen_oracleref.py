@@ -280,6 +280,7 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
         outlinks_seq,
         surt_key_seq,
         warc_cdx_seq,
+        warc_revisits_seq,
     )
 
     def wat_json(url, wdate, status, mime, text):
@@ -310,6 +311,10 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
             # the urllib-machinery SURT twin on the url column
             out['warc_cdx'].append(
                 (skey, fname, *row[:3], surt_key_seq(row[2]), *row[3:]))
+        for row in warc_revisits_seq(corpus.warc_file_bytes(f, n)):
+            # (rec_ord, url, warc_date, profile, refers_to_uri,
+            # refers_to_date, http_status)
+            out['warc_revisits'].append((skey, fname, *row))
         for rec_ord, url, wdate, status, mime, charset, n_bytes, text in (
                 warc_responses_seq(corpus.warc_file_bytes(f, n))):
             out['warc_responses'].append(
@@ -885,6 +890,12 @@ SCHEMAS = {
         [('skey', pa.int64()), ('file_name', pa.string()), ('ord', pa.int32()),
          ('warc_type', pa.string()), ('url', pa.string()), ('surt', pa.string()),
          ('offset', pa.int64()), ('length', pa.int64()), ('addressable', pa.bool_())]
+    ),
+    'warc_revisits': pa.schema(
+        [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),
+         ('url', pa.string()), ('warc_date', pa.string()), ('profile', pa.string()),
+         ('refers_to_uri', pa.string()), ('refers_to_date', pa.string()),
+         ('http_status', pa.int32())]
     ),
     'robots_rules': pa.schema(
         [('skey', pa.int64()), ('host', pa.string()), ('group_agent', pa.string()),

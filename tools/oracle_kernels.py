@@ -1929,6 +1929,82 @@ def warc_responses_seq(data: bytes) -> list:
     return out
 
 
+def warc_revisits_seq(data: bytes) -> list:
+    """Sequential twin of core/warc.warc_revisits on the same
+    independent machinery family as warc_responses_seq (gzip.GzipFile
+    member read, readline record walk, email.parser WARC headers,
+    http.client.HTTPResponse for the payload status — vs the engine's
+    zlib loop / byte-offset scan / manual folds).
+
+    Shared spec (documented at the engine site): revisit records only,
+    file-order ordinal among revisits, one-layer angle-bracket strip on
+    both the target URI and WARC-Refers-To-Target-URI, verbatim
+    WARC-Date / WARC-Profile / WARC-Refers-To-Date, http_status = the
+    payload's status line when it parses else 0 (record kept either
+    way)."""
+    import email.parser as _ep
+    import gzip as _gzip
+    import http.client as _hc
+    import io as _io
+
+    if data[:2] == b'\x1f\x8b':
+        data = _gzip.GzipFile(fileobj=_io.BytesIO(data)).read()
+
+    class _Sock:
+        def __init__(self, payload: bytes) -> None:
+            self._f = _io.BytesIO(payload)
+
+        def makefile(self, *a, **k):
+            return self._f
+
+    def _unbracket(u: str) -> str:
+        return u[1:-1] if u[:1] == '<' and u[-1:] == '>' else u
+
+    out: list = []
+    bio = _io.BytesIO(data)
+    line = bio.readline()
+    while line:
+        if not line.startswith(b'WARC/'):
+            line = bio.readline()
+            continue
+        hdr_lines = []
+        while True:
+            hl = bio.readline()
+            if hl in (b'\r\n', b'\n', b''):
+                break
+            hdr_lines.append(hl)
+        msg = _ep.BytesParser().parsebytes(b''.join(hdr_lines))
+        try:
+            length = int(str(msg.get('Content-Length') or '').strip())
+            if length < 0:
+                raise ValueError
+        except ValueError:
+            line = bio.readline()
+            continue
+        payload = bio.read(length)
+        if len(payload) < length:
+            break  # truncated tail record: dropped, parsing ends
+        if str(msg.get('WARC-Type') or '').strip() == 'revisit':
+            status = 0
+            resp = _hc.HTTPResponse(_Sock(payload))
+            try:
+                resp.begin()
+                status = resp.status
+            except (_hc.HTTPException, ValueError):
+                status = 0
+            out.append((
+                len(out),
+                _unbracket(str(msg.get('WARC-Target-URI') or '').strip()),
+                str(msg.get('WARC-Date') or '').strip(),
+                str(msg.get('WARC-Profile') or '').strip(),
+                _unbracket(str(msg.get('WARC-Refers-To-Target-URI') or '').strip()),
+                str(msg.get('WARC-Refers-To-Date') or '').strip(),
+                status,
+            ))
+        line = bio.readline()
+    return out
+
+
 def warc_cdx_seq(data: bytes) -> list:
     """Sequential twin of core/warc.warc_cdx on different machinery:
     MANUAL gzip member framing (header flag fields FEXTRA/FNAME/
