@@ -231,6 +231,35 @@ def q_warc_revisit(spark, sf_dir):
     ).orderBy('url', 'warc_date')
 
 
+def q_warc_dedup(spark, sf_dir):
+    """The WRITER side of CC's URL-agnostic dedup
+    (sources/warc.dedup_to_revisits): corpus responses unioned with an
+    identical REFETCH one year later (the month-over-month crawl
+    shape — same URL, unchanged payload) → first capture per payload
+    digest stays a ``response``, every later identical capture demotes
+    to a ``revisit`` row pointing at the winner.  Winner = min
+    (warc_date, url, file_name, rec_ord) per sha2(text) — selection is
+    the de-skewed aggregation (min-struct groupBy, map-side combined),
+    the join-back is AQE-splittable, never a window.  Oracle = DuckDB
+    window over the twin's response table unioned with the same
+    shifted copy.  The byte round-trip (write_dedup_warc → reparse →
+    resolve_revisits restores every demoted text) is pinned in
+    tests/test_warc.py."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import (
+        dedup_to_revisits, read_warc_responses)
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    resp = read_warc_responses(files)
+    refetch = resp.withColumn(
+        'warc_date', F.concat(F.lit('2021'), F.substring('warc_date', 5, 1000)))
+    out = dedup_to_revisits(resp.unionByName(refetch))
+    return out.select(
+        'url', 'warc_date', 'kind', 'refers_to_uri', 'refers_to_date',
+        'payload_sha',
+    ).orderBy('url', 'warc_date', 'kind')
+
+
 def q_robots_rules(spark, sf_dir):
     """Crawl-policy rules: from-scratch robots.txt parse over the
     per-host dim table — (host, group_agent, ord, verb, value) records
@@ -1024,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'html_tables': q_html_tables,
         'warc_responses': q_warc_responses,
         'warc_revisit': q_warc_revisit,
+        'warc_dedup': q_warc_dedup,
         'warc_main_content': q_warc_main_content,
         'warc_cdx': q_warc_cdx,
         'robots_rules': q_robots_rules,
@@ -1161,6 +1191,36 @@ def oracle_sql() -> dict[str, str]:
             'file_name, ord, warc_type, url, surt, "offset", length, addressable',
             _DOC_SKEY, 'file_name, ord',
         ),
+        # dedup-to-revisit decision: DuckDB's OWN window over the
+        # twin's response table unioned with the year-shifted refetch
+        # copy — winner = first (warc_date, url, file, ord) per digest
+        'warc_dedup': f"""
+            WITH u AS (
+                SELECT file_name, rec_ord, url, warc_date, text_sha
+                FROM read_parquet('{_ORACLEREF}/warc_responses.parquet')
+                WHERE skey = {_DOC_SKEY}
+                UNION ALL
+                SELECT file_name, rec_ord, url,
+                       '2021' || substr(warc_date, 5) AS warc_date, text_sha
+                FROM read_parquet('{_ORACLEREF}/warc_responses.parquet')
+                WHERE skey = {_DOC_SKEY}
+            ), r AS (
+                SELECT *,
+                    ROW_NUMBER() OVER w AS rn,
+                    FIRST_VALUE(url) OVER w AS w_url,
+                    FIRST_VALUE(warc_date) OVER w AS w_date
+                FROM u
+                WINDOW w AS (PARTITION BY text_sha
+                             ORDER BY warc_date, url, file_name, rec_ord
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT url, warc_date,
+                   CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS kind,
+                   CASE WHEN rn = 1 THEN NULL ELSE w_url END AS refers_to_uri,
+                   CASE WHEN rn = 1 THEN NULL ELSE w_date END AS refers_to_date,
+                   text_sha AS payload_sha
+            FROM r ORDER BY url, warc_date, kind
+        """,
         # revisit resolution: the twin's revisit records (email.parser
         # machinery) left-joined to the twin's response records on the
         # WARC-Refers-To pointers — unresolvable revisits keep NULLs

@@ -221,9 +221,11 @@ def run_bench(emit_json: bool = True) -> dict:
         'sitemap_entries',
         'frontier_schedule',
         # r6 additions: revisit resolution (page-sized shuffle join) +
-        # host-matchType prefix lookup through the sharded CDX index
+        # host-matchType prefix lookup through the sharded CDX index +
+        # the dedup-to-revisit WRITER decision (agg winner + join-back)
         'warc_revisit',
         'cdx_prefix',
+        'warc_dedup',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

@@ -432,6 +432,64 @@ def build_wet(entries: List[Tuple[str, str, str]],
         'conversion', 'text/plain', 'conversion: text extraction\r\n', software)
 
 
+def build_warc(entries, software: str = 'graft-synth/1.0') -> bytes:
+    """From-scratch WARC response/revisit WRITER — the output side of
+    the CC dedup pipeline (a deduplicated crawl republishes originals
+    as ``response`` records and identical later captures as
+    ``revisit`` pointers).  ``entries`` rows are
+    ``(kind, url, warc_date, http_status, mime, text, refers_to_uri,
+    refers_to_date)`` with kind ∈ {'response', 'revisit'}:
+
+    * ``response`` → payload = a canonical HTTP block
+      (``HTTP/1.1 <status> OK`` + ``Content-Type: <mime>;
+      charset=utf-8`` + Content-Length) over the utf-8 text — so a
+      reparse recovers status/mime/text exactly;
+    * ``revisit`` → headers-only HTTP payload plus ``WARC-Profile:
+      …/identical-payload-digest`` and the ``WARC-Refers-To-*``
+      pointers.
+
+    Same framing as the WET/WAT writers: warcinfo first, every record
+    its OWN gzip member (mtime=0, byte-deterministic), so
+    ``iter_warc_records``/``warc_cdx`` walk and seek-address the
+    result, ``warc_responses``/``warc_revisits`` read it back, and
+    ``resolve_revisits`` restores every demoted capture's text."""
+    import gzip
+
+    def record(head_extra: str, rtype: str, target: str, date: str,
+               payload: bytes, ct: str) -> bytes:
+        head = f'WARC/1.0\r\nWARC-Type: {rtype}\r\n'
+        if target:
+            head += f'WARC-Target-URI: {target}\r\n'
+        if date:
+            head += f'WARC-Date: {date}\r\n'
+        head += head_extra
+        head += f'Content-Type: {ct}\r\nContent-Length: {len(payload)}\r\n\r\n'
+        return gzip.compress(head.encode('latin-1') + payload + b'\r\n\r\n', mtime=0)
+
+    info = (f'software: {software}\r\n'
+            'format: WARC File Format 1.0\r\n'
+            'operation: digest deduplication\r\n').encode('latin-1')
+    out = [record('', 'warcinfo', '', '', info, 'application/warc-fields')]
+    for kind, url, date, status, mime, text, ref_uri, ref_date in entries:
+        if kind == 'revisit':
+            payload = (f'HTTP/1.1 {int(status)} OK\r\n'
+                       f'Content-Type: {mime}; charset=utf-8\r\n\r\n').encode('latin-1')
+            extra = ('WARC-Profile: http://netpreserve.org/warc/1.0/revisit/'
+                     'identical-payload-digest\r\n'
+                     f'WARC-Refers-To-Target-URI: {ref_uri}\r\n'
+                     f'WARC-Refers-To-Date: {ref_date}\r\n')
+            out.append(record(extra, 'revisit', url, date, payload,
+                              'application/http; msgtype=response'))
+        else:
+            body = (text or '').encode('utf-8')
+            payload = (f'HTTP/1.1 {int(status)} OK\r\n'
+                       f'Content-Type: {mime}; charset=utf-8\r\n'
+                       f'Content-Length: {len(body)}\r\n\r\n').encode('latin-1') + body
+            out.append(record('', 'response', url, date, payload,
+                              'application/http; msgtype=response'))
+    return b''.join(out)
+
+
 def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int, str]]:
     """(rec_ord, url, warc_date, http_status, mime, charset, n_bytes,
     text) per response record, in file order."""

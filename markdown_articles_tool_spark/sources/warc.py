@@ -120,6 +120,94 @@ def resolve_revisits(revisits: DataFrame, responses: DataFrame) -> DataFrame:
     )
 
 
+def dedup_to_revisits(responses: DataFrame) -> DataFrame:
+    """The WRITER side of CC's URL-agnostic dedup: keep the FIRST
+    capture per payload digest as a ``response``; demote every later
+    identical capture to a ``revisit`` row pointing at the winner —
+    the month-over-month crawl shape (an unchanged page refetched
+    later publishes as a revisit, and readers restore it through
+    ``resolve_revisits``).
+
+    Winner = min ``(warc_date, url, file_name, rec_ord)`` per
+    ``sha2(text)`` digest — a TOTAL order, so the verdict is
+    partition-invariant.  Selection is the de-skewed aggregation shape
+    (groupBy(digest).agg(min(struct(...))), map-side combined — a
+    corpus-ubiquitous payload like an empty page collapses to one row
+    per map partition before the exchange); the one unavoidable
+    corpus-sized exchange is the winner join-back (every row needs its
+    winner's identity), which is a JOIN — AQE skew-splittable — never
+    a window.
+
+    Returns (file_name, rec_ord, url, warc_date, http_status, mime,
+    text, kind, refers_to_uri, refers_to_date, payload_sha); winners
+    keep NULL refers_to_* columns.
+    """
+    digest = F.sha2(F.encode('text', 'utf-8'), 256)
+    recs = responses.select(
+        'file_name', 'rec_ord', 'url', 'warc_date', 'http_status', 'mime',
+        'text', digest.alias('payload_sha'),
+    )
+    winners = recs.groupBy('payload_sha').agg(
+        F.min(F.struct('warc_date', 'url', 'file_name', 'rec_ord')).alias('_w')
+    )
+    joined = recs.join(winners, 'payload_sha')
+    is_winner = (
+        (F.col('warc_date') == F.col('_w.warc_date'))
+        & (F.col('url') == F.col('_w.url'))
+        & (F.col('file_name') == F.col('_w.file_name'))
+        & (F.col('rec_ord') == F.col('_w.rec_ord'))
+    )
+    return joined.select(
+        'file_name', 'rec_ord', 'url', 'warc_date', 'http_status', 'mime',
+        'text',
+        F.when(is_winner, F.lit('response')).otherwise(F.lit('revisit')).alias('kind'),
+        F.when(~is_winner, F.col('_w.url')).alias('refers_to_uri'),
+        F.when(~is_winner, F.col('_w.warc_date')).alias('refers_to_date'),
+        'payload_sha',
+    )
+
+
+def write_dedup_warc(deduped: DataFrame, out_files: int | None = None) -> DataFrame:
+    """Pack ``dedup_to_revisits`` rows back into WARC archive bytes —
+    one (file_name, data, n_records) row per output archive, each
+    record its own gzip member (core/warc.build_warc).  Rows are
+    range-partitioned by (url, warc_date) so output files are
+    deterministic under any input partitioning; ``out_files`` defaults
+    to the cluster parallelism (production: size for ~1 GiB
+    archives)."""
+    spark = deduped.sparkSession
+    n = out_files or spark.sparkContext.defaultParallelism
+
+    from ..core.warc import build_warc
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        parts = [pdf for pdf in batches if not pdf.empty]
+        if not parts:
+            return
+        # ONE archive per range partition (concatenate the partition's
+        # Arrow batches so the file split is the range split, not the
+        # Arrow batch size); name from the first (url, date) key so
+        # output names are content-derived and deterministic
+        pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+        entries = list(zip(pdf['kind'], pdf['url'], pdf['warc_date'],
+                           pdf['http_status'], pdf['mime'], pdf['text'],
+                           pdf['refers_to_uri'], pdf['refers_to_date']))
+        first = min(zip(pdf['url'], pdf['warc_date']))
+        name = 'dedup-' + hashlib.sha256(
+            (first[0] + first[1]).encode('utf-8')).hexdigest()[:16] + '.warc.gz'
+        yield pd.DataFrame(
+            [(name, build_warc(entries), len(entries))],
+            columns=['file_name', 'data', 'n_records'])
+
+    ordered = (
+        deduped.repartitionByRange(n, 'url', 'warc_date')
+        .sortWithinPartitions('url', 'warc_date')
+    )
+    return ordered.mapInPandas(
+        pack, schema='file_name string, data binary, n_records int')
+
+
 WARC_CDX_SCHEMA = (
     'file_name string, ord int, warc_type string, url string, surt string, '
     'offset long, length long, addressable boolean'

@@ -622,6 +622,94 @@ class TestRevisit:
         assert done
 
 
+class TestDedupToRevisits:
+    """The WRITER side of CC's URL-agnostic dedup: decision operator,
+    byte writer, and the full write→reparse→resolve roundtrip."""
+
+    def _both(self, spark, n=60):
+        from markdown_articles_tool_spark.sources.warc import read_warc_responses
+        from pyspark.sql import functions as F
+
+        files = corpus.warc_files_df(spark, n)
+        resp = read_warc_responses(files)
+        refetch = resp.withColumn(
+            'warc_date', F.concat(F.lit('2021'), F.substring('warc_date', 5, 1000)))
+        return resp, resp.unionByName(refetch)
+
+    def test_decision_and_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.sources.warc import dedup_to_revisits
+
+        resp, both = self._both(spark)
+        out = dedup_to_revisits(both).collect()
+        n_resp = resp.count()
+        winners = [r for r in out if r['kind'] == 'response']
+        revisits = [r for r in out if r['kind'] == 'revisit']
+        assert len(out) == 2 * n_resp
+        assert len(revisits) >= n_resp  # every refetch demotes (+ in-2020 dups)
+        by_key = {(r['url'], r['warc_date']): r for r in out}
+        for r in revisits:
+            w = by_key[(r['refers_to_uri'], r['refers_to_date'])]
+            assert w['kind'] == 'response'
+            assert w['payload_sha'] == r['payload_sha']
+            assert (w['warc_date'], w['url']) <= (r['warc_date'], r['url'])
+        for r in winners:
+            assert r['refers_to_uri'] is None and r['refers_to_date'] is None
+        # partition-invariant (total-order winner)
+        again = dedup_to_revisits(
+            self._both(spark)[1].repartition(13)).collect()
+        key = lambda r: (r['url'], r['warc_date'], r['kind'])
+        assert sorted(map(key, again)) == sorted(map(key, out))
+
+    def test_no_window_in_plan(self, spark):
+        from markdown_articles_tool_spark.sources.warc import dedup_to_revisits
+
+        _resp, both = self._both(spark)
+        plan = dedup_to_revisits(both)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted'))
+        assert 'Window' not in plan  # winner = agg + join, never a window
+        assert 'partial_min' in plan  # map-side combined winner selection
+
+    def test_write_reparse_resolve_roundtrip(self, spark):
+        """write_dedup_warc bytes reparse to the same record set, and
+        resolve_revisits restores every demoted capture's exact
+        text — the complete dedup→publish→read cycle."""
+        from markdown_articles_tool_spark.sources.warc import (
+            dedup_to_revisits, read_warc_responses, read_warc_revisits,
+            resolve_revisits, write_dedup_warc)
+
+        resp, both = self._both(spark)
+        deduped = dedup_to_revisits(both)
+        archives = write_dedup_warc(deduped, out_files=4)
+        rows = archives.collect()
+        assert 1 <= len(rows) <= 4
+        assert sum(r['n_records'] for r in rows) == deduped.count()
+        arch_df = spark.createDataFrame(
+            [(r['file_name'], r['data']) for r in rows], 'file_name string, data binary')
+        # responses in the new archive = the winner set, text intact
+        reread = {(r['url'], r['warc_date']): r
+                  for r in read_warc_responses(arch_df).collect()}
+        originals = {(r['url'], r['warc_date']): r for r in
+                     deduped.where("kind = 'response'").collect()}
+        assert set(reread) == set(originals)
+        for k, r in reread.items():
+            assert r['text'] == originals[k]['text']
+            assert r['http_status'] == originals[k]['http_status']
+            assert r['mime'] == originals[k]['mime']
+        # revisits resolve back to the exact demoted text
+        resolved = resolve_revisits(
+            read_warc_revisits(arch_df), read_warc_responses(arch_df)).collect()
+        demoted = {(r['url'], r['warc_date']): r for r in
+                   deduped.where("kind = 'revisit'").collect()}
+        assert len(resolved) == len(demoted)
+        for r in resolved:
+            want = demoted[(r['url'], r['warc_date'])]
+            assert r['orig_text'] == want['text']  # restored through the pointer
+        # and the archives are CDX-addressable like any CC file
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+        cdx = read_warc_cdx(arch_df)
+        assert cdx.where('NOT addressable').count() == 0
+
+
 class TestCdxShardedIndex:
     def test_write_prune_lookup_roundtrip(self, spark, tmp_path_factory):
         from markdown_articles_tool_spark.sources.cdxindex import (
