@@ -701,6 +701,21 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(_t(spark, sf_dir, 'documents').select('doc_id')).orderBy('doc_id')
 
 
+def q_lang_sample(spark, sf_dir):
+    """Language rebalancing (training/sampling.lang_rebalance): the
+    mC4/CCNet temperature-sampling shape at alpha = 1/2, expressed as
+    a per-doc hash-threshold decision — keep with probability
+    min(1, 8/sqrt(n_lang)) — so the plan is one tiny language-count
+    aggregation + a broadcast dim join + a scan-side filter, with NO
+    corpus shuffle, window, or rank anywhere.  The threshold chain
+    (exact multiply, sqrt, divide, floor) is IEEE-correctly-rounded at
+    every step, so the DuckDB oracle replays the arithmetic verbatim
+    and must agree bit-for-bit on every kept doc."""
+    from markdown_articles_tool_spark.training.sampling import lang_rebalance
+
+    return lang_rebalance(_t(spark, sf_dir, 'documents'), k=8).orderBy('doc_id')
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 TF-IDF terms: per-doc TF groupBy, corpus-wide
     DF groupBy, SHUFFLE join on term (crawl vocabularies don't
@@ -1092,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_filter': q_quality_filter,
         'tfidf_topk': q_tfidf_topk,
         'dataset_split': q_dataset_split,
+        'lang_sample': q_lang_sample,
         'pack_sequences': q_pack_sequences,
         'contamination': q_contamination,
         'fingerprint': q_fingerprint,
@@ -1751,6 +1767,24 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+    """
+    # language rebalancing: the SAME IEEE-correctly-rounded threshold
+    # chain (exact 2^32*k literal, sqrt, divide, floor) rendered to 8
+    # lowercase hex digits and compared lexicographically against the
+    # sha256(id) prefix — bit-identical to the Spark plan by IEEE-754
+    d['lang_sample'] = """
+        WITH c AS (SELECT lang, COUNT(*) AS lang_count FROM documents GROUP BY lang),
+        t AS (
+          SELECT lang, lang_count,
+                 printf('%08x', CAST(FLOOR(34359738368.0
+                        / SQRT(CAST(lang_count AS DOUBLE))) AS BIGINT)) AS thr_hex,
+                 lang_count <= 64 AS keep_all
+          FROM c)
+        SELECT d.doc_id, d.lang, t.lang_count
+        FROM documents d JOIN t ON d.lang = t.lang
+        WHERE t.keep_all
+           OR substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
+        ORDER BY d.doc_id
     """
     # TF-IDF: identical term split + smoothed idf + row_number tie-break
     d['tfidf_topk'] = """

@@ -50,3 +50,65 @@ def dataset_split(
         .otherwise(F.lit('test'))
     )
     return df.withColumn('bucket', b).withColumn('split', split)
+
+
+# 2^32 as an exact double: the hash-prefix key space (first 8 hex chars
+# of sha256).  All threshold arithmetic below is a short chain of
+# IEEE-754 correctly-rounded operations (exact multiply of two exact
+# doubles, sqrt, divide, floor) — bit-identical in every IEEE engine
+# (JVM, DuckDB, numpy), unlike pow(), whose libm results differ across
+# runtimes.  That is why the temperature is FIXED at alpha = 1/2.
+_HASH_SPACE = 4294967296.0
+
+
+def lang_rebalance(
+    df: DataFrame,
+    lang_col: str = 'lang',
+    id_col: str = 'doc_id',
+    k: int = 8,
+) -> DataFrame:
+    """Language rebalancing for multilingual training corpora — the
+    mC4 / CCNet temperature-sampling shape at alpha = 1/2, expressed
+    as a PER-DOC hash-threshold decision so the selection is exact,
+    order-free, and engine-portable.
+
+    Every doc is kept with probability min(1, k / sqrt(n_lang)):
+    expected kept count per language = k * sqrt(n_lang), the alpha=0.5
+    rebalancing curve (head languages downsampled toward sqrt, tail
+    languages kept whole).  The decision is ``hash_prefix(id) <
+    threshold(lang)`` — a pure function of document identity, so
+    re-runs, re-partitions and incremental appends keep the SAME docs
+    (the dataset_split property, per-language).
+
+    Distribution shape: one tiny per-language count aggregation
+    (map-side combined), a broadcast join of the language dim back
+    onto the corpus, and a scan-side filter — no corpus-sized shuffle
+    at any step, no window, no rank.  Selecting an EXACT quota would
+    need a per-language rank (a corpus shuffle + a mega-group for the
+    head language); the Bernoulli threshold trades +-sqrt-noise quota
+    precision for a shuffle-free plan, which is the right trade at
+    10^12 docs.
+
+    Exactness contract (what the DuckDB oracle replays verbatim):
+    threshold = floor((2^32 * k) / sqrt(n_lang)) rendered as 8 lowercase
+    hex digits, compared LEXICOGRAPHICALLY against the first 8 hex
+    chars of sha256(id as string) — identical to the numeric compare
+    because both sides are fixed-width lowercase hex.  Languages with
+    n_lang <= k^2 (rate >= 1) are kept whole via an integer guard, so
+    the hex rendering never exceeds 8 digits.
+    """
+    counts = df.groupBy(lang_col).agg(F.count('*').alias('lang_count'))
+    n = F.col('lang_count').cast('double')
+    thr = F.floor(F.lit(_HASH_SPACE * float(k)) / F.sqrt(n)).cast('long')
+    dim = counts.select(
+        lang_col,
+        'lang_count',
+        F.format_string('%08x', thr).alias('_thr_hex'),
+        (F.col('lang_count') <= F.lit(int(k) * int(k))).alias('_keep_all'),
+    )
+    hkey = F.substring(F.sha2(F.col(id_col).cast('string'), 256), 1, 8)
+    return (
+        df.join(F.broadcast(dim), lang_col)
+        .where(F.col('_keep_all') | (hkey < F.col('_thr_hex')))
+        .select(id_col, lang_col, 'lang_count')
+    )

@@ -1000,3 +1000,55 @@ class TestInt8Quantization:
         # scoring is JVM Column algebra over int arrays — the dot
         # product must NOT be a python UDF (only signature + quantize are)
         assert plan.count('ArrowEvalPython') <= 4  # sig + quant (x2 under AQE)
+
+
+class TestLangRebalance:
+    """training/sampling.lang_rebalance — alpha=1/2 temperature
+    sampling as a per-doc hash-threshold decision."""
+
+    def _docs(self, spark, langs):
+        rows = [(i, lang) for i, lang in enumerate(langs)]
+        return spark.createDataFrame(rows, 'doc_id long, lang string')
+
+    def test_keep_all_guard_small_languages(self, spark):
+        from markdown_articles_tool_spark.training.sampling import lang_rebalance
+
+        # every language at or below k^2 docs is kept whole (rate >= 1)
+        docs = self._docs(spark, ['tail'] * 64 + ['tiny'] * 3)
+        out = lang_rebalance(docs, k=8).collect()
+        assert len(out) == 67
+        assert all(r['lang_count'] in (64, 3) for r in out)
+
+    def test_head_language_downsampled_toward_sqrt(self, spark):
+        from markdown_articles_tool_spark.training.sampling import lang_rebalance
+
+        docs = self._docs(spark, ['head'] * 4000)
+        kept = lang_rebalance(docs, k=8).count()
+        # E[kept] = 8 * sqrt(4000) ~ 506; sha256 is uniform, so a
+        # +-40% band is ~5 sigma — deterministic given the hash
+        assert 300 < kept < 710, kept
+
+    def test_identity_stable_under_append_and_repartition(self, spark):
+        from markdown_articles_tool_spark.training.sampling import lang_rebalance
+
+        base = self._docs(spark, ['en'] * 300 + ['de'] * 80)
+        kept1 = {r['doc_id'] for r in lang_rebalance(base, k=8).collect()}
+        # append more docs of an UNRELATED language: en/de thresholds
+        # depend only on their own counts, so the kept en/de set is
+        # unchanged; repartitioning must not matter either
+        grown = base.union(
+            self._docs(spark, ['fr'] * 50).select(
+                (F.col('doc_id') + 1000).alias('doc_id'), 'lang')
+        ).repartition(7)
+        kept2 = {r['doc_id'] for r in lang_rebalance(grown, k=8).collect()
+                 if r['doc_id'] < 1000}
+        assert kept1 == kept2
+
+    def test_plan_broadcast_dim_no_corpus_shuffle_no_window(self, spark):
+        from markdown_articles_tool_spark.training.sampling import lang_rebalance
+
+        docs = self._docs(spark, ['en'] * 200 + ['de'] * 100)
+        plan = lang_rebalance(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+        assert 'BroadcastHashJoin' in plan or 'BroadcastNestedLoop' not in plan
+        assert 'SortMergeJoin' not in plan
+        assert 'Window' not in plan
