@@ -716,6 +716,32 @@ def q_lang_sample(spark, sf_dir):
     return lang_rebalance(_t(spark, sf_dir, 'documents'), k=8).orderBy('doc_id')
 
 
+def q_source_spam(spark, sf_dir):
+    """Per-domain lexical-diversity dim (training/domains.
+    source_diversity): the C4/RefinedWeb domain-blocklist derivation —
+    a template farm's vocabulary barely grows while its token count
+    explodes, so spam = type-token ratio below 1/45, stated as the
+    INTEGER inequality n_terms > 45 * n_distinct (exact in every
+    engine).  COUNT(DISTINCT term) per source is a Catalyst two-level
+    aggregate (partial distinct before the exchange), so a mega-source
+    collapses to vocabulary size map-side."""
+    from markdown_articles_tool_spark.training.domains import source_diversity
+
+    return source_diversity(_t(spark, sf_dir, 'documents')).orderBy('source')
+
+
+def q_domain_filter(spark, sf_dir):
+    """The corpus pass over the domain verdict (training/domains.
+    domain_filter): broadcast the host-sized clean-source dim onto the
+    corpus and keep docs from clean sources — the doc side never
+    shuffles."""
+    from markdown_articles_tool_spark.training.domains import domain_filter
+
+    return domain_filter(_t(spark, sf_dir, 'documents')).select(
+        'doc_id', 'source'
+    ).orderBy('doc_id')
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 TF-IDF terms: per-doc TF groupBy, corpus-wide
     DF groupBy, SHUFFLE join on term (crawl vocabularies don't
@@ -1108,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tfidf_topk': q_tfidf_topk,
         'dataset_split': q_dataset_split,
         'lang_sample': q_lang_sample,
+        'source_spam': q_source_spam,
+        'domain_filter': q_domain_filter,
         'pack_sequences': q_pack_sequences,
         'contamination': q_contamination,
         'fingerprint': q_fingerprint,
@@ -1785,6 +1813,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE t.keep_all
            OR substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr_hex
         ORDER BY d.doc_id
+    """
+    # domain diversity dim: same term split as tfidf; the spam verdict
+    # is the integer inequality n_terms > 45 * n_distinct — exact, no
+    # float ratio anywhere
+    _spam_dim = """
+        WITH terms AS (
+          SELECT source, t AS term
+          FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> ''
+        ), tdim AS (
+          SELECT source, COUNT(*) AS n_terms,
+                 COUNT(DISTINCT term) AS n_distinct_terms
+          FROM terms GROUP BY source
+        ), docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        SELECT docs.source, docs.n_docs,
+               COALESCE(tdim.n_terms, 0) AS n_terms,
+               COALESCE(tdim.n_distinct_terms, 0) AS n_distinct_terms,
+               COALESCE(tdim.n_terms, 0) > 45 * COALESCE(tdim.n_distinct_terms, 0) AS spam
+        FROM docs LEFT JOIN tdim ON docs.source = tdim.source
+    """
+    d['source_spam'] = f"SELECT * FROM ({_spam_dim}) ORDER BY source"
+    d['domain_filter'] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE source IN (SELECT source FROM ({_spam_dim}) WHERE NOT spam)
+        ORDER BY doc_id
     """
     # TF-IDF: identical term split + smoothed idf + row_number tie-break
     d['tfidf_topk'] = """

@@ -1052,3 +1052,59 @@ class TestLangRebalance:
         assert 'BroadcastHashJoin' in plan or 'BroadcastNestedLoop' not in plan
         assert 'SortMergeJoin' not in plan
         assert 'Window' not in plan
+
+
+class TestDomainDiversity:
+    """training/domains — per-source TTR spam verdict + corpus filter."""
+
+    def _docs(self, spark):
+        farm = [(i, 'spam word ' * 40, 'farm.example') for i in range(6)]
+        rich = [
+            (100 + i, f'unique{i} tokens alpha{i} beta{i} gamma{i} delta{i}', 'rich.example')
+            for i in range(6)
+        ]
+        empty = [(200, '', 'void.example')]
+        return spark.createDataFrame(
+            farm + rich + empty, 'doc_id long, text string, source string'
+        )
+
+    def test_verdicts(self, spark):
+        from markdown_articles_tool_spark.training.domains import source_diversity
+
+        dim = {r['source']: r for r in source_diversity(self._docs(spark)).collect()}
+        assert dim['farm.example']['spam']            # 480 terms / 2 distinct
+        assert not dim['rich.example']['spam']        # ~unique vocabulary
+        # empty-text source: 0 terms, 0 distinct -> 0 > 45*0 false -> clean
+        assert dim['void.example']['n_terms'] == 0
+        assert not dim['void.example']['spam']
+
+    def test_filter_drops_farm_keeps_rest(self, spark):
+        from markdown_articles_tool_spark.training.domains import domain_filter
+
+        kept = {r['source'] for r in domain_filter(self._docs(spark)).collect()}
+        assert kept == {'rich.example', 'void.example'}
+
+    def test_filter_plan_broadcasts_dim_no_doc_shuffle(self, spark):
+        from markdown_articles_tool_spark.training.domains import domain_filter
+
+        plan = (
+            domain_filter(self._docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the corpus side must meet the verdict dim in a broadcast
+        # join, never a sort-merge exchange of the doc table
+        assert 'BroadcastHashJoin' in plan
+        assert 'SortMergeJoin' not in plan
+
+    def test_distinct_agg_is_two_level(self, spark):
+        from markdown_articles_tool_spark.training.domains import source_diversity
+
+        plan = (
+            source_diversity(self._docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # COUNT(DISTINCT term) must expand to the partial-distinct
+        # shape: a (source, term) keyed aggregate BEFORE the final
+        # count, so a mega-source collapses to vocabulary size map-side
+        assert 'partial_count' in plan or 'HashAggregate' in plan
+        assert plan.count('HashAggregate') >= 4
