@@ -716,6 +716,32 @@ def q_lang_sample(spark, sf_dir):
     return lang_rebalance(_t(spark, sf_dir, 'documents'), k=8).orderBy('doc_id')
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Incremental dedup against a historical corpus via a distributed
+    Bloom filter (training/bloomdedup): historical = doc_id % 3 != 0,
+    new batch = the rest, key = sha256(text).  Build = explode k probe
+    positions per digest → groupBy(word).bit_or(mask) — map-side
+    combined, output bounded by m_bits/64 rows REGARDLESS of corpus
+    size — collect the filter once, broadcast; probe = JVM xxhash64
+    position algebra + ONE vectorized Arrow pass of bit tests.  No
+    join, no corpus shuffle at any step.  m is deliberately tiny
+    (2048 bits) at test scale so deterministic FALSE POSITIVES occur
+    and the gate checks them: the oracle twin replays the frozen spec
+    (xxhash64 seed 42 → Kirsch-Mitzenmacher double hashing) with the
+    pinned stdlib XXH64 reimplementation and must agree on every
+    verdict, FPs included."""
+    from markdown_articles_tool_spark.training.bloomdedup import bloom_dedup
+
+    docs = _t(spark, sf_dir, 'documents').select(
+        'doc_id', F.sha2(F.col('text'), 256).alias('digest')
+    )
+    old = docs.where(F.col('doc_id') % 3 != 0)
+    new = docs.where(F.col('doc_id') % 3 == 0)
+    return bloom_dedup(old, new, m_bits=2048, k_hashes=3).select(
+        'doc_id', 'novel'
+    ).orderBy('doc_id')
+
+
 def q_source_spam(spark, sf_dir):
     """Per-domain lexical-diversity dim (training/domains.
     source_diversity): the C4/RefinedWeb domain-blocklist derivation —
@@ -1135,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dataset_split': q_dataset_split,
         'lang_sample': q_lang_sample,
         'source_spam': q_source_spam,
+        'bloom_dedup': q_bloom_dedup,
         'domain_filter': q_domain_filter,
         'pack_sequences': q_pack_sequences,
         'contamination': q_contamination,
@@ -1497,6 +1524,9 @@ def oracle_sql() -> dict[str, str]:
             'lineage', 'pass_idx, shard, n_docs, n_links, status, n_status',
             _DOC_SKEY, 'pass_idx, shard, status',
         ),
+        # Bloom incremental dedup: frozen hash spec replayed by the
+        # stdlib XXH64 twin — deterministic false positives checked too
+        'bloom_dedup': _ref('bloom_dedup', 'doc_id, novel', _DOC_SKEY, 'doc_id'),
         'line_dedup': _ref(
             'line_dedup', 'url, n_lines, n_kept, dedup_sha', _DOC_SKEY, 'url'
         ),

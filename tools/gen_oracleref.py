@@ -54,6 +54,7 @@ from oracle_extract import (  # noqa: E402
     link_status,
     md_image_links,
     shard_of,
+    xxhash64_spark,
 )
 from oracle_kernels import (  # noqa: E402
     cosine as cosine_seq,
@@ -772,6 +773,35 @@ def gen_embedding_neardup(sf_dir: str, skey: int, out: dict, threshold=0.45, n_p
             out['embedding_neardup'].append((skey, a, b))
 
 
+def gen_bloom(sf_dir: str, skey: int, out: dict,
+              m_bits: int = 2048, k_hashes: int = 3) -> None:
+    """Twin of training/bloomdedup.bloom_dedup over the documents
+    table: historical = doc_id % 3 != 0, new batch = the rest; digest
+    = sha256(text) hex; positions from the pinned xxhash64 twin via
+    Kirsch-Mitzenmacher double hashing — exact integer replay of the
+    frozen spec, INCLUDING the deterministic false positives (m is
+    deliberately small at test scale so FPs occur and get checked)."""
+    t = _read(sf_dir, 'documents')
+    m64 = (1 << 64) - 1
+
+    def positions(digest: str):
+        u = xxhash64_spark(digest.encode('utf-8')) & m64
+        h1, h2 = u >> 32, u & 0xFFFFFFFF
+        return [(h1 + i * h2) % m_bits for i in range(k_hashes)]
+
+    bits = set()
+    new_rows = []
+    for doc_id, text in zip(t['doc_id'].to_pylist(), t['text'].to_pylist()):
+        digest = hashlib.sha256(text.encode('utf-8')).hexdigest()
+        if doc_id % 3 != 0:
+            bits.update(positions(digest))
+        else:
+            new_rows.append((doc_id, digest))
+    for doc_id, digest in new_rows:
+        novel = not all(p in bits for p in positions(digest))
+        out['bloom_dedup'].append((skey, doc_id, novel))
+
+
 # ------------------------------------------------------------------ main
 
 SCHEMAS = {
@@ -849,6 +879,9 @@ SCHEMAS = {
     ),
     'embedding_neardup': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64())]
+    ),
+    'bloom_dedup': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()), ('novel', pa.bool_())]
     ),
     'lineage': pa.schema(
         [('skey', pa.int64()), ('pass_idx', pa.int32()), ('shard', pa.int32()),
@@ -984,6 +1017,7 @@ def main() -> None:
         gen_int8(sf_dir, ek, out)
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)
+        gen_bloom(sf_dir, dk, out)
     for name, schema in SCHEMAS.items():
         cols = list(zip(*out[name])) if out[name] else [[] for _ in schema.names]
         table = pa.table({f: list(c) for f, c in zip(schema.names, cols)}, schema=schema)
