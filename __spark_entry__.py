@@ -1019,6 +1019,41 @@ def q_cdx_prefix(spark, sf_dir):
     ).orderBy('surt', 'file_name', 'ord')
 
 
+def q_cdx_closest(spark, sf_dir):
+    """``closest`` matchType through the sharded index — the wayback
+    query: nearest capture (response/revisit) of a URL to a requested
+    14-digit timestamp, distance defined on the numeric 14-digit form
+    (the CDX key convention), ties toward the earlier capture.  One
+    job for the whole query batch (covering-shard union + broadcast
+    query set), winner per query = a min-struct AGGREGATION under a
+    total order — map-side combined, never a window sort, so a URL
+    with 10^6 captures collapses per map partition.  The four queries
+    exercise: an exact-timestamp hit (diff 0 → the response), a
+    far-future query (the later revisit wins), a single-capture URL,
+    and a two-capture distance race asked through a MESSY spelling of
+    the URL (SURT collapse routes it to the same captures).  Oracle =
+    DuckDB's own window over the twin's CDX table (which now carries
+    warc_date exactly for this query shape)."""
+    from markdown_articles_tool_spark.corpus import doc_url, warc_files_df
+    from markdown_articles_tool_spark.sources.cdxindex import (
+        lookup_closest, write_cdx_index)
+    from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+    n = _corpus_n(sf_dir)
+    files = warc_files_df(spark, n)
+    cdx = read_warc_cdx(files)
+    path = f'/tmp/mats_cdx_index/{n}'
+    write_cdx_index(cdx, path)
+    messy28 = 'HTTPS://WWW.SITE3.EXAMPLE:443/articles/a00000028/doc28.md'
+    queries = [
+        (doc_url(0), 20200913122640),    # exact hit on the response
+        (doc_url(7), 20210101000000),    # future → revisit (later) wins
+        (doc_url(14), 20150101000000),   # single capture (gone-branch revisit)
+        (messy28, 20200913122710),       # distance race: 2 vs 3 → response
+    ]
+    return lookup_closest(spark, path, queries).orderBy('surt', 'q_ts')
+
+
 def q_clean_corpus(spark, sf_dir):
     """The composed hygiene pipeline — what a release run actually
     executes: mojibake repair → PII scrub → Gopher quality verdict,
@@ -1185,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'frontier_budget': q_frontier_budget,
         'cdx_lookup': q_cdx_lookup,
         'cdx_prefix': q_cdx_prefix,
+        'cdx_closest': q_cdx_closest,
     }
 
 
@@ -1259,7 +1295,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         'warc_cdx': _ref(
             'warc_cdx',
-            'file_name, ord, warc_type, url, surt, "offset", length, addressable',
+            'file_name, ord, warc_type, url, surt, "offset", length, '
+            'addressable, warc_date',
             _DOC_SKEY, 'file_name, ord',
         ),
         # dedup-to-revisit decision: DuckDB's OWN window over the
@@ -1483,6 +1520,43 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet')
             WHERE skey = {_DOC_SKEY} AND surt LIKE 'example,site1)%'
             ORDER BY surt, file_name, ord
+        """,
+        # closest matchType: DuckDB's OWN window over the twin's CDX
+        # table replays the wayback distance rule (numeric 14-digit
+        # distance, ties to the earlier capture, then file/ord)
+        'cdx_closest': f"""
+            WITH caps AS (
+                SELECT surt, url, warc_date, file_name, ord,
+                       "offset", length, addressable,
+                       CAST(translate(warc_date, '-:TZ', '') AS BIGINT) AS cap_ts
+                FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet')
+                WHERE skey = {_DOC_SKEY}
+                  AND warc_type IN ('response', 'revisit')
+            ),
+            q(u, q_ts) AS (
+                SELECT * FROM (VALUES
+                    ('https://site5.example/articles/a00000000/doc0.md',
+                     CAST(20200913122640 AS BIGINT)),
+                    ('https://site6.example/articles/a00000007/doc7.md',
+                     CAST(20210101000000 AS BIGINT)),
+                    ('https://site2.example/articles/a00000014/doc14.md',
+                     CAST(20150101000000 AS BIGINT)),
+                    ('https://site3.example/articles/a00000028/doc28.md',
+                     CAST(20200913122710 AS BIGINT))
+                ) t(u, q_ts)
+            ),
+            j AS (
+                SELECT c.*, q.q_ts,
+                       row_number() OVER (
+                           PARTITION BY c.surt, q.q_ts
+                           ORDER BY abs(c.cap_ts - q.q_ts), c.cap_ts,
+                                    c.file_name, c.ord) AS rn
+                FROM caps c JOIN q ON c.url = q.u
+            )
+            SELECT surt, q_ts, warc_date, abs(cap_ts - q_ts) AS ts_diff,
+                   file_name, ord, url, "offset", length, addressable
+            FROM j WHERE rn = 1
+            ORDER BY surt, q_ts
         """,
         # merged CDX index: DuckDB's OWN global window over the twin's
         # CDX rows — independently checks the two-level prefix-count

@@ -235,9 +235,9 @@ def _gzip_member_spans(data: bytes) -> List[Tuple[int, int, bytes]]:
     return list(_iter_gzip_members(data))
 
 
-def warc_cdx(data: bytes) -> List[Tuple[int, str, str, int, int, bool]]:
+def warc_cdx(data: bytes) -> List[Tuple[int, str, str, int, int, bool, str]]:
     """CDX-style record index: (ord, warc_type, url, offset, length,
-    addressable) per well-formed record, in file order — the offset
+    addressable, warc_date) per well-formed record, in file order — the offset
     index that turns file-granular crawl splits into record-granular
     ones (seek, slice, hand the slice to the SAME parser).
 
@@ -252,19 +252,26 @@ def warc_cdx(data: bytes) -> List[Tuple[int, str, str, int, int, bool]]:
     just not seekable.  Ordinals count every well-formed record of any
     WARC-Type (warcinfo/request/response/metadata share the space);
     malformed records are resynced past and a truncated tail is
-    dropped, exactly like ``iter_warc_records``."""
-    rows: List[Tuple[int, str, str, int, int, bool]] = []
+    dropped, exactly like ``iter_warc_records``.
+
+    ``warc_date`` (the record's verbatim WARC-Date header, '' when
+    absent) makes the index answer wayback-style ``closest`` queries
+    without re-parsing archives — real CDX(J) lines carry the 14-digit
+    timestamp as the second key component for exactly this reason."""
+    rows: List[Tuple[int, str, str, int, int, bool, str]] = []
 
     def emit(spans_src: bytes, base: int, off: int = 0, clen: int = 0,
              member: bool = False) -> None:
         for start, end, headers, _bs, _bl in _record_spans(spans_src):
             if member:
                 rows.append((len(rows), headers.get('warc-type', ''),
-                             _target_uri(headers), off, clen, True))
+                             _target_uri(headers), off, clen, True,
+                             headers.get('warc-date', '')))
             else:
                 rows.append((len(rows), headers.get('warc-type', ''),
                              _target_uri(headers), base + start, end - start,
-                             base == 0 and not data.startswith(_GZIP_MAGIC)))
+                             base == 0 and not data.startswith(_GZIP_MAGIC),
+                             headers.get('warc-date', '')))
 
     if data.startswith(_GZIP_MAGIC):
         stream_base = 0

@@ -170,3 +170,70 @@ def domain_prefix(url: str) -> str:
     from ..core.wwwtools import surt_key
 
     return surt_key(url).partition(')')[0]
+
+
+def _ts14(col):
+    """The 14-digit numeric form of an ISO WARC-Date
+    ('2020-09-13T12:26:40Z' → 20200913122640) — the key component real
+    CDX lines carry; ``closest`` distance is defined on THIS number
+    (the wayback convention), not on epoch seconds."""
+    return F.translate(col, '-:TZ', '').cast('long')
+
+
+def lookup_closest(spark: SparkSession, path: str, queries) -> DataFrame:
+    """Wayback-style ``closest`` match: for each (url, ts14) query,
+    the capture (response or revisit record) of that URL whose
+    14-digit timestamp is numerically nearest to ts14 — ties break
+    toward the EARLIER capture, then (file_name, ord), a total order,
+    so the winner is partition-invariant.
+
+    Batch shape (the ``lookup_surts`` discipline): ONE job — the
+    union of covering shards for all query SURTs scanned once,
+    broadcast-joined against the query set, then the winner per query
+    is a min-struct AGGREGATION (map-side combined; a mega-capture-
+    count URL collapses per map partition), never a window sort.
+
+    Returns one row per query that has any capture: (surt, q_ts,
+    warc_date, ts_diff, file_name, ord, url, offset, length,
+    addressable) — enough to seek-read the winning record via
+    ``read_record_at``."""
+    from ..core.wwwtools import surt_key
+
+    pairs = sorted({(surt_key(u), int(t)) for u, t in queries})
+    if not pairs:
+        empty = _empty_like_shards(spark, path)
+        return empty.select(
+            'surt', F.lit(0).cast('long').alias('q_ts'),
+            'warc_date', F.lit(0).cast('long').alias('ts_diff'),
+            'file_name', 'ord', 'url', 'offset', 'length', 'addressable',
+        )
+    files = sorted({
+        f for k, _ in pairs for f in covering_shards(spark, path, k)
+    })
+    qdf = spark.createDataFrame(pairs, 'surt string, q_ts long')
+    src = (
+        (spark.read.parquet(*files) if files else _empty_like_shards(spark, path))
+        .where(F.col('warc_type').isin('response', 'revisit'))
+        .join(F.broadcast(qdf), 'surt')
+    )
+    cap_ts = _ts14(F.col('warc_date'))
+    diff = F.abs(cap_ts - F.col('q_ts'))
+    winner = F.min(F.struct(
+        diff.alias('ts_diff'), cap_ts.alias('cap_ts'),
+        F.col('file_name'), F.col('ord'), F.col('warc_date'),
+        F.col('url'), F.col('offset'), F.col('length'), F.col('addressable'),
+    )).alias('w')
+    return (
+        src.groupBy('surt', 'q_ts').agg(winner)
+        .select(
+            'surt', 'q_ts',
+            F.col('w.warc_date').alias('warc_date'),
+            F.col('w.ts_diff').alias('ts_diff'),
+            F.col('w.file_name').alias('file_name'),
+            F.col('w.ord').alias('ord'),
+            F.col('w.url').alias('url'),
+            F.col('w.offset').alias('offset'),
+            F.col('w.length').alias('length'),
+            F.col('w.addressable').alias('addressable'),
+        )
+    )

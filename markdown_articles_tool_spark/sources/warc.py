@@ -210,7 +210,7 @@ def write_dedup_warc(deduped: DataFrame, out_files: int | None = None) -> DataFr
 
 WARC_CDX_SCHEMA = (
     'file_name string, ord int, warc_type string, url string, surt string, '
-    'offset long, length long, addressable boolean'
+    'offset long, length long, addressable boolean, warc_date string'
 )
 
 
@@ -241,7 +241,8 @@ def read_warc_cdx(files: DataFrame, file_col: str = 'file_name',
                     rows.append((fname, *rec[:3], surt_key(rec[2]), *rec[3:]))
             yield pd.DataFrame(
                 rows, columns=['file_name', 'ord', 'warc_type', 'url',
-                               'surt', 'offset', 'length', 'addressable']
+                               'surt', 'offset', 'length', 'addressable',
+                               'warc_date']
             )
 
     return files.select(file_col, data_col).mapInPandas(run, schema=WARC_CDX_SCHEMA)

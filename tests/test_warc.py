@@ -866,3 +866,105 @@ class TestCdxShardedIndex:
         # domain prefix also catches subdomains after SURT reversal
         assert host_prefix('http://api.site1.example/') == 'example,site1,api)'
         assert domain_prefix('http://api.site1.example/').startswith('example,site1')
+
+
+class TestCdxClosest:
+    """lookup_closest — wayback `closest` matchType over the sharded
+    index (distance on the numeric 14-digit timestamp form, ties to
+    the earlier capture)."""
+
+    def _build(self, spark, tmp_path_factory, n=60, n_shards=4):
+        from markdown_articles_tool_spark.sources.cdxindex import write_cdx_index
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+        tmp = str(tmp_path_factory.mktemp('cdxc') / 'files')
+        corpus.warc_files_df(spark, n).write.parquet(tmp)
+        cdx = read_warc_cdx(spark.read.parquet(tmp))
+        path = str(tmp_path_factory.mktemp('cdxc') / 'index')
+        write_cdx_index(cdx, path, n_shards=n_shards)
+        return path, cdx.collect()
+
+    @staticmethod
+    def _ts14(iso):
+        return int(iso.replace('-', '').replace(':', '')
+                   .replace('T', '').replace('Z', ''))
+
+    def _brute(self, full, url, q_ts):
+        from markdown_articles_tool_spark.core.wwwtools import surt_key
+
+        key = surt_key(url)
+        caps = [r for r in full
+                if r['surt'] == key and r['warc_type'] in ('response', 'revisit')]
+        if not caps:
+            return None
+        return min(caps, key=lambda r: (abs(self._ts14(r['warc_date']) - q_ts),
+                                        self._ts14(r['warc_date']),
+                                        r['file_name'], r['ord']))
+
+    def test_matches_brute_force_for_every_capture_url(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path, full = self._build(spark, tmp_path_factory)
+        urls = sorted({r['url'] for r in full if r['warc_type'] == 'response'})
+        urls = urls[:: max(1, len(urls) // 12)]
+        for q_ts in (20150101000000, 20200913122650, 20990101000000):
+            queries = [(u, q_ts) for u in urls]
+            got = {(r['surt'], r['q_ts']): (r['file_name'], r['ord'], r['warc_date'])
+                   for r in lookup_closest(spark, path, queries).collect()}
+            for u in urls:
+                w = self._brute(full, u, q_ts)
+                k = (w['surt'], q_ts)
+                assert got[k] == (w['file_name'], w['ord'], w['warc_date']), (u, q_ts)
+
+    def test_revisit_beats_response_when_nearer(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.corpus import doc_url
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path, full = self._build(spark, tmp_path_factory)
+        # doc_url(0) is recaptured as a revisit 5s after its response
+        # (corpus revisit rotation i=5): a far-future query must pick
+        # the revisit, an exact-response-ts query the response
+        rows = lookup_closest(
+            spark, path,
+            [(doc_url(0), 20990101000000)],
+        ).collect()
+        assert len(rows) == 1 and rows[0]['warc_date'] == '2020-09-13T12:26:45Z'
+        rows = lookup_closest(spark, path, [(doc_url(0), 20200913122640)]).collect()
+        assert rows[0]['warc_date'] == '2020-09-13T12:26:40Z'
+        assert rows[0]['ts_diff'] == 0
+
+    def test_messy_spelling_collapses_to_same_captures(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.corpus import doc_url
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path, _ = self._build(spark, tmp_path_factory)
+        clean = doc_url(0)
+        host_path = clean.split('://', 1)[1]
+        host, _, tail = host_path.partition('/')
+        messy = f'HTTPS://WWW.{host.upper()}:443/{tail}'
+        a = lookup_closest(spark, path, [(clean, 20200913122642)]).collect()
+        b = lookup_closest(spark, path, [(messy, 20200913122642)]).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_one_job_aggregation_not_window(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.corpus import doc_url
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path, _ = self._build(spark, tmp_path_factory)
+        df = lookup_closest(
+            spark, path,
+            [(doc_url(i), 20200913122650) for i in range(10)],
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert 'Window' not in plan
+        assert 'partial_min' in plan       # map-side combined winner
+        assert 'BroadcastHashJoin' in plan  # query set broadcast
+
+    def test_no_capture_url_returns_no_row(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path, _ = self._build(spark, tmp_path_factory)
+        out = lookup_closest(
+            spark, path, [('https://never-crawled.example/x', 20200101000000)]
+        ).collect()
+        assert out == []

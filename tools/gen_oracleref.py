@@ -308,8 +308,8 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
     for f in range(n_files):
         fname = corpus.warc_file_name(f)
         for row in warc_cdx_seq(corpus.warc_file_bytes(f, n)):
-            # (ord, warc_type, url, offset, length, addressable) +
-            # the urllib-machinery SURT twin on the url column
+            # (ord, warc_type, url, offset, length, addressable,
+            # warc_date) + the urllib-machinery SURT twin on the url
             out['warc_cdx'].append(
                 (skey, fname, *row[:3], surt_key_seq(row[2]), *row[3:]))
         for row in warc_revisits_seq(corpus.warc_file_bytes(f, n)):
@@ -922,7 +922,8 @@ SCHEMAS = {
     'warc_cdx': pa.schema(
         [('skey', pa.int64()), ('file_name', pa.string()), ('ord', pa.int32()),
          ('warc_type', pa.string()), ('url', pa.string()), ('surt', pa.string()),
-         ('offset', pa.int64()), ('length', pa.int64()), ('addressable', pa.bool_())]
+         ('offset', pa.int64()), ('length', pa.int64()), ('addressable', pa.bool_()),
+         ('warc_date', pa.string())]
     ),
     'warc_revisits': pa.schema(
         [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),

@@ -2013,8 +2013,8 @@ def warc_cdx_seq(data: bytes) -> list:
     the engine's wbits=47 wrapper loop) and a tell/readline offset
     walk with email.parser headers (vs byte-offset find/scan folds).
 
-    Shared spec: (ord, warc_type, url, offset, length, addressable)
-    per well-formed record; a single-record-at-member-start gzip
+    Shared spec: (ord, warc_type, url, offset, length, addressable,
+    warc_date) per well-formed record; a single-record-at-member-start gzip
     member is addressed by its compressed extent (addressable=True),
     plain files by raw extents (True), whole-file gzip / degenerate
     members by decompressed-stream extents (False); ordinals span all
@@ -2086,7 +2086,8 @@ def warc_cdx_seq(data: bytes) -> list:
             url = str(msg.get('WARC-Target-URI') or '').strip()
             if url[:1] == '<' and url[-1:] == '>':
                 url = url[1:-1]
-            out.append((start, bio.tell(), wtype, url))
+            wdate = str(msg.get('WARC-Date') or '').strip()
+            out.append((start, bio.tell(), wtype, url, wdate))
             pos = bio.tell()
             line = bio.readline()
         return out
@@ -2098,15 +2099,16 @@ def warc_cdx_seq(data: bytes) -> list:
         for off, clen, m in member_spans(data):
             spans = record_spans(m)
             if len(spans) == 1 and spans[0][0] == 0:
-                _s, _e, wtype, url = spans[0]
-                rows.append((len(rows), wtype, url, off, clen, True))
+                _s, _e, wtype, url, wdate = spans[0]
+                rows.append((len(rows), wtype, url, off, clen, True, wdate))
             else:
-                for s, e, wtype, url in spans:
-                    rows.append((len(rows), wtype, url, stream_base + s, e - s, False))
+                for s, e, wtype, url, wdate in spans:
+                    rows.append((len(rows), wtype, url, stream_base + s, e - s,
+                                 False, wdate))
             stream_base += len(m)
     else:
-        for s, e, wtype, url in record_spans(data):
-            rows.append((len(rows), wtype, url, s, e - s, True))
+        for s, e, wtype, url, wdate in record_spans(data):
+            rows.append((len(rows), wtype, url, s, e - s, True, wdate))
     return rows
 
 
