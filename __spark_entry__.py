@@ -1019,6 +1019,43 @@ def q_cdx_prefix(spark, sf_dir):
     ).orderBy('surt', 'file_name', 'ord')
 
 
+def q_warc_redirects(spark, sf_dir):
+    """The crawl's redirect edges: every 3xx response record with its
+    verbatim first-wins Location header (sources/warc.
+    read_warc_redirects; rec_ord shares the response walk's ordinal
+    space).  One mapInPandas pass, no shuffle.  Oracle = the
+    email.parser + http.client twin's table."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import read_warc_redirects
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    return read_warc_redirects(files).orderBy('file_name', 'rec_ord')
+
+
+def q_redirect_chains(spark, sf_dir):
+    """Transitive redirect resolution (training/redirects): chains
+    follow 3xx Location edges up to 4 hops — the corpus plants one-hop
+    200 landings, redirect-onto-redirect chains, relative dangling
+    targets, dead redirects (no Location), self-loops, and hops INTO
+    self-loops, so every terminal state (ok/loop/dangling/
+    dead_redirect, + truncated at deeper caps) is value-checked.
+    Each hop is an equi-join on the target URL (AQE-splittable, eagerly
+    checkpointed frontier, settled chains leave the frontier); the
+    oracle is DuckDB's OWN ``WITH RECURSIVE`` walk over the twin's
+    edge and response tables — two independent chain-following
+    machineries agreeing on every row."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import (
+        read_warc_redirects, read_warc_responses)
+    from markdown_articles_tool_spark.training.redirects import (
+        resolve_redirect_chains)
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    red = read_warc_redirects(files)
+    resp = read_warc_responses(files)
+    return resolve_redirect_chains(red, resp, max_hops=4).orderBy('url')
+
+
 def q_cdx_closest(spark, sf_dir):
     """``closest`` matchType through the sharded index — the wayback
     query: nearest capture (response/revisit) of a URL to a requested
@@ -1221,6 +1258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdx_lookup': q_cdx_lookup,
         'cdx_prefix': q_cdx_prefix,
         'cdx_closest': q_cdx_closest,
+        'warc_redirects': q_warc_redirects,
+        'redirect_chains': q_redirect_chains,
     }
 
 
@@ -1520,6 +1559,69 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLEREF}/warc_cdx.parquet')
             WHERE skey = {_DOC_SKEY} AND surt LIKE 'example,site1)%'
             ORDER BY surt, file_name, ord
+        """,
+        # redirect edges: the twin's 3xx walk, verbatim
+        'warc_redirects': _ref(
+            'warc_redirects',
+            'file_name, rec_ord, url, warc_date, http_status, location',
+            _DOC_SKEY, 'file_name, rec_ord',
+        ),
+        # transitive redirect resolution: DuckDB's OWN recursive CTE
+        # over the twin's edge/response tables — an independent
+        # chain-following machinery replaying the frozen spec (bounded
+        # follow, self-loop detection, precedence loop > ok >
+        # truncated > dead_redirect > dangling, dead redirects as
+        # hops=0 rows)
+        'redirect_chains': f"""
+            WITH RECURSIVE
+            red AS (
+                SELECT url, loc_abs
+                FROM read_parquet('{_ORACLEREF}/warc_redirects.parquet')
+                WHERE skey = {_DOC_SKEY}
+            ),
+            edges AS (
+                SELECT DISTINCT url, loc_abs FROM red WHERE loc_abs <> ''
+            ),
+            terms AS (
+                SELECT url AS turl, CAST(MIN(http_status) AS INT) AS final_status
+                FROM read_parquet('{_ORACLEREF}/warc_responses.parquet')
+                WHERE skey = {_DOC_SKEY}
+                  AND (http_status < 300 OR http_status >= 400)
+                GROUP BY url
+            ),
+            walk(start, cur, hops, looped) AS (
+                SELECT url, loc_abs, 1, loc_abs = url FROM edges
+                UNION ALL
+                SELECT w.start, e.loc_abs, w.hops + 1, e.loc_abs = w.cur
+                FROM walk w JOIN edges e ON e.url = w.cur
+                WHERE NOT w.looped AND w.hops < 4
+            ),
+            final AS (
+                SELECT * FROM walk w
+                WHERE w.looped OR w.hops = 4
+                   OR NOT EXISTS (SELECT 1 FROM edges e WHERE e.url = w.cur)
+            ),
+            chains AS (
+                SELECT f.start AS url, f.cur AS final_url, f.hops,
+                       CASE WHEN f.looped THEN 'loop'
+                            WHEN t.turl IS NOT NULL THEN 'ok'
+                            WHEN EXISTS (SELECT 1 FROM edges e
+                                         WHERE e.url = f.cur) THEN 'truncated'
+                            WHEN EXISTS (SELECT 1 FROM red r
+                                         WHERE r.url = f.cur) THEN 'dead_redirect'
+                            ELSE 'dangling' END AS state,
+                       CASE WHEN f.looped THEN NULL
+                            ELSE t.final_status END AS final_status
+                FROM final f LEFT JOIN terms t ON t.turl = f.cur
+            ),
+            dead AS (
+                SELECT url, CAST(NULL AS VARCHAR) AS final_url, 0 AS hops,
+                       'dead_redirect' AS state, CAST(NULL AS INT) AS final_status
+                FROM red GROUP BY url
+                HAVING MAX(CASE WHEN loc_abs <> '' THEN 1 ELSE 0 END) = 0
+            )
+            SELECT * FROM chains UNION ALL SELECT * FROM dead
+            ORDER BY url
         """,
         # closest matchType: DuckDB's OWN window over the twin's CDX
         # table replays the wayback distance rule (numeric 14-digit

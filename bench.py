@@ -226,6 +226,19 @@ def run_bench(emit_json: bool = True) -> dict:
         'warc_revisit',
         'cdx_prefix',
         'warc_dedup',
+        # r6 continued: language rebalancing (count + broadcast dim +
+        # scan filter, no shuffle), domain diversity dim + blocklist
+        # filter (two-level distinct agg + broadcast join), Bloom
+        # incremental dedup (bounded bit_or agg + one Arrow probe
+        # pass), wayback closest lookup (index write + one pruned
+        # batch job), redirect-chain resolution (4 bounded equi-join
+        # hops over the 3xx edges)
+        'lang_sample',
+        'source_spam',
+        'domain_filter',
+        'bloom_dedup',
+        'cdx_closest',
+        'redirect_chains',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

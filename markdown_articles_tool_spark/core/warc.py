@@ -520,6 +520,42 @@ def warc_responses(data: bytes) -> List[Tuple[int, str, str, int, str, str, int,
     return out
 
 
+def warc_redirects(data: bytes) -> List[Tuple[int, str, str, int, str]]:
+    """(rec_ord, url, warc_date, http_status, location) per response
+    record with a 3xx status, in file order — the crawl's redirect
+    edges, the input to chain resolution.
+
+    Spec (twin: tools/oracle_kernels.warc_redirects_seq on the
+    email.parser + http.client machinery family):
+
+    * the walk IS the ``warc_responses`` walk — same record resync,
+      truncated-tail drop, bracket-stripped target, dropped record on
+      an unparseable status line — and ``rec_ord`` shares that walk's
+      ordinal space (every parseable response counts, only 3xx rows
+      emit), so a redirect row joins back to its response row;
+    * ``location`` = the verbatim Location header value, first
+      occurrence wins (the shared duplicate-header rule), '' when the
+      redirect carries none (a dead redirect — legal HTTP; chain
+      resolution classifies it).
+    """
+    out: List[Tuple[int, str, str, int, str]] = []
+    rec_ord = 0
+    for headers, payload in iter_warc_records(data):
+        if headers.get('warc-type') != 'response':
+            continue
+        parsed = parse_http_response(payload)
+        if parsed is None:
+            continue
+        status, http_headers, _body = parsed
+        ord_ = rec_ord
+        rec_ord += 1
+        if 300 <= status <= 399:
+            out.append((ord_, _target_uri(headers),
+                        headers.get('warc-date', ''), status,
+                        http_headers.get('location', '').strip()))
+    return out
+
+
 def _strip_brackets(url: str) -> str:
     if url.startswith('<') and url.endswith('>'):
         return url[1:-1]

@@ -551,10 +551,28 @@ def _chunk(body: bytes, size: int = 512) -> bytes:
 
 def doc_http_response(i: int) -> bytes:
     """Raw HTTP response bytes for doc i (the WARC response payload)."""
+    location = None
     if i % 7 == 5:
         status, body = '404 Not Found', f'<html><body>Not found: doc {i}</body></html>'.encode()
     elif i % 7 == 2:
         status, body = '301 Moved Permanently', f'Moved: doc {i}\n'.encode()
+        # Location rotation v=(i//7)%5 — the redirect-graph shapes a
+        # chain resolver must handle: v0 one absolute hop to a 200;
+        # v1 hop onto ANOTHER redirect (v2 at i+7); v2 a RELATIVE
+        # target (dangling — never crawled), with every second v2
+        # omitting Location entirely (a dead redirect, legal HTTP);
+        # v3 a self-loop; v4 a hop INTO v3's self-loop.
+        v = (i // 7) % 5
+        if v == 0:
+            location = doc_url(i + 1)
+        elif v == 1:
+            location = doc_url(i + 7)
+        elif v == 2:
+            location = None if (i // 7) % 2 == 1 else f'../hop/next{i}.html'
+        elif v == 3:
+            location = doc_url(i)
+        else:
+            location = doc_url(i - 7)
     else:
         status, body = '200 OK', doc_html(i)
     if i % 11 == 7:
@@ -569,6 +587,8 @@ def doc_http_response(i: int) -> bytes:
         ctype = 'text/html; charset=UTF-8'
     head = ['HTTP/1.1 ' + status, 'Server: graft-synth/1.0',
             'Date: Sun, 13 Sep 2020 12:26:40 GMT']
+    if location is not None:
+        head.append('Location: ' + location)
     if ctype is not None:
         head.append('Content-Type: ' + ctype)
     if i % 9 == 4:

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.warc import (
-    build_wet, iter_warc_records, warc_cdx, warc_responses, warc_revisits)
+    build_wet, iter_warc_records, warc_cdx, warc_redirects, warc_responses,
+    warc_revisits)
 
 WARC_RESPONSES_SCHEMA = (
     'file_name string, rec_ord int, url string, warc_date string, '
@@ -212,6 +213,35 @@ WARC_CDX_SCHEMA = (
     'file_name string, ord int, warc_type string, url string, surt string, '
     'offset long, length long, addressable boolean, warc_date string'
 )
+
+
+WARC_REDIRECTS_SCHEMA = (
+    'file_name string, rec_ord int, url string, warc_date string, '
+    'http_status int, location string'
+)
+
+
+def read_warc_redirects(files: DataFrame, file_col: str = 'file_name',
+                        data_col: str = 'data') -> DataFrame:
+    """Every 3xx response record of every archive blob — the crawl's
+    redirect edges (core/warc.warc_redirects; rec_ord shares the
+    response walk's ordinal space, location is the verbatim first-wins
+    Location header, '' for a dead redirect).  One mapInPandas pass,
+    no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, data in zip(pdf[file_col], pdf[data_col]):
+                for rec in warc_redirects(bytes(data)):
+                    rows.append((fname, *rec))
+            yield pd.DataFrame(
+                rows, columns=['file_name', 'rec_ord', 'url', 'warc_date',
+                               'http_status', 'location']
+            )
+
+    return files.select(file_col, data_col).mapInPandas(
+        run, schema=WARC_REDIRECTS_SCHEMA)
 
 
 def read_warc_cdx(files: DataFrame, file_col: str = 'file_name',

@@ -968,3 +968,93 @@ class TestCdxClosest:
             spark, path, [('https://never-crawled.example/x', 20200101000000)]
         ).collect()
         assert out == []
+
+
+class TestRedirects:
+    """warc_redirects walker + training/redirects chain resolution."""
+
+    def test_walker_engine_equals_twin_all_rotations(self):
+        from markdown_articles_tool_spark.core.warc import warc_redirects
+
+        from oracle_kernels import warc_redirects_seq
+
+        total = 0
+        for f in range(12):
+            data = corpus.warc_file_bytes(f, 120)
+            assert warc_redirects(data) == warc_redirects_seq(data), f
+            total += len(warc_redirects(data))
+        assert total >= 9  # n=120 corpus plants 17 redirects, 9 in files 0-11
+
+    def _chains(self, spark, edges, resp_rows, max_hops=4):
+        from markdown_articles_tool_spark.training.redirects import (
+            resolve_redirect_chains)
+
+        red = spark.createDataFrame(
+            [(u, 301, loc) for u, loc in edges],
+            'url string, http_status int, location string')
+        resp = spark.createDataFrame(
+            resp_rows, 'url string, http_status int')
+        rows = resolve_redirect_chains(red, resp, max_hops=max_hops).collect()
+        return {r['url']: (r['final_url'], r['hops'], r['state'],
+                           r['final_status']) for r in rows}
+
+    def test_golden_states(self, spark):
+        h = 'https://h.example'
+        out = self._chains(
+            spark,
+            edges=[
+                (f'{h}/a', f'{h}/b'),       # a -> b -> c(200): 2 hops ok
+                (f'{h}/b', f'{h}/c'),
+                (f'{h}/self', f'{h}/self'),  # immediate self-loop
+                (f'{h}/into', f'{h}/self'),  # hop INTO the self-loop
+                (f'{h}/gone', f'{h}/nowhere'),   # dangling
+                (f'{h}/dead', ''),               # dead redirect, no target
+                (f'{h}/todead', f'{h}/dead'),    # lands on the dead redirect
+                (f'{h}/rel', 'sub/page.html'),   # relative resolution
+            ],
+            resp_rows=[
+                (f'{h}/c', 200),
+                (f'{h}/a', 301), (f'{h}/b', 301), (f'{h}/self', 301),
+                (f'{h}/into', 301), (f'{h}/gone', 301), (f'{h}/dead', 301),
+                (f'{h}/todead', 301), (f'{h}/rel', 301),
+            ],
+        )
+        assert out[f'{h}/a'] == (f'{h}/c', 2, 'ok', 200)
+        assert out[f'{h}/b'] == (f'{h}/c', 1, 'ok', 200)
+        assert out[f'{h}/self'] == (f'{h}/self', 1, 'loop', None)
+        assert out[f'{h}/into'] == (f'{h}/self', 2, 'loop', None)
+        assert out[f'{h}/gone'] == (f'{h}/nowhere', 1, 'dangling', None)
+        assert out[f'{h}/dead'] == (None, 0, 'dead_redirect', None)
+        assert out[f'{h}/todead'] == (f'{h}/dead', 1, 'dead_redirect', None)
+        assert out[f'{h}/rel'] == (f'{h}/sub/page.html', 1, 'dangling', None)
+
+    def test_truncated_at_hop_cap_and_two_cycle(self, spark):
+        h = 'https://h.example'
+        # a 6-deep ladder under max_hops=4 + an A<->B two-cycle (longer
+        # cycles classify truncated by the bounded-follow rule)
+        edges = [(f'{h}/p{i}', f'{h}/p{i+1}') for i in range(6)]
+        edges += [(f'{h}/x', f'{h}/y'), (f'{h}/y', f'{h}/x')]
+        resp = [(f'{h}/p6', 200)] + [
+            (u, 301) for u, _ in edges
+        ]
+        out = self._chains(spark, edges, resp, max_hops=4)
+        assert out[f'{h}/p0'] == (f'{h}/p4', 4, 'truncated', None)
+        assert out[f'{h}/p2'] == (f'{h}/p6', 4, 'ok', 200)
+        assert out[f'{h}/x'] == (f'{h}/x', 4, 'truncated', None)
+        # raising the cap resolves the ladder
+        out8 = self._chains(spark, edges, resp, max_hops=8)
+        assert out8[f'{h}/p0'] == (f'{h}/p6', 6, 'ok', 200)
+
+    def test_plan_no_window_bounded_joins(self, spark):
+        from markdown_articles_tool_spark.corpus import warc_files_df
+        from markdown_articles_tool_spark.sources.warc import (
+            read_warc_redirects, read_warc_responses)
+        from markdown_articles_tool_spark.training.redirects import (
+            resolve_redirect_chains)
+
+        files = warc_files_df(spark, 40)
+        df = resolve_redirect_chains(
+            read_warc_redirects(files), read_warc_responses(files))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert 'Window' not in plan
+        assert 'CartesianProduct' not in plan

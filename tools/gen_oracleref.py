@@ -58,6 +58,8 @@ from oracle_extract import (  # noqa: E402
 )
 from oracle_kernels import (  # noqa: E402
     cosine as cosine_seq,
+    resolve_href_seq,
+    warc_redirects_seq,
     ivf_assign,
     kmeans_centroids as kmeans_centroids_from_matrix,
     minhash_signature,
@@ -312,6 +314,15 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
             # warc_date) + the urllib-machinery SURT twin on the url
             out['warc_cdx'].append(
                 (skey, fname, *row[:3], surt_key_seq(row[2]), *row[3:]))
+        for row in warc_redirects_seq(corpus.warc_file_bytes(f, n)):
+            rec_ord, url, wdate, status, loc = row
+            if loc:
+                abs_t = resolve_href_seq(url, loc)
+                loc_abs = abs_t if abs_t else ''
+            else:
+                loc_abs = ''
+            out['warc_redirects'].append(
+                (skey, fname, rec_ord, url, wdate, status, loc, loc_abs))
         for row in warc_revisits_seq(corpus.warc_file_bytes(f, n)):
             # (rec_ord, url, warc_date, profile, refers_to_uri,
             # refers_to_date, http_status)
@@ -924,6 +935,12 @@ SCHEMAS = {
          ('warc_type', pa.string()), ('url', pa.string()), ('surt', pa.string()),
          ('offset', pa.int64()), ('length', pa.int64()), ('addressable', pa.bool_()),
          ('warc_date', pa.string())]
+    ),
+    'warc_redirects': pa.schema(
+        [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),
+         ('url', pa.string()), ('warc_date', pa.string()),
+         ('http_status', pa.int32()), ('location', pa.string()),
+         ('loc_abs', pa.string())]
     ),
     'warc_revisits': pa.schema(
         [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),

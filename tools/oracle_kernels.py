@@ -2005,6 +2005,76 @@ def warc_revisits_seq(data: bytes) -> list:
     return out
 
 
+def warc_redirects_seq(data: bytes) -> list:
+    """Sequential twin of core/warc.warc_redirects on the
+    email.parser + http.client machinery family (same family as
+    warc_responses_seq, whose walk this shares): (rec_ord, url,
+    warc_date, http_status, location) per 3xx response record, with
+    rec_ord sharing the parseable-response ordinal space and location
+    the verbatim first-wins Location header value ('' when absent)."""
+    import email.parser as _ep
+    import gzip as _gzip
+    import http.client as _hc
+    import io as _io
+
+    if data[:2] == b'\x1f\x8b':
+        data = _gzip.GzipFile(fileobj=_io.BytesIO(data)).read()
+
+    class _Sock:
+        def __init__(self, payload: bytes) -> None:
+            self._f = _io.BytesIO(payload)
+
+        def makefile(self, *a, **k):
+            return self._f
+
+    out: list = []
+    rec_ord = 0
+    bio = _io.BytesIO(data)
+    line = bio.readline()
+    while line:
+        if not line.startswith(b'WARC/'):
+            line = bio.readline()
+            continue
+        hdr_lines = []
+        while True:
+            hl = bio.readline()
+            if hl in (b'\r\n', b'\n', b''):
+                break
+            hdr_lines.append(hl)
+        msg = _ep.BytesParser().parsebytes(b''.join(hdr_lines))
+        try:
+            length = int(str(msg.get('Content-Length') or '').strip())
+            if length < 0:
+                raise ValueError
+        except ValueError:
+            line = bio.readline()
+            continue
+        payload = bio.read(length)
+        if len(payload) < length:
+            break  # truncated tail record: dropped, parsing ends
+        if str(msg.get('WARC-Type') or '').strip() == 'response':
+            resp = _hc.HTTPResponse(_Sock(payload))
+            try:
+                resp.begin()
+                resp.read()
+            except (_hc.HTTPException, ValueError):
+                resp = None
+            if resp is not None:
+                ord_ = rec_ord
+                rec_ord += 1
+                if 300 <= resp.status <= 399:
+                    url = str(msg.get('WARC-Target-URI') or '').strip()
+                    if url[:1] == '<' and url[-1:] == '>':
+                        url = url[1:-1]
+                    loc = resp.headers.get('Location')  # first wins
+                    out.append((ord_, url,
+                                str(msg.get('WARC-Date') or '').strip(),
+                                resp.status,
+                                ('' if loc is None else str(loc)).strip()))
+        line = bio.readline()
+    return out
+
+
 def warc_cdx_seq(data: bytes) -> list:
     """Sequential twin of core/warc.warc_cdx on different machinery:
     MANUAL gzip member framing (header flag fields FEXTRA/FNAME/
