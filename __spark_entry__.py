@@ -701,6 +701,21 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(_t(spark, sf_dir, 'documents').select('doc_id')).orderBy('doc_id')
 
 
+def q_dataset_shards(spark, sf_dir):
+    """Dataset publication (training/sampling.dataset_shards):
+    deterministic global shuffle (content-addressed (bucket, id)
+    order) + exact integer packing into 16 near-equal shards —
+    reproducible under re-runs, repartitioning and appends.  Rank via
+    the two-level prefix-count machinery (util.global_rank, never a
+    single-partition window); oracle = DuckDB's OWN row_number window
+    + the same integer packing arithmetic."""
+    from markdown_articles_tool_spark.training.sampling import dataset_shards
+
+    return dataset_shards(
+        _t(spark, sf_dir, 'documents'), n_shards=16
+    ).orderBy('doc_id')
+
+
 def q_lang_sample(spark, sf_dir):
     """Language rebalancing (training/sampling.lang_rebalance): the
     mC4/CCNet temperature-sampling shape at alpha = 1/2, expressed as
@@ -1232,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'tfidf_topk': q_tfidf_topk,
         'dataset_split': q_dataset_split,
         'lang_sample': q_lang_sample,
+        'dataset_shards': q_dataset_shards,
         'source_spam': q_source_spam,
         'bloom_dedup': q_bloom_dedup,
         'domain_filter': q_domain_filter,
@@ -2001,6 +2017,24 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+    """
+    # dataset shards: DuckDB's own global window + the same exact
+    # integer packing arithmetic — an independent check of the
+    # two-level prefix-count ranking
+    d['dataset_shards'] = """
+        WITH ranked AS (
+          SELECT doc_id,
+                 ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS bucket,
+                 row_number() OVER (
+                     ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))::INT,
+                              doc_id) AS rank,
+                 COUNT(*) OVER () AS total
+          FROM documents)
+        SELECT doc_id, bucket,
+               CAST((rank - 1) * 16 // total AS INT) AS shard,
+               CAST((rank - 1) - (((rank - 1) * 16 // total) * total + 15) // 16
+                    AS BIGINT) AS pos
+        FROM ranked ORDER BY doc_id
     """
     # language rebalancing: the SAME IEEE-correctly-rounded threshold
     # chain (exact 2^32*k literal, sqrt, divide, floor) rendered to 8

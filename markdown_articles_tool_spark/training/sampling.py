@@ -112,3 +112,51 @@ def lang_rebalance(
         .where(F.col('_keep_all') | (hkey < F.col('_thr_hex')))
         .select(id_col, lang_col, 'lang_count')
     )
+
+
+def dataset_shards(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global shuffle + equal shard packing — the
+    dataset-publication op: training docs must be (a) shuffled (SGD
+    hates crawl order: a host's pages arrive together), (b) packed
+    into N near-equal shards, and (c) REPRODUCIBLY so — re-running the
+    job, repartitioning the input, or appending then re-publishing
+    must yield byte-identical shards, or downstream training runs
+    diverge irreproducibly.
+
+    Shuffle order = (bucket, id) with ``bucket`` the content-addressed
+    16-bit sha256 bucket (``id_bucket`` — the dataset_split identity
+    hash): a pure function of identity, independent of input order and
+    partitioning.  Rank under that order comes from
+    ``util.global_rank`` — the two-level prefix-count machinery, never
+    a single-partition global window.  Packing is exact integer
+    arithmetic:
+
+        shard = (rank-1) * n_shards DIV total
+        pos   = (rank-1) - (shard * total + n_shards - 1) DIV n_shards
+
+    (shard sizes differ by at most 1; both formulas are pure integer
+    ops, so the DuckDB oracle — its OWN row_number window plus the
+    same arithmetic — must agree bit-for-bit, independently checking
+    the distributed ranking.)
+
+    Returns (id, bucket, shard, pos).
+    """
+    from .util import global_rank
+
+    src = df.select(id_col).withColumn('bucket', id_bucket(F.col(id_col)))
+    ranked = global_rank(src, ['bucket', id_col], rank_col='_rank',
+                         total_col='_total')
+    n = int(n_shards)
+    shard = F.expr(f'(_rank - 1) * {n} DIV _total')
+    pos = F.expr(f'(_rank - 1) - ((((_rank - 1) * {n} DIV _total) * _total '
+                 f'+ {n} - 1) DIV {n})')
+    return ranked.select(
+        id_col,
+        'bucket',
+        shard.cast('int').alias('shard'),
+        pos.cast('long').alias('pos'),
+    )

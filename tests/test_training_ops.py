@@ -1189,3 +1189,51 @@ class TestBloomDedup:
         )
         assert plan.count('ArrowEvalPython') == 1
         assert 'Exchange' not in plan
+
+
+class TestDatasetShards:
+    """training/sampling.dataset_shards — deterministic global shuffle
+    + exact integer shard packing."""
+
+    def test_sizes_positions_and_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.training.sampling import dataset_shards
+
+        docs = spark.range(0, 433).withColumnRenamed('id', 'doc_id')
+        out = dataset_shards(docs, n_shards=7).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r['shard'], []).append(r['pos'])
+        sizes = sorted(len(v) for v in by.values())
+        assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 433
+        assert all(sorted(v) == list(range(len(v))) for v in by.values())
+        out2 = dataset_shards(docs.repartition(13), n_shards=7).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    def test_shard_order_is_content_addressed_not_input_order(self, spark):
+        from pyspark.sql import functions as F
+        from markdown_articles_tool_spark.training.sampling import dataset_shards
+
+        docs = spark.range(0, 200).withColumnRenamed('id', 'doc_id')
+        out = {r['doc_id']: (r['shard'], r['pos'])
+               for r in dataset_shards(docs, n_shards=4).collect()}
+        # reversing the input order changes nothing — the order is a
+        # function of identity, not of arrival
+        rev = docs.orderBy(F.desc('doc_id'))
+        out2 = {r['doc_id']: (r['shard'], r['pos'])
+                for r in dataset_shards(rev, n_shards=4).collect()}
+        assert out == out2
+        # and consecutive ids scatter (the whole point of the shuffle)
+        assert len({out[i][0] for i in range(8)}) > 1
+
+    def test_plan_no_global_single_partition_window(self, spark):
+        from markdown_articles_tool_spark.training.sampling import dataset_shards
+
+        docs = spark.range(0, 300).withColumnRenamed('id', 'doc_id')
+        plan = (dataset_shards(docs, n_shards=8)
+                ._jdf.queryExecution().executedPlan().toString())
+        # global_rank's two-level shape: the corpus-sized row_number
+        # window is KEYED by _pid (per-partition local rank); the only
+        # single-partition work is the tiny per-partition-totals
+        # prefix frame (n_partitions rows), never the data
+        assert 'partitionBy=[_pid' in plan.replace(' ', '') or '_pid' in plan
+        assert plan.count('rangepartitioning') >= 1  # the range partition step
