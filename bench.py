@@ -234,6 +234,7 @@ def run_bench(emit_json: bool = True) -> dict:
         # batch job), redirect-chain resolution (4 bounded equi-join
         # hops over the 3xx edges)
         'lang_sample',
+        'dataset_shards',
         'source_spam',
         'domain_filter',
         'bloom_dedup',
