@@ -731,6 +731,23 @@ def q_lang_sample(spark, sf_dir):
     return lang_rebalance(_t(spark, sf_dir, 'documents'), k=8).orderBy('doc_id')
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-substring REMOVAL (training/dedup.dedup_spans)
+    — the Lee et al. 2022 release-run stage: every 25-char window of
+    the normalized text also occurring earlier in the corpus (global
+    (doc, pos) order; intra-doc repetition counts) is cut from the
+    tail occurrences, overlapping windows merging into maximal
+    intervals.  Owner selection is the de-skewed min-struct
+    aggregation (map-side combined, never a window); the one
+    corpus-sized exchange is the owner join-back (AQE-splittable
+    JOIN).  Oracle twin: dict-based owner assignment over the
+    independent positional-hash kernel with a per-char coverage
+    BITMAP cut (vs the engine's interval merge)."""
+    from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+    return dedup_spans(_t(spark, sf_dir, 'documents'), k=25).orderBy('doc_id')
+
+
 def q_bloom_dedup(spark, sf_dir):
     """Incremental dedup against a historical corpus via a distributed
     Bloom filter (training/bloomdedup): historical = doc_id % 3 != 0,
@@ -1250,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dataset_shards': q_dataset_shards,
         'source_spam': q_source_spam,
         'bloom_dedup': q_bloom_dedup,
+        'span_dedup': q_span_dedup,
         'domain_filter': q_domain_filter,
         'pack_sequences': q_pack_sequences,
         'contamination': q_contamination,
@@ -1719,6 +1737,13 @@ def oracle_sql() -> dict[str, str]:
         # Bloom incremental dedup: frozen hash spec replayed by the
         # stdlib XXH64 twin — deterministic false positives checked too
         'bloom_dedup': _ref('bloom_dedup', 'doc_id, novel', _DOC_SKEY, 'doc_id'),
+        # exact duplicated-substring removal: dict-owner + coverage-
+        # bitmap twin of the distributed min-struct + interval-merge
+        'span_dedup': _ref(
+            'span_dedup',
+            'doc_id, n_windows, n_dup_windows, n_removed_chars, clean_sha',
+            _DOC_SKEY, 'doc_id',
+        ),
         'line_dedup': _ref(
             'line_dedup', 'url, n_lines, n_kept, dedup_sha', _DOC_SKEY, 'url'
         ),

@@ -238,6 +238,9 @@ def run_bench(emit_json: bool = True) -> dict:
         'source_spam',
         'domain_filter',
         'bloom_dedup',
+        # exact duplicated-substring removal: corpus-chars-volume
+        # posexplode -> min-struct owner agg -> join-back -> per-doc cut
+        'span_dedup',
         'cdx_closest',
         'redirect_chains',
     ]

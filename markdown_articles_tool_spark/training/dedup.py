@@ -674,3 +674,122 @@ def simhash_near_duplicates(
         .distinct()
     )
     return pairs.where(F.col('hamming') <= max_hamming)
+
+
+def make_span_hash_udf(k: int = 25):
+    """Positional window hashes as an ordered array — ``posexplode``
+    turns the array INDEX into the window position, so no struct
+    packing is needed."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def span_hashes(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return text.map(
+            lambda t: [int(x) for x in _window_hashes(t, k).astype(np.int64)]
+        )
+
+    return span_hashes
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = 'doc_id',
+    text_col: str = 'text',
+    k: int = 25,
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    operator: every k-char window of the whitespace-normalized,
+    lowercased text that also occurs EARLIER in the corpus (any doc,
+    any position — intra-doc repetition counts) is removed from the
+    keeper copy's tail occurrences; the FIRST occurrence in the global
+    total order (doc_id, pos) owns the span and is kept.
+
+    Where the winnowing pair detector answers "which docs share
+    spans", this is the release-run REMOVE stage: overlapping
+    duplicated windows merge into maximal intervals ``[p, p+k)`` and
+    the covered characters are cut out of the normalized text.
+
+    Scale shape (the dedup_lines / warc_dedup discipline):
+
+    * ONE Arrow pass emits positional hashes; ``posexplode`` makes
+      (doc, pos, fp) rows — corpus-chars volume, the honest cost of
+      exact substring dedup (Lee et al.'s suffix array is the same
+      O(corpus chars));
+    * the owner per fingerprint is ``groupBy(fp).agg(min(struct(doc,
+      pos)))`` — map-side combined, so a boilerplate window present on
+      every page collapses to one row per map partition BEFORE the
+      exchange; NEVER a window function;
+    * the one corpus-sized exchange is the owner join-back (a JOIN —
+      AQE skew-splittable); non-owner occurrences reduce to per-doc
+      sorted position lists (collect_list bounded by doc LENGTH, not
+      corpus size);
+    * interval merge + cut is one final Arrow pass over (text,
+      positions).
+
+    64-bit fingerprint collisions can remove a non-duplicated window
+    with probability ~n²/2⁶⁴ — the standard fingerprinting trade, same
+    as the content-hash dedup stage (DIVERGENCES.md #8).
+
+    Returns (id, n_windows, n_dup_windows, n_removed_chars,
+    clean_sha) with ``clean_sha`` = sha256 of the cleaned normalized
+    text.
+    """
+    occ = df.select(
+        F.col(id_col).alias('_id'),
+        F.posexplode(make_span_hash_udf(k)(F.col(text_col))).alias('pos', 'fp'),
+    )
+    winners = occ.groupBy('fp').agg(
+        F.min(F.struct(F.col('_id').alias('doc_id'), F.col('pos').alias('pos'))).alias('_w')
+    )
+    dups = (
+        occ.join(winners, 'fp')
+        .where((F.col('_id') != F.col('_w.doc_id')) | (F.col('pos') != F.col('_w.pos')))
+        .groupBy('_id')
+        .agg(
+            F.sort_array(F.collect_list('pos')).alias('_dup_pos'),
+            F.count(F.lit(1)).alias('_n_dup'),
+        )
+    )
+
+    @pandas_udf('n_windows int, n_dup_windows int, n_removed_chars int, clean_sha string')
+    def cut(text: pd.Series, dup_pos: pd.Series, n_dup: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t, ps, nd in zip(text, dup_pos, n_dup):
+            norm = ' '.join((t or '').lower().split())
+            n_win = max(0, len(norm) - k + 1) if norm else 0
+            if norm and len(norm) <= k:
+                n_win = 1
+            if ps is None or len(ps) == 0:
+                rows.append((n_win, 0, 0,
+                             hashlib.sha256(norm.encode('utf-8')).hexdigest()))
+                continue
+            # merge [p, min(p+k, len)) intervals over sorted positions
+            ivs = []
+            for p in ps:
+                s, e = int(p), min(int(p) + k, len(norm))
+                if ivs and s <= ivs[-1][1]:
+                    ivs[-1][1] = max(ivs[-1][1], e)
+                else:
+                    ivs.append([s, e])
+            removed = sum(e - s for s, e in ivs)
+            keep = []
+            last = 0
+            for s, e in ivs:
+                keep.append(norm[last:s])
+                last = e
+            keep.append(norm[last:])
+            clean = ''.join(keep)
+            rows.append((n_win, int(nd), removed,
+                         hashlib.sha256(clean.encode('utf-8')).hexdigest()))
+        return pd.DataFrame(
+            rows, columns=['n_windows', 'n_dup_windows', 'n_removed_chars',
+                           'clean_sha'])
+
+    joined = df.join(dups, df[id_col] == dups._id, 'left')
+    res = cut(F.col(text_col), F.col('_dup_pos'), F.coalesce('_n_dup', F.lit(0)))
+    return joined.select(F.col(id_col), res.alias('_r')).select(
+        id_col, '_r.n_windows', '_r.n_dup_windows', '_r.n_removed_chars',
+        '_r.clean_sha',
+    )

@@ -1237,3 +1237,66 @@ class TestDatasetShards:
         # prefix frame (n_partitions rows), never the data
         assert 'partitionBy=[_pid' in plan.replace(' ', '') or '_pid' in plan
         assert plan.count('rangepartitioning') >= 1  # the range partition step
+
+
+class TestSpanDedup:
+    """training/dedup.dedup_spans — exact duplicated-substring removal."""
+
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], 'doc_id long, text string')
+
+    def test_identical_pair_keeps_first_copy_whole(self, spark):
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+        import hashlib
+
+        t = 'alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        out = {r['doc_id']: r for r in
+               dedup_spans(self._df(spark, [t, t]), k=25).collect()}
+        norm_sha = hashlib.sha256(t.encode()).hexdigest()
+        empty_sha = hashlib.sha256(b'').hexdigest()
+        assert out[0]['n_dup_windows'] == 0
+        assert out[0]['clean_sha'] == norm_sha
+        # the second copy: every window duplicated, whole text removed
+        assert out[1]['n_dup_windows'] == out[1]['n_windows']
+        assert out[1]['n_removed_chars'] == len(t)
+        assert out[1]['clean_sha'] == empty_sha
+
+    def test_shared_span_cut_from_later_doc_only(self, spark):
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+        shared = 'this exact boilerplate footer appears on every page here'
+        a = 'unique first words before the tail. ' + shared
+        b = 'completely different opening sentence! ' + shared
+        out = {r['doc_id']: r for r in
+               dedup_spans(self._df(spark, [a, b]), k=25).collect()}
+        assert out[0]['n_dup_windows'] == 0 and out[0]['n_removed_chars'] == 0
+        assert out[1]['n_dup_windows'] > 0
+        # the cut covers at least the shared tail (lowercased/normalized)
+        assert out[1]['n_removed_chars'] >= len(shared)
+
+    def test_intra_doc_repetition_counts(self, spark):
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+        para = 'repeated paragraph body with enough characters to window. '
+        out = dedup_spans(self._df(spark, [para * 3]), k=25).collect()[0]
+        assert out['n_dup_windows'] > 0
+        assert out['n_removed_chars'] > len(para)
+
+    def test_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+        texts = [f'doc {i} shares this common long suffix of words' for i in range(30)]
+        a = sorted(map(tuple, dedup_spans(self._df(spark, texts), k=25).collect()))
+        b = sorted(map(tuple, dedup_spans(
+            self._df(spark, texts).repartition(7), k=25).collect()))
+        assert a == b
+
+    def test_plan_agg_owner_no_window(self, spark):
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+        df = dedup_spans(self._df(spark, ['x y z ' * 20] * 5), k=25)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert 'Window' not in plan          # owner = aggregation, not window
+        assert 'partial_min' in plan         # map-side combined
+        assert 'CartesianProduct' not in plan

@@ -784,6 +784,38 @@ def gen_embedding_neardup(sf_dir: str, skey: int, out: dict, threshold=0.45, n_p
             out['embedding_neardup'].append((skey, a, b))
 
 
+def gen_span_dedup(sf_dir: str, skey: int, out: dict, k: int = 25) -> None:
+    """Twin of training/dedup.dedup_spans: sequential dict-based owner
+    assignment over window_hash_list (the independent positional-hash
+    twin), removal via a per-char coverage BITMAP (vs the engine's
+    interval merge — same spec, different machinery)."""
+    t = _read(sf_dir, 'documents')
+    docs = sorted(zip(t['doc_id'].to_pylist(), t['text'].to_pylist()))
+    from oracle_kernels import window_hash_list
+
+    norm = {d: ' '.join((txt or '').lower().split()) for d, txt in docs}
+    hs = {d: window_hash_list(norm[d], k) for d, _ in docs}
+    owner: dict = {}
+    for d, _ in docs:
+        for p, h in enumerate(hs[d]):
+            if h not in owner or (d, p) < owner[h]:
+                owner[h] = (d, p)
+    for d, _ in docs:
+        nm = norm[d]
+        cover = bytearray(len(nm))
+        n_dup = 0
+        for p, h in enumerate(hs[d]):
+            if owner[h] != (d, p):
+                n_dup += 1
+                for i in range(p, min(p + k, len(nm))):
+                    cover[i] = 1
+        clean = ''.join(ch for ch, c in zip(nm, cover) if not c)
+        n_win = len(hs[d])
+        out['span_dedup'].append(
+            (skey, d, n_win, n_dup, sum(cover),
+             hashlib.sha256(clean.encode('utf-8')).hexdigest()))
+
+
 def gen_bloom(sf_dir: str, skey: int, out: dict,
               m_bits: int = 2048, k_hashes: int = 3) -> None:
     """Twin of training/bloomdedup.bloom_dedup over the documents
@@ -890,6 +922,11 @@ SCHEMAS = {
     ),
     'embedding_neardup': pa.schema(
         [('skey', pa.int64()), ('a_id', pa.int64()), ('b_id', pa.int64())]
+    ),
+    'span_dedup': pa.schema(
+        [('skey', pa.int64()), ('doc_id', pa.int64()), ('n_windows', pa.int32()),
+         ('n_dup_windows', pa.int32()), ('n_removed_chars', pa.int32()),
+         ('clean_sha', pa.string())]
     ),
     'bloom_dedup': pa.schema(
         [('skey', pa.int64()), ('doc_id', pa.int64()), ('novel', pa.bool_())]
@@ -1036,6 +1073,7 @@ def main() -> None:
         gen_ann_ivf(sf_dir, ek, out)
         gen_embedding_neardup(sf_dir, ek, out)
         gen_bloom(sf_dir, dk, out)
+        gen_span_dedup(sf_dir, dk, out)
     for name, schema in SCHEMAS.items():
         cols = list(zip(*out[name])) if out[name] else [[] for _ in schema.names]
         table = pa.table({f: list(c) for f, c in zip(schema.names, cols)}, schema=schema)
