@@ -701,6 +701,20 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(_t(spark, sf_dir, 'documents').select('doc_id')).orderBy('doc_id')
 
 
+def q_corpus_quantiles(spark, sf_dir):
+    """EXACT order statistics (training/util.exact_quantiles): the
+    p50/p90/p99 doc-length profile computed at the definition
+    rank = max(1, ceil(q*total)) under the (value, id) total order —
+    via the two-level prefix-count rank, never approx_percentile's
+    estimate and never a single-task global sort.  Oracle = DuckDB's
+    own window + the same rank formula."""
+    from markdown_articles_tool_spark.training.util import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, 'documents'), 'n_chars', (0.5, 0.9, 0.99), 'doc_id'
+    ).orderBy('q')
+
+
 def q_dataset_shards(spark, sf_dir):
     """Dataset publication (training/sampling.dataset_shards):
     deterministic global shuffle (content-addressed (bucket, id)
@@ -1088,6 +1102,27 @@ def q_redirect_chains(spark, sf_dir):
     return resolve_redirect_chains(red, resp, max_hops=4).orderBy('url')
 
 
+def q_warc_clean(spark, sf_dir):
+    """The END-TO-END release run over raw archives in ONE plan: WARC
+    record walk → HTTP 200 + text/html fetch-policy gate →
+    main-content boilerplate strip → mojibake repair → PII scrub →
+    Gopher keep verdict.  Four chained Arrow stages with JVM Column
+    algebra between them and ZERO shuffles — raw crawl bytes to
+    training-ready verdicts without a single exchange, the shape a
+    10^12-page release run wants.  Oracle: the clean text comes from
+    the chained independent twins (warc walk → main-content kernel →
+    mojibake_fix_seq → pii_redact_seq) in oracleref; the quality
+    verdict over that text is DuckDB's own SQL (the token/repetition
+    CTEs retargeted), same discipline as clean_corpus."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import warc_main_content
+    from markdown_articles_tool_spark.training.hygiene import scrub
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    mc = warc_main_content(files).select('url', F.col('main_text').alias('text'))
+    return scrub(mc, id_col='url').orderBy('url')
+
+
 def q_cdx_closest(spark, sf_dir):
     """``closest`` matchType through the sharded index — the wayback
     query: nearest capture (response/revisit) of a URL to a requested
@@ -1265,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dataset_split': q_dataset_split,
         'lang_sample': q_lang_sample,
         'dataset_shards': q_dataset_shards,
+        'corpus_quantiles': q_corpus_quantiles,
         'source_spam': q_source_spam,
         'bloom_dedup': q_bloom_dedup,
         'span_dedup': q_span_dedup,
@@ -1292,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdx_lookup': q_cdx_lookup,
         'cdx_prefix': q_cdx_prefix,
         'cdx_closest': q_cdx_closest,
+        'warc_clean': q_warc_clean,
         'warc_redirects': q_warc_redirects,
         'redirect_chains': q_redirect_chains,
     }
@@ -2043,6 +2080,19 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
     """
+    # exact quantiles: DuckDB's own window + the same rank formula
+    d['corpus_quantiles'] = """
+        WITH ranked AS (
+          SELECT n_chars,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+                 COUNT(*) OVER () AS total
+          FROM documents),
+        q(q) AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+        SELECT q.q, ranked.n_chars AS value
+        FROM q JOIN ranked
+          ON ranked.r = GREATEST(1, CAST(CEIL(q.q * ranked.total) AS BIGINT))
+        ORDER BY q.q
+    """
     # dataset shards: DuckDB's own global window + the same exact
     # integer packing arithmetic — an independent check of the
     # two-level prefix-count ranking
@@ -2168,5 +2218,26 @@ def oracle_sql() -> dict[str, str]:
         FROM ts JOIN rs ON ts.doc_id = rs.doc_id
         JOIN cleandocs cd ON ts.doc_id = cd.doc_id
         ORDER BY ts.doc_id
+    """
+    # end-to-end archive release run: same verdict SQL, the clean text
+    # coming from the chained twins over the WARC main-content chain
+    _wc_src = (
+        f"SELECT url AS doc_id, clean_text AS text, n_pii, clean_sha "
+        f"FROM read_parquet('{_ORACLEREF}/warc_clean.parquet') "
+        f"WHERE skey = {_DOC_SKEY}"
+    )
+    d['warc_clean'] = f"""
+        WITH cleandocs AS ({_wc_src}),
+        ts AS ({d['token_stats'].replace('FROM documents', 'FROM cleandocs')}),
+        rs AS ({d['repetition_stats'].replace('FROM documents', 'FROM cleandocs')})
+        SELECT ts.doc_id AS url, cd.n_pii,
+               ((ts.n_tokens >= 50 AND ts.n_tokens <= 100000)
+                AND (ts.mean_word_len >= 3.0 AND ts.mean_word_len <= 10.0)
+                AND ts.stopword_ratio >= 0.005 AND ts.punct_ratio <= 0.2
+                AND rs.dup_line_frac <= 0.30 AND rs.top_bigram_frac <= 0.18) AS keep,
+               cd.clean_sha
+        FROM ts JOIN rs ON ts.doc_id = rs.doc_id
+        JOIN cleandocs cd ON ts.doc_id = cd.doc_id
+        ORDER BY url
     """
     return d

@@ -243,6 +243,10 @@ def run_bench(emit_json: bool = True) -> dict:
         'span_dedup',
         'cdx_closest',
         'redirect_chains',
+        # end-to-end archive release run (4 Arrow stages, 0 shuffles)
+        # + exact distributed order statistics
+        'warc_clean',
+        'corpus_quantiles',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

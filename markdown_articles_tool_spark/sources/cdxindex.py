@@ -237,3 +237,22 @@ def lookup_closest(spark: SparkSession, path: str, queries) -> DataFrame:
             F.col('w.addressable').alias('addressable'),
         )
     )
+
+
+def merge_cdx_indexes(spark: SparkSession, paths, out_path: str,
+                      n_shards: int | None = None) -> None:
+    """Merge published indexes into one (the monthly-crawl cadence:
+    each crawl ships its own cdx-NNNNN set; the combined index over
+    all crawls is what lookup services actually serve).  Reading the
+    already-sorted shards and re-range-partitioning IS the merge —
+    ``write_cdx_index``'s repartitionByRange samples the union's key
+    distribution, so the output shards re-balance to the merged
+    density (a naive shard-file concatenation would keep each crawl's
+    ranges interleaved and double every lookup's covering-shard set).
+    Equivalent by construction to indexing the unioned rows from
+    scratch, minus the archive re-parse."""
+    dfs = [spark.read.parquet(f'{p}/shards') for p in paths]
+    union = dfs[0]
+    for d in dfs[1:]:
+        union = union.unionByName(d)
+    write_cdx_index(union, out_path, n_shards)

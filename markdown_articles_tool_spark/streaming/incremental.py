@@ -240,3 +240,40 @@ def start_incremental_scrub(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_incremental_bloom(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    bloom_path: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming incremental dedup against a PUBLISHED Bloom filter
+    (training/bloomdedup.save_bloom over the historical corpus): each
+    newly-landed pages file gets the ``novel`` verdict, exactly once.
+    The filter is fixed for the stream's lifetime (rebuild+restart to
+    roll it forward — the month-over-month cadence), so the probe is a
+    stateless projection: broadcast words + one Arrow pass, no state
+    store, no shuffle, a NATIVE streaming transform."""
+    from pyspark.sql import functions as F
+
+    from ..training.bloomdedup import bloom_probe, load_bloom
+
+    words, m_bits, k_hashes = load_bloom(spark, bloom_path)
+    stream = (
+        spark.readStream.schema(corpus.PAGES_SCHEMA)
+        .parquet(input_dir)
+        .select('url', 'text', F.sha2(F.col('text'), 256).alias('digest'))
+    )
+    out = bloom_probe(stream, words, 'digest', m_bits, k_hashes).select(
+        'url', 'digest', 'novel')
+    writer = (
+        out.writeStream.format('parquet')
+        .option('path', os.path.join(output_dir, 'bloom_novel'))
+        .option('checkpointLocation', os.path.join(output_dir, '_bloom_checkpoint'))
+        .outputMode('append')
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -147,3 +147,28 @@ def bloom_dedup(
     column makes the FP behavior auditable)."""
     bloom = build_bloom(old, key_col, m_bits, k_hashes)
     return bloom_probe(new, bloom, key_col, m_bits, k_hashes)
+
+
+def save_bloom(df: DataFrame, path: str, key_col: str = 'digest',
+               m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K) -> None:
+    """Publish the filter as an artifact: the bounded (word, bits)
+    rows plus a one-row ``_meta`` table pinning (m_bits, k_hashes) —
+    a probe against a published filter MUST use the build's exact
+    geometry or every verdict is garbage, so the geometry travels
+    with the bits."""
+    spark = df.sparkSession
+    bloom_words_df(df, key_col, m_bits, k_hashes).write.mode(
+        'overwrite').parquet(f'{path}/words')
+    spark.createDataFrame(
+        [(int(m_bits), int(k_hashes))], 'm_bits long, k_hashes int'
+    ).coalesce(1).write.mode('overwrite').parquet(f'{path}/_meta')
+
+
+def load_bloom(spark, path: str):
+    """(words ndarray, m_bits, k_hashes) from a published filter."""
+    meta = spark.read.parquet(f'{path}/_meta').collect()[0]
+    m_bits, k_hashes = int(meta['m_bits']), int(meta['k_hashes'])
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in spark.read.parquet(f'{path}/words').collect():
+        words[r['word']] = r['bits']
+    return words, m_bits, k_hashes

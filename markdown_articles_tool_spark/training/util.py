@@ -200,3 +200,46 @@ def global_rank(df: DataFrame, cols, rank_col: str = 'rank',
         n_row = totals.agg(F.sum('_pn').cast('long').alias(total_col))
         out = out.crossJoin(F.broadcast(n_row))
     return out
+
+
+def exact_quantiles(df: DataFrame, value_col: str, qs, tie_col: str) -> DataFrame:
+    """EXACT order statistics of a corpus-sized column — the profile
+    numbers (p50/p90/p99 doc length, token budget planning) that
+    ``approx_percentile`` only estimates and a naive
+    ``orderBy().limit()`` computes with a global single-task sort.
+
+    Definition (lower quantile, the SQL ``quantile_disc`` convention):
+    the value at rank ``max(1, ceil(q * total))`` under the TOTAL
+    order (value, tie).  Rank comes from ``global_rank`` (two-level
+    prefix count — distributed), so the whole computation is two
+    bounded jobs plus a rank-set membership filter; output is one row
+    per requested quantile.
+    """
+    ranked = global_rank(df.select(value_col, tie_col),
+                         [value_col, tie_col], rank_col='_rank',
+                         total_col='_total')
+    conds = None
+    for q in qs:
+        # ceil(q*total) in exact integer arithmetic over a rational q:
+        # q given as a float is exact enough only for round fractions,
+        # so take it as (num, den) pairs or floats with exact binary
+        # representation (0.5, 0.25, ...); general q uses ceil on the
+        # double product — documented convention, identical in DuckDB
+        c = F.col('_rank') == F.greatest(
+            F.lit(1), F.ceil(F.lit(float(q)) * F.col('_total')).cast('long'))
+        conds = c if conds is None else (conds | c)
+    out = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], 'q double'
+    )
+    hits = (
+        ranked.where(conds)
+        .select(F.col(value_col).alias('value'), '_rank', '_total')
+    )
+    return (
+        out.join(
+            hits,
+            F.col('_rank') == F.greatest(
+                F.lit(1), F.ceil(F.col('q') * F.col('_total')).cast('long')),
+        )
+        .select('q', 'value')
+    )

@@ -424,3 +424,44 @@ class TestStreamingScrub:
         q2 = start_incremental_scrub(spark, in_dir, out_dir)
         q2.awaitTermination(240)
         assert spark.read.parquet(os.path.join(out_dir, 'scrubbed')).count() == 11
+
+
+class TestStreamingBloom:
+    def test_incremental_bloom_verdicts_exactly_once(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.streaming.incremental import (
+            start_incremental_bloom)
+        from markdown_articles_tool_spark.training.bloomdedup import save_bloom
+
+        # historical filter over docs 0..59
+        hist = corpus.pages_df(spark, 60).select(
+            F.sha2(F.col('text'), 256).alias('digest'))
+        bloom_path = str(tmp_path / 'bloom')
+        save_bloom(hist, bloom_path, m_bits=1 << 16, k_hashes=5)
+
+        in_dir, out_dir = str(tmp_path / 'in'), str(tmp_path / 'out')
+        # batch 1: docs 30..89 (half historical, half new); the pages
+        # schema has no doc_id — recover the index from the url path
+        idx = F.regexp_extract('url', r'/a(\d{8})/', 1).cast('int')
+        corpus.pages_df(spark, 90).where(idx >= 30).write.mode(
+            'overwrite').parquet(in_dir)
+        start_incremental_bloom(spark, in_dir, out_dir, bloom_path
+                                ).awaitTermination(120)
+        out = spark.read.parquet(f'{out_dir}/bloom_novel')
+        got = {r['url']: r['novel'] for r in out.collect()}
+        assert len(got) == 60
+        urls_old = {corpus.doc_url(i) for i in range(30, 60)}
+        assert all(not got[u] for u in urls_old if u in got)
+        urls_new = {corpus.doc_url(i) for i in range(60, 90)}
+        assert all(got[u] for u in urls_new if u in got)
+
+        # batch 2: a NEW file lands; only its rows are appended
+        corpus.pages_df(spark, 120).where(idx >= 90).write.mode(
+            'append').parquet(in_dir)
+        start_incremental_bloom(spark, in_dir, out_dir, bloom_path
+                                ).awaitTermination(120)
+        out2 = spark.read.parquet(f'{out_dir}/bloom_novel')
+        assert out2.count() == 90  # exactly-once: no reprocessing
+        assert out2.where('novel').count() >= 55

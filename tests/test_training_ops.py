@@ -1300,3 +1300,42 @@ class TestSpanDedup:
         assert 'Window' not in plan          # owner = aggregation, not window
         assert 'partial_min' in plan         # map-side combined
         assert 'CartesianProduct' not in plan
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_definition(self, spark):
+        from markdown_articles_tool_spark.training.util import exact_quantiles
+        import math
+
+        vals = [(i, (i * 37) % 101) for i in range(200)]
+        df = spark.createDataFrame(vals, 'doc_id long, n_chars long')
+        got = {r['q']: r['value'] for r in
+               exact_quantiles(df, 'n_chars', (0.5, 0.9, 0.99), 'doc_id').collect()}
+        ordered = sorted((v, i) for i, v in vals)
+        for q in (0.5, 0.9, 0.99):
+            want = ordered[max(1, math.ceil(q * len(vals))) - 1][0]
+            assert got[q] == want, q
+
+    def test_partition_invariant(self, spark):
+        from markdown_articles_tool_spark.training.util import exact_quantiles
+
+        df = spark.range(0, 500).select(
+            F.col('id').alias('doc_id'), (F.col('id') % 97).alias('n_chars'))
+        a = sorted(map(tuple, exact_quantiles(df, 'n_chars', (0.5, 0.9), 'doc_id').collect()))
+        b = sorted(map(tuple, exact_quantiles(
+            df.repartition(13), 'n_chars', (0.5, 0.9), 'doc_id').collect()))
+        assert a == b
+
+
+class TestBloomArtifact:
+    def test_save_load_probe_roundtrip(self, spark, tmp_path):
+        import numpy as np
+        from markdown_articles_tool_spark.training.bloomdedup import (
+            build_bloom, load_bloom, save_bloom)
+
+        old = spark.createDataFrame([(f'k{i}',) for i in range(200)], 'digest string')
+        path = str(tmp_path / 'bloom')
+        save_bloom(old, path, m_bits=4096, k_hashes=3)
+        words, m, k = load_bloom(spark, path)
+        assert (m, k) == (4096, 3)
+        assert np.array_equal(words, build_bloom(old, m_bits=4096, k_hashes=3))

@@ -1058,3 +1058,32 @@ class TestRedirects:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert 'Window' not in plan
         assert 'CartesianProduct' not in plan
+
+
+class TestCdxMerge:
+    def test_merged_index_equals_from_scratch_union(self, spark, tmp_path_factory):
+        from markdown_articles_tool_spark.sources.cdxindex import (
+            lookup_prefix, merge_cdx_indexes, write_cdx_index)
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+        base = tmp_path_factory.mktemp('cdxmerge')
+        # two "crawls": files 0..5 and 6..11 of the n=120 corpus
+        tmp = str(base / 'files')
+        corpus.warc_files_df(spark, 120).write.parquet(tmp)
+        files = spark.read.parquet(tmp)
+        half_a = files.where("file_name < 'crawl/00006'")
+        half_b = files.where("file_name >= 'crawl/00006'")
+        pa_, pb, pm, pf = (str(base / x) for x in ('a', 'b', 'merged', 'full'))
+        write_cdx_index(read_warc_cdx(half_a), pa_, n_shards=3)
+        write_cdx_index(read_warc_cdx(half_b), pb, n_shards=3)
+        merge_cdx_indexes(spark, [pa_, pb], pm, n_shards=4)
+        write_cdx_index(read_warc_cdx(files), pf, n_shards=4)
+
+        key = lambda r: (r['surt'], r['file_name'], r['ord'])
+        got = sorted(map(key, spark.read.parquet(f'{pm}/shards').collect()))
+        want = sorted(map(key, spark.read.parquet(f'{pf}/shards').collect()))
+        assert got == want
+        # and the merged boundary table serves a host query identically
+        m = sorted(map(key, lookup_prefix(spark, pm, 'example,site1)').collect()))
+        f = sorted(map(key, lookup_prefix(spark, pf, 'example,site1)').collect()))
+        assert m == f and len(m) > 0

@@ -351,6 +351,18 @@ def gen_warc(sf_dir: str, skey: int, out: dict) -> None:
                     (skey, url, hashlib.sha256(mtext.encode('utf-8')).hexdigest(),
                      len(blocks), sum(1 for b in blocks if b[5]))
                 )
+                # end-to-end release-run twin (warc_clean): the chained
+                # hygiene twins over the SAME main text; the quality
+                # verdict over the clean text is DuckDB SQL at oracle
+                # time (token/repetition CTEs retargeted, like
+                # clean_corpus)
+                from oracle_kernels import mojibake_fix_seq, pii_redact_seq
+
+                fixed, _n, _r = mojibake_fix_seq(mtext)
+                red, ne, nip, ncc, nph = pii_redact_seq(fixed)
+                out['warc_clean'].append(
+                    (skey, url, red, ne + nip + ncc + nph,
+                     hashlib.sha256(red.encode('utf-8')).hexdigest()))
 
 
 def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
@@ -972,6 +984,10 @@ SCHEMAS = {
          ('warc_type', pa.string()), ('url', pa.string()), ('surt', pa.string()),
          ('offset', pa.int64()), ('length', pa.int64()), ('addressable', pa.bool_()),
          ('warc_date', pa.string())]
+    ),
+    'warc_clean': pa.schema(
+        [('skey', pa.int64()), ('url', pa.string()), ('clean_text', pa.string()),
+         ('n_pii', pa.int32()), ('clean_sha', pa.string())]
     ),
     'warc_redirects': pa.schema(
         [('skey', pa.int64()), ('file_name', pa.string()), ('rec_ord', pa.int32()),
