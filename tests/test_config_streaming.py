@@ -465,3 +465,39 @@ class TestStreamingBloom:
         out2 = spark.read.parquet(f'{out_dir}/bloom_novel')
         assert out2.count() == 90  # exactly-once: no reprocessing
         assert out2.where('novel').count() >= 55
+
+
+class TestCurateCli:
+    def test_full_chain_subprocess(self, spark, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        from pyspark.sql import functions as F
+
+        from markdown_articles_tool_spark.training.bloomdedup import save_bloom
+
+        docs = spark.createDataFrame(
+            [(i, f'doc {i} unique words alpha{i} beta{i} gamma{i} text body',
+              ['en', 'de', 'fr'][i % 3], f'src{i % 4}')
+             for i in range(120)],
+            'doc_id long, text string, lang string, source string')
+        d_in = str(tmp_path / 'docs')
+        docs.write.parquet(d_in)
+        hist = docs.where('doc_id % 2 = 0').select(
+            F.sha2(F.col('text'), 256).alias('digest'))
+        bloom = str(tmp_path / 'bloom')
+        save_bloom(hist, bloom, m_bits=1 << 16, k_hashes=5)
+
+        out = str(tmp_path / 'out')
+        r = subprocess.run(
+            [_sys.executable, 'jobs/run_curate.py', '--input', d_in,
+             '--output', out, '--bloom', bloom, '--shards', '4',
+             '--master', 'local[2]'],
+            capture_output=True, text=True, timeout=500)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert 'after bloom dedup: 60' in r.stdout
+        got = spark.read.parquet(f'{out}/curated')
+        assert got.count() == 60
+        # only odd ids survive (evens are in the filter; no FPs at 2^16)
+        assert got.where('doc_id % 2 = 0').count() == 0
+        assert got.select('shard').distinct().count() == 4
