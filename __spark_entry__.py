@@ -622,6 +622,73 @@ def q_neardup_clusters(spark, sf_dir):
     return neardup_clusters(_t(spark, sf_dir, 'documents'), threshold=0.8).orderBy('doc_id')
 
 
+def q_neardup_apply(spark, sf_dir):
+    """The REMOVE stage over the near-dup decision (detect→remove,
+    like span_dedup completes winnowing): keep exactly the cluster
+    representatives (doc_id == cluster_rep — singletons are their own
+    rep, so this IS the deduped corpus), joined back onto the doc
+    table to carry real columns through.  The join is keeper-sized
+    broadcast onto the corpus scan at these ratios; at crawl scale it
+    is the same AQE equi-join every apply-stage uses.  Oracle =
+    selecting the representatives from the twin's cluster table and
+    joining the documents view."""
+    from markdown_articles_tool_spark.training.cluster import neardup_clusters
+
+    docs = _t(spark, sf_dir, 'documents')
+    reps = (
+        neardup_clusters(docs, threshold=0.8)
+        .where(F.col('doc_id') == F.col('cluster_rep'))
+        .select('doc_id')
+    )
+    return docs.join(reps, 'doc_id').select('doc_id', 'n_chars').orderBy('doc_id')
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Month-over-month crawl DIFF — what changed between two crawls
+    of the same seed set: per URL, 'added' / 'removed' / 'changed' /
+    'unchanged' plus both content digests.  Crawl A = the corpus
+    responses; crawl B is DERIVED from A by a deterministic
+    sha256(url)-keyed rule (m = first-byte mod 10: m<2 dropped, 2<=m<4
+    re-crawled with changed content, m==4 additionally yields a brand
+    new URL, rest unchanged) — both engines can compute the rule, so
+    the oracle rebuilds BOTH crawls from the twin's response table and
+    diffs them itself.  The diff is one full-outer equi-join on url
+    (page-sized, AQE) — no window, no collect."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import read_warc_responses
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    a = (
+        read_warc_responses(files)
+        .where(F.col('http_status') == 200)
+        .select('url', F.sha2(F.col('text'), 256).alias('digest'))
+        .distinct()
+    )
+    m = (F.conv(F.substring(F.sha2(F.col('url'), 256), 1, 2), 16, 10)
+         .cast('int') % 10)
+    b_kept = a.where(m >= 2).select(
+        'url',
+        F.when((m >= 2) & (m < 4), F.sha2(F.concat(F.col('digest'), F.lit('v2')), 256))
+        .otherwise(F.col('digest')).alias('digest'),
+    )
+    b_new = a.where(m == 4).select(
+        F.concat(F.col('url'), F.lit('?v=2')).alias('url'),
+        F.sha2(F.concat(F.col('digest'), F.lit('new')), 256).alias('digest'),
+    )
+    b = b_kept.unionByName(b_new)
+    old = a.select('url', F.col('digest').alias('old_sha'))
+    new = b.select('url', F.col('digest').alias('new_sha'))
+    diff = old.join(new, 'url', 'full_outer').select(
+        'url',
+        F.when(F.col('old_sha').isNull(), F.lit('added'))
+        .when(F.col('new_sha').isNull(), F.lit('removed'))
+        .when(F.col('old_sha') != F.col('new_sha'), F.lit('changed'))
+        .otherwise(F.lit('unchanged')).alias('change'),
+        'old_sha', 'new_sha',
+    )
+    return diff.orderBy('url')
+
+
 def q_simhash_neardup(spark, sf_dir):
     from markdown_articles_tool_spark.training.dedup import simhash_near_duplicates
 
@@ -1329,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdx_prefix': q_cdx_prefix,
         'cdx_closest': q_cdx_closest,
         'warc_clean': q_warc_clean,
+        'neardup_apply': q_neardup_apply,
+        'crawl_diff': q_crawl_diff,
         'warc_redirects': q_warc_redirects,
         'redirect_chains': q_redirect_chains,
     }
@@ -1774,6 +1843,47 @@ def oracle_sql() -> dict[str, str]:
         # Bloom incremental dedup: frozen hash spec replayed by the
         # stdlib XXH64 twin — deterministic false positives checked too
         'bloom_dedup': _ref('bloom_dedup', 'doc_id, novel', _DOC_SKEY, 'doc_id'),
+        # near-dup REMOVE stage: the representatives of the twin's
+        # cluster table, joined onto the documents view
+        'neardup_apply': f"""
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            JOIN read_parquet('{_ORACLEREF}/neardup_clusters.parquet') c
+              ON c.skey = {_DOC_SKEY} AND c.doc_id = d.doc_id
+            WHERE c.doc_id = c.cluster_rep
+            ORDER BY d.doc_id
+        """,
+        # crawl diff: the oracle REBUILDS both crawls from the twin's
+        # response table with the same sha-keyed rule and diffs them
+        'crawl_diff': f"""
+            WITH a AS (
+                SELECT DISTINCT url, text_sha AS digest
+                FROM read_parquet('{_ORACLEREF}/warc_responses.parquet')
+                WHERE skey = {_DOC_SKEY} AND http_status = 200
+            ),
+            rule AS (
+                SELECT url, digest,
+                       ('0x' || substr(sha256(url), 1, 2))::INT % 10 AS m
+                FROM a
+            ),
+            b AS (
+                SELECT url,
+                       CASE WHEN m >= 2 AND m < 4
+                            THEN sha256(digest || 'v2') ELSE digest END AS digest
+                FROM rule WHERE m >= 2
+                UNION ALL
+                SELECT url || '?v=2', sha256(digest || 'new')
+                FROM rule WHERE m = 4
+            )
+            SELECT COALESCE(a.url, b.url) AS url,
+                   CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        WHEN a.digest <> b.digest THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   a.digest AS old_sha, b.digest AS new_sha
+            FROM a FULL OUTER JOIN b ON a.url = b.url
+            ORDER BY url
+        """,
         # exact duplicated-substring removal: dict-owner + coverage-
         # bitmap twin of the distributed min-struct + interval-merge
         'span_dedup': _ref(

@@ -247,6 +247,9 @@ def run_bench(emit_json: bool = True) -> dict:
         # + exact distributed order statistics
         'warc_clean',
         'corpus_quantiles',
+        # detect->remove completion for near-dups + the crawl diff join
+        'neardup_apply',
+        'crawl_diff',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the
