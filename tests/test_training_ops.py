@@ -1339,3 +1339,79 @@ class TestBloomArtifact:
         words, m, k = load_bloom(spark, path)
         assert (m, k) == (4096, 3)
         assert np.array_equal(words, build_bloom(old, m_bits=4096, k_hashes=3))
+
+
+class TestSpanDedupDifferential:
+    def test_fuzz_vs_sequential_twin(self, spark):
+        """Random word-salad corpora with planted shared spans: engine
+        == the dict-owner + coverage-bitmap twin on every field."""
+        import hashlib
+        import random
+        import sys
+
+        sys.path.insert(0, 'tools')
+        from oracle_kernels import window_hash_list
+
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+        rng = random.Random(42)
+        vocab = [f'w{i}' for i in range(40)]
+        shared = ' '.join(rng.choice(vocab) for _ in range(12))
+        texts = []
+        for i in range(60):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+            if i % 3 == 0:
+                words.insert(rng.randrange(0, len(words) + 1), shared)
+            if i % 7 == 0:
+                words += words[: len(words) // 2]       # intra-doc repeat
+            if i % 11 == 5:
+                texts.append('')                         # empty doc
+                continue
+            texts.append('  '.join(words).upper() if i % 5 == 0
+                         else ' '.join(words))
+
+        k = 25
+        docs = sorted(enumerate(texts))
+        norm = {d: ' '.join((t or '').lower().split()) for d, t in docs}
+        hs = {d: window_hash_list(norm[d], k) for d, _ in docs}
+        owner = {}
+        for d, _ in docs:
+            for p, h in enumerate(hs[d]):
+                if h not in owner or (d, p) < owner[h]:
+                    owner[h] = (d, p)
+        want = {}
+        for d, _ in docs:
+            nm = norm[d]
+            cover = bytearray(len(nm))
+            n_dup = 0
+            for p, h in enumerate(hs[d]):
+                if owner[h] != (d, p):
+                    n_dup += 1
+                    for i in range(p, min(p + k, len(nm))):
+                        cover[i] = 1
+            clean = ''.join(ch for ch, c in zip(nm, cover) if not c)
+            want[d] = (len(hs[d]), n_dup, sum(cover),
+                       hashlib.sha256(clean.encode()).hexdigest())
+
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   'doc_id long, text string')
+        got = {r['doc_id']: (r['n_windows'], r['n_dup_windows'],
+                             r['n_removed_chars'], r['clean_sha'])
+               for r in dedup_spans(df, k=k).collect()}
+        assert got == want
+
+    def test_hot_fingerprint_degenerate(self, spark):
+        """A window present in EVERY doc (the op's target case —
+        boilerplate) completes with the agg+join shape and the owner
+        is the global (doc, pos) minimum regardless of partitioning."""
+        from markdown_articles_tool_spark.training.dedup import dedup_spans
+
+        boiler = 'subscribe to our newsletter for updates today'
+        docs = [(i, f'unique lead {i} ' + boiler) for i in range(200)]
+        df = spark.createDataFrame(docs, 'doc_id long, text string')
+        out = {r['doc_id']: r for r in dedup_spans(df, k=25).collect()}
+        assert out[0]['n_removed_chars'] == 0      # global first occurrence
+        assert sum(1 for r in out.values() if r['n_removed_chars'] > 0) >= 198
+        out7 = {r['doc_id']: tuple(r) for r in
+                dedup_spans(df.repartition(7), k=25).collect()}
+        assert out7 == {k_: tuple(v) for k_, v in out.items()}
