@@ -632,15 +632,11 @@ def q_neardup_apply(spark, sf_dir):
     is the same AQE equi-join every apply-stage uses.  Oracle =
     selecting the representatives from the twin's cluster table and
     joining the documents view."""
-    from markdown_articles_tool_spark.training.cluster import neardup_clusters
+    from markdown_articles_tool_spark.training.cluster import neardup_apply
 
     docs = _t(spark, sf_dir, 'documents')
-    reps = (
-        neardup_clusters(docs, threshold=0.8)
-        .where(F.col('doc_id') == F.col('cluster_rep'))
-        .select('doc_id')
-    )
-    return docs.join(reps, 'doc_id').select('doc_id', 'n_chars').orderBy('doc_id')
+    return neardup_apply(docs, threshold=0.8).select(
+        'doc_id', 'n_chars').orderBy('doc_id')
 
 
 def q_crawl_diff(spark, sf_dir):
@@ -675,18 +671,10 @@ def q_crawl_diff(spark, sf_dir):
         F.concat(F.col('url'), F.lit('?v=2')).alias('url'),
         F.sha2(F.concat(F.col('digest'), F.lit('new')), 256).alias('digest'),
     )
+    from markdown_articles_tool_spark.training.crawldiff import crawl_diff
+
     b = b_kept.unionByName(b_new)
-    old = a.select('url', F.col('digest').alias('old_sha'))
-    new = b.select('url', F.col('digest').alias('new_sha'))
-    diff = old.join(new, 'url', 'full_outer').select(
-        'url',
-        F.when(F.col('old_sha').isNull(), F.lit('added'))
-        .when(F.col('new_sha').isNull(), F.lit('removed'))
-        .when(F.col('old_sha') != F.col('new_sha'), F.lit('changed'))
-        .otherwise(F.lit('unchanged')).alias('change'),
-        'old_sha', 'new_sha',
-    )
-    return diff.orderBy('url')
+    return crawl_diff(a, b).orderBy('url')
 
 
 def q_simhash_neardup(spark, sf_dir):

@@ -123,3 +123,20 @@ def neardup_clusters(
         docs, threshold=threshold, id_col=id_col, text_col=text_col, **minhash_kw
     ).select('a_id', 'b_id')
     return connected_components(pairs, docs.select(id_col), id_col=id_col)
+
+
+def neardup_apply(df: DataFrame, id_col: str = 'doc_id',
+                  text_col: str = 'text', threshold: float = 0.8) -> DataFrame:
+    """The REMOVE stage over the near-dup decision: keep exactly the
+    cluster representatives (``doc_id == cluster_rep``; singletons are
+    their own rep, so the result IS the deduped corpus), joined back
+    onto the document table so real columns survive.  The keeper set
+    is corpus-sized minus duplicates — an ordinary AQE equi-join, not
+    a broadcast, at crawl scale."""
+    reps = (
+        neardup_clusters(df, id_col=id_col, text_col=text_col,
+                         threshold=threshold)
+        .where(F.col('doc_id') == F.col('cluster_rep'))
+        .select(F.col('doc_id').alias(id_col))
+    )
+    return df.join(reps, id_col)

@@ -1415,3 +1415,44 @@ class TestSpanDedupDifferential:
         out7 = {r['doc_id']: tuple(r) for r in
                 dedup_spans(df.repartition(7), k=25).collect()}
         assert out7 == {k_: tuple(v) for k_, v in out.items()}
+
+
+class TestCrawlDiffOp:
+    def test_all_states_and_digest_carry(self, spark):
+        from markdown_articles_tool_spark.training.crawldiff import crawl_diff
+
+        old = spark.createDataFrame(
+            [('u1', 'h1'), ('u2', 'h2'), ('u3', 'h3')], 'url string, digest string')
+        new = spark.createDataFrame(
+            [('u1', 'h1'), ('u2', 'h2x'), ('u4', 'h4')], 'url string, digest string')
+        got = {r['url']: (r['change'], r['old_sha'], r['new_sha'])
+               for r in crawl_diff(old, new).collect()}
+        assert got == {
+            'u1': ('unchanged', 'h1', 'h1'),
+            'u2': ('changed', 'h2', 'h2x'),
+            'u3': ('removed', 'h3', None),
+            'u4': ('added', None, 'h4'),
+        }
+
+    def test_plan_single_join_no_window(self, spark):
+        from markdown_articles_tool_spark.training.crawldiff import crawl_diff
+
+        old = spark.range(100).select(
+            F.concat(F.lit('u'), 'id').alias('url'), F.sha2(F.col('id').cast('string'), 256).alias('digest'))
+        new = old.where('id % 2 = 0')
+        plan = crawl_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+        assert 'Window' not in plan and 'CartesianProduct' not in plan
+        assert plan.count('Join') >= 1
+
+
+class TestNeardupApplyOp:
+    def test_representatives_survive_duplicates_drop(self, spark):
+        from markdown_articles_tool_spark.training.cluster import neardup_apply
+
+        base = ('spark shuffles the sorted rows across partitions while the '
+                'driver plans every stage of the query run here today')
+        docs = [(0, base), (1, base), (2, base + ' tail'),
+                (3, 'an entirely different document about nothing shared')]
+        df = spark.createDataFrame(docs, 'doc_id long, text string')
+        kept = {r['doc_id'] for r in neardup_apply(df, threshold=0.8).collect()}
+        assert 0 in kept and 3 in kept and 1 not in kept
