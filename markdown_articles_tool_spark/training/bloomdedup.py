@@ -172,3 +172,77 @@ def load_bloom(spark, path: str):
     for r in spark.read.parquet(f'{path}/words').collect():
         words[r['word']] = r['bits']
     return words, m_bits, k_hashes
+
+
+def bloom_dedup_cogrouped(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = 'digest',
+    n_chunks: int = 16,
+    m_bits_per_chunk: int = DEFAULT_M_BITS,
+    k_hashes: int = DEFAULT_K,
+    out_col: str = 'novel',
+) -> DataFrame:
+    """The executor-memory-bounded form of ``bloom_dedup`` — for the
+    regime where ONE filter no longer broadcasts (10^10 historical
+    docs ~ 15 GB at 12 bits/doc): the key space splits into
+    ``n_chunks`` by ``pmod(xxhash64(key), n_chunks)``, both sides
+    co-shuffle on the chunk id, and each chunk builds + probes its own
+    ``m_bits_per_chunk`` filter inside one ``cogroup.applyInPandas``
+    task.  No broadcast, no driver materialization; filter memory per
+    task is m_bits_per_chunk/8 REGARDLESS of corpus size, and total
+    filter capacity scales with n_chunks.
+
+    The position spec is IDENTICAL to the broadcast form — the base
+    hash is Spark's own ``xxhash64`` computed JVM-side BEFORE the
+    cogroup (it rides the shuffle as a column), and the
+    Kirsch-Mitzenmacher expansion runs on those values in numpy —
+    so equal keys always share a chunk AND positions: false negatives
+    remain impossible by construction.  The one exchange per side is
+    hash-partitioned on the chunk id; chunk skew is bounded by the
+    hash (uniform key spread).
+
+    Returns the ``new`` rows (original columns) plus ``out_col``.
+    """
+    n_chunks = int(n_chunks)
+    m = int(m_bits_per_chunk)
+    k = int(k_hashes)
+    h = F.xxhash64(F.col(key_col))
+    chunk = F.pmod(h, F.lit(n_chunks)).alias('_chunk')
+    old_c = old.select(h.alias('_h'), chunk)
+    new_c = new.withColumn('_h', h).withColumn('_chunk', chunk)
+    out_fields = [f for f in new.schema.fields]
+    out_schema = ', '.join(
+        f'{f.name} {f.dataType.simpleString()}' for f in out_fields
+    ) + f', {out_col} boolean'
+
+    def _pos_matrix(hs: np.ndarray) -> np.ndarray:
+        """(n, k) position matrix from signed int64 base hashes —
+        the same unsigned h1/h2 split as the Column algebra, in
+        uint64 numpy (wraparound-exact)."""
+        u = hs.astype(np.uint64)
+        h1 = (u >> np.uint64(32)).astype(np.int64)
+        h2 = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return np.stack(
+            [(h1 + i * h2) % m for i in range(k)], axis=1)
+
+    def probe_chunk(left_new: pd.DataFrame, right_old: pd.DataFrame) -> pd.DataFrame:
+        out = left_new.drop(columns=['_h', '_chunk'])
+        if left_new.empty:
+            out[out_col] = pd.Series([], dtype=bool)
+            return out
+        words = np.zeros(m // 64, dtype=np.int64)
+        if not right_old.empty:
+            p = _pos_matrix(right_old['_h'].to_numpy(np.int64)).ravel()
+            np.bitwise_or.at(words, p >> 6, np.int64(1) << (p & 63))
+        q = _pos_matrix(left_new['_h'].to_numpy(np.int64))
+        hit = (words[q >> 6] >> (q & 63)) & 1
+        out[out_col] = ~hit.all(axis=1)
+        return out
+
+    return (
+        new_c.groupBy('_chunk')
+        .cogroup(old_c.groupBy('_chunk'))
+        .applyInPandas(lambda lnew, rold: probe_chunk(lnew, rold),
+                       schema=out_schema)
+    )

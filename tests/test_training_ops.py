@@ -1456,3 +1456,56 @@ class TestNeardupApplyOp:
         df = spark.createDataFrame(docs, 'doc_id long, text string')
         kept = {r['doc_id'] for r in neardup_apply(df, threshold=0.8).collect()}
         assert 0 in kept and 3 in kept and 1 not in kept
+
+
+class TestBloomCogrouped:
+    """bloom_dedup_cogrouped — the executor-memory-bounded chunked form."""
+
+    def _dfs(self, spark):
+        old = spark.createDataFrame([(f'd{i}',) for i in range(400)], 'digest string')
+        new = spark.createDataFrame([(f'd{i}', i) for i in range(350, 600)],
+                                    'digest string, extra long')
+        return old, new
+
+    def test_no_false_negatives_and_columns_carried(self, spark):
+        from markdown_articles_tool_spark.training.bloomdedup import (
+            bloom_dedup_cogrouped)
+
+        old, new = self._dfs(spark)
+        out = {r['digest']: (r['novel'], r['extra']) for r in
+               bloom_dedup_cogrouped(old, new, n_chunks=8,
+                                     m_bits_per_chunk=1024, k_hashes=3).collect()}
+        assert len(out) == 250
+        assert not any(out[f'd{i}'][0] for i in range(350, 400))
+        assert out['d350'][1] == 350
+        # generous per-chunk m: all fresh keys novel
+        out_big = {r['digest']: r['novel'] for r in
+                   bloom_dedup_cogrouped(old, new, n_chunks=4,
+                                         m_bits_per_chunk=1 << 18,
+                                         k_hashes=5).collect()}
+        assert all(out_big[f'd{i}'] for i in range(400, 600))
+
+    def test_partition_invariance(self, spark):
+        from markdown_articles_tool_spark.training.bloomdedup import (
+            bloom_dedup_cogrouped)
+
+        old, new = self._dfs(spark)
+        a = {r['digest']: r['novel'] for r in
+             bloom_dedup_cogrouped(old, new, n_chunks=8,
+                                   m_bits_per_chunk=1024, k_hashes=3).collect()}
+        b = {r['digest']: r['novel'] for r in
+             bloom_dedup_cogrouped(old.repartition(7), new.repartition(5),
+                                   n_chunks=8, m_bits_per_chunk=1024,
+                                   k_hashes=3).collect()}
+        assert a == b
+
+    def test_plan_one_exchange_per_side_no_broadcast(self, spark):
+        from markdown_articles_tool_spark.training.bloomdedup import (
+            bloom_dedup_cogrouped)
+
+        old, new = self._dfs(spark)
+        plan = (bloom_dedup_cogrouped(old, new)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count('Exchange hashpartitioning(_chunk') == 2
+        assert 'Broadcast' not in plan
+        assert 'FlatMapCoGroupsInPandas' in plan
