@@ -392,6 +392,29 @@ def q_crawl_frontier(spark, sf_dir):
     ).orderBy('abs_url')
 
 
+def q_frontier_bloom(spark, sf_dir):
+    """Frontier assembly with the already-seen test as a BLOOM probe
+    (training/frontier.crawl_frontier_bloom) — the Heritrix/Nutch
+    already-seen-URI structure: the crawled set collapses to a bounded
+    bit_or aggregation (<= m/64 rows) instead of re-shuffling the
+    outlinks against a corpus-sized table per build; membership is
+    tested scan-side.  m is deliberately tiny (2048) so deterministic
+    FALSE-POSITIVE DROPS occur and the gate value-checks them — the
+    twin replays every verdict with the pinned stdlib XXH64
+    reimplementation.  (The exact anti-join form stays as
+    crawl_frontier; at 10^12 crawled pages THIS is the shape.)"""
+    from markdown_articles_tool_spark.corpus import pages_df, robots_files_df
+    from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
+    from markdown_articles_tool_spark.training.frontier import crawl_frontier_bloom
+
+    pages = pages_df(spark, _corpus_n(sf_dir))
+    links = extract_page_outlinks(pages)
+    return crawl_frontier_bloom(
+        links, robots_files_df(spark), pages.select('url'), agent='graftbot',
+        m_bits=2048, k_hashes=3,
+    ).orderBy('abs_url')
+
+
 def q_warc_main_content(spark, sf_dir):
     """Crawl archive → training text end-to-end: WARC response read,
     the fetch-policy gate (HTTP 200 + text/html), then the main-content
@@ -1320,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_rules': q_robots_rules,
         'crawl_allowed': q_crawl_allowed,
         'crawl_frontier': q_crawl_frontier,
+        'frontier_bloom': q_frontier_bloom,
         'sitemap_entries': q_sitemap_entries,
         'frontier_schedule': q_frontier_schedule,
         'wet_roundtrip': q_wet_roundtrip,
@@ -1522,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         'crawl_frontier': _ref(
             'crawl_frontier', 'abs_url, dst_host, n_refs, rank_units', _DOC_SKEY,
+            'abs_url',
+        ),
+        # bloom-frontier: the twin replays the XXH64 bloom over the
+        # crawled set — FP drops value-checked
+        'frontier_bloom': _ref(
+            'frontier_bloom', 'abs_url, dst_host, n_refs, rank_units', _DOC_SKEY,
             'abs_url',
         ),
         'sitemap_entries': _ref(

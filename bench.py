@@ -250,6 +250,8 @@ def run_bench(emit_json: bool = True) -> dict:
         # detect->remove completion for near-dups + the crawl diff join
         'neardup_apply',
         'crawl_diff',
+        # bloom-frontier: already-seen as a bounded-filter scan probe
+        'frontier_bloom',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the

@@ -49,6 +49,14 @@ def crawl_frontier(outlinks: DataFrame, robots: DataFrame, crawled: DataFrame,
         crawled.select(F.col(url_col).alias('_crawled_url')),
         gated.abs_url == F.col('_crawled_url'), 'left_anti',
     )
+    return _assemble_frontier(fresh, outlinks, iterations)
+
+
+def _assemble_frontier(fresh: DataFrame, outlinks: DataFrame,
+                       iterations: int) -> DataFrame:
+    '''Shared frontier tail: collapse fresh link records to distinct
+    targets (the groupBy reuses the upstream partitioning where one
+    exists) and attach the broadcast host-rank priority.'''
     targets = fresh.groupBy('abs_url').agg(
         F.count(F.lit(1)).alias('n_refs'),
         F.min('dst_host').alias('dst_host'),  # functionally dependent on abs_url
@@ -183,3 +191,40 @@ def frontier_budget(
         .where(F.col('wave') <= F.col('budget'))
     )
     return out.select('abs_url', 'dst_host', 'n_refs', 'wave', 'budget')
+
+
+def crawl_frontier_bloom(outlinks: DataFrame, robots: DataFrame,
+                         crawled: DataFrame, agent: str = 'graftbot',
+                         iterations: int = 10, url_col: str = 'url',
+                         m_bits: int = 1 << 20,
+                         k_hashes: int = 5) -> DataFrame:
+    """``crawl_frontier`` with the already-seen test done by a BLOOM
+    FILTER over the crawled URL set instead of the exact anti-join --
+    the Heritrix/Nutch already-seen-URI structure, and the shape the
+    anti-join grows into at 10^12 crawled pages: the exact form
+    re-shuffles the outlink records against a corpus-sized crawled
+    table on every frontier build, while the filter is built once by
+    a bounded aggregation (<= m/64 rows regardless of corpus size),
+    broadcast, and probed SCAN-SIDE -- the outlinks never shuffle for
+    the membership test at all.
+
+    The trade is explicit and one-sided: a false positive silently
+    drops a genuinely-new URL from the frontier (rate ~
+    (1-e^(-kn/m))^k -- size m accordingly; the URL resurfaces on the
+    next build from any new reference), while already-crawled URLs
+    are NEVER re-admitted (no false negatives) -- the safe direction
+    for a politeness-bound crawler.  Same frozen position spec as
+    training/bloomdedup (JVM xxhash64 -> Kirsch-Mitzenmacher), so the
+    sequential twin replays every verdict including the FP drops.
+    """
+    from .bloomdedup import bloom_probe, build_bloom
+
+    gated = crawl_allowed(outlinks, robots, agent).where('allowed')
+    bloom = build_bloom(
+        crawled.select(F.col(url_col).alias('_k')), '_k', m_bits, k_hashes)
+    fresh = (
+        bloom_probe(gated, bloom, key_col='abs_url',
+                    m_bits=m_bits, k_hashes=k_hashes)
+        .where('novel').drop('novel')
+    )
+    return _assemble_frontier(fresh, outlinks, iterations)

@@ -246,3 +246,37 @@ class TestCrawlDelayBudget:
         got = {(r['abs_url'], r['wave']) for r in out
                if r['dst_host'] in budgets}
         assert got == want
+
+
+class TestFrontierBloom:
+    def _inputs(self, spark):
+        from markdown_articles_tool_spark import corpus
+        from markdown_articles_tool_spark.operators.htmlmeta import (
+            extract_page_outlinks)
+
+        pages = corpus.pages_df(spark, 60)
+        return (extract_page_outlinks(pages), corpus.robots_files_df(spark),
+                pages.select('url'))
+
+    def test_subset_of_exact_and_equal_at_generous_m(self, spark):
+        from markdown_articles_tool_spark.training.frontier import (
+            crawl_frontier, crawl_frontier_bloom)
+
+        links, robots, crawled = self._inputs(spark)
+        exact = {tuple(r) for r in crawl_frontier(links, robots, crawled).collect()}
+        tiny = {tuple(r) for r in crawl_frontier_bloom(
+            links, robots, crawled, m_bits=512, k_hashes=3).collect()}
+        # FP drops only — never an extra (already-crawled) admission
+        assert tiny <= exact
+        big = {tuple(r) for r in crawl_frontier_bloom(
+            links, robots, crawled, m_bits=1 << 20, k_hashes=5).collect()}
+        assert big == exact  # FP ~ 0 at generous sizing
+
+    def test_no_antijoin_membership_is_scan_side(self, spark):
+        from markdown_articles_tool_spark.training.frontier import (
+            crawl_frontier_bloom)
+
+        links, robots, crawled = self._inputs(spark)
+        plan = (crawl_frontier_bloom(links, robots, crawled)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert 'LeftAnti' not in plan  # the membership test left the join world

@@ -409,6 +409,7 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
     # engine's host_edges)
     host_re = _re.compile(r'^[a-zA-Z]+://([^/]+)')
     crawled = {corpus.doc_url(i) for i in range(n)}
+    allowed_links: list = []
     refs: dict = defaultdict(int)
     dhost: dict = {}
     edges: dict = defaultdict(int)
@@ -429,6 +430,8 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
             if allowed and abs_url not in crawled:
                 refs[abs_url] += 1
                 dhost[abs_url] = host
+            if allowed:
+                allowed_links.append((abs_url, host))
     ranks = pagerank_seq([(s, d, w) for (s, d), w in edges.items()], iterations=10)
     low_ranks: dict = {}
     for h, r in ranks.items():
@@ -437,6 +440,29 @@ def gen_robots(sf_dir: str, skey: int, out: dict) -> None:
         out['crawl_frontier'].append(
             (skey, abs_url, dhost[abs_url], refs[abs_url],
              low_ranks.get(dhost[abs_url], 0))
+        )
+    # bloom-frontier twin (crawl_frontier_bloom's params in the driver
+    # query: m=2048, k=3): already-seen = the XXH64 Bloom over the
+    # crawled URL set — deterministic FP drops replayed exactly
+    m_bits, kh = 2048, 3
+    m64 = (1 << 64) - 1
+
+    def _bpos(s: str):
+        u = xxhash64_spark(s.encode('utf-8')) & m64
+        h1, h2 = u >> 32, u & 0xFFFFFFFF
+        return [(h1 + i * h2) % m_bits for i in range(kh)]
+
+    bbits = {p for cu in crawled for p in _bpos(cu)}
+    refs_b: dict = defaultdict(int)
+    dhost_b: dict = {}
+    for abs_url, host in allowed_links:
+        if not all(p in bbits for p in _bpos(abs_url)):
+            refs_b[abs_url] += 1
+            dhost_b[abs_url] = host
+    for abs_url in sorted(refs_b):
+        out['frontier_bloom'].append(
+            (skey, abs_url, dhost_b[abs_url], refs_b[abs_url],
+             low_ranks.get(dhost_b[abs_url], 0))
         )
 
 
@@ -1009,6 +1035,10 @@ SCHEMAS = {
         [('skey', pa.int64()), ('url', pa.string()), ('ord', pa.int32()),
          ('abs_url', pa.string()), ('dst_host', pa.string()),
          ('allowed', pa.bool_())]
+    ),
+    'frontier_bloom': pa.schema(
+        [('skey', pa.int64()), ('abs_url', pa.string()), ('dst_host', pa.string()),
+         ('n_refs', pa.int64()), ('rank_units', pa.int64())]
     ),
     'crawl_frontier': pa.schema(
         [('skey', pa.int64()), ('abs_url', pa.string()), ('dst_host', pa.string()),
