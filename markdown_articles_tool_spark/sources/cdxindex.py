@@ -256,3 +256,36 @@ def merge_cdx_indexes(spark: SparkSession, paths, out_path: str,
     for d in dfs[1:]:
         union = union.unionByName(d)
     write_cdx_index(union, out_path, n_shards)
+
+
+def cdx_query(spark: SparkSession, path: str, url: str,
+              match_type: str = 'exact', ts: int | None = None) -> DataFrame:
+    """The one-call CDX server surface — dispatch a URL query by
+    ``matchType`` exactly as a real CDX(J) endpoint does:
+
+    * ``exact``   → point lookup on the URL's SURT key;
+    * ``prefix``  → everything under the URL's full SURT prefix;
+    * ``host``    → everything on the URL's host (SURT makes it a
+      prefix query up to the ``)`` authority terminator);
+    * ``domain``  → the registered host AND its subdomains (prefix
+      without the terminator);
+    * ``closest`` → the capture nearest to the 14-digit ``ts``
+      (requires ``ts``; see ``lookup_closest`` for the distance rule).
+
+    All routes share the boundary-pruned sharded layout: each touches
+    only its covering shard files."""
+    from ..core.wwwtools import surt_key
+
+    if match_type == 'exact':
+        return lookup_surt(spark, path, surt_key(url))
+    if match_type == 'prefix':
+        return lookup_prefix(spark, path, surt_key(url))
+    if match_type == 'host':
+        return lookup_prefix(spark, path, host_prefix(url))
+    if match_type == 'domain':
+        return lookup_prefix(spark, path, domain_prefix(url))
+    if match_type == 'closest':
+        if ts is None:
+            raise ValueError("matchType 'closest' requires ts (14-digit)")
+        return lookup_closest(spark, path, [(url, int(ts))])
+    raise ValueError(f'unknown matchType: {match_type!r}')

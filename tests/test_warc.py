@@ -1087,3 +1087,36 @@ class TestCdxMerge:
         m = sorted(map(key, lookup_prefix(spark, pm, 'example,site1)').collect()))
         f = sorted(map(key, lookup_prefix(spark, pf, 'example,site1)').collect()))
         assert m == f and len(m) > 0
+
+
+class TestCdxQueryDispatch:
+    def test_all_match_types_route_correctly(self, spark, tmp_path_factory):
+        import pytest as _pytest
+
+        from markdown_articles_tool_spark.core.wwwtools import surt_key
+        from markdown_articles_tool_spark.corpus import doc_url
+        from markdown_articles_tool_spark.sources.cdxindex import (
+            cdx_query, domain_prefix, host_prefix, lookup_closest,
+            lookup_prefix, lookup_surt, write_cdx_index)
+        from markdown_articles_tool_spark.sources.warc import read_warc_cdx
+
+        tmp = str(tmp_path_factory.mktemp('cdxq') / 'files')
+        corpus.warc_files_df(spark, 60).write.parquet(tmp)
+        path = str(tmp_path_factory.mktemp('cdxq') / 'index')
+        write_cdx_index(read_warc_cdx(spark.read.parquet(tmp)), path, n_shards=4)
+
+        u = doc_url(0)
+        key = lambda r: (r['surt'], r['file_name'], r['ord'])
+        assert (sorted(map(key, cdx_query(spark, path, u).collect()))
+                == sorted(map(key, lookup_surt(spark, path, surt_key(u)).collect())))
+        assert (sorted(map(key, cdx_query(spark, path, u, 'host').collect()))
+                == sorted(map(key, lookup_prefix(spark, path, host_prefix(u)).collect())))
+        assert (sorted(map(key, cdx_query(spark, path, u, 'domain').collect()))
+                == sorted(map(key, lookup_prefix(spark, path, domain_prefix(u)).collect())))
+        got = cdx_query(spark, path, u, 'closest', ts=20200913122640).collect()
+        want = lookup_closest(spark, path, [(u, 20200913122640)]).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        with _pytest.raises(ValueError):
+            cdx_query(spark, path, u, 'closest')
+        with _pytest.raises(ValueError):
+            cdx_query(spark, path, u, 'regex')
