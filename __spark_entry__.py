@@ -1201,6 +1201,36 @@ def q_warc_clean(spark, sf_dir):
     return scrub(mc, id_col='url').orderBy('url')
 
 
+def q_warc_host_quality(spark, sf_dir):
+    """Which hosts produce garbage — the crawl-side domain verdict:
+    per-host keep-rate over the end-to-end archive release run
+    (warc_clean's verdicts), flagged ``low_quality`` by the integer
+    majority rule 2*n_keep < n_pages.  Host-sized aggregation with
+    map-side partials over the zero-shuffle release-run plan; this dim
+    is what next month's crawl budget and blocklist read.  Oracle =
+    DuckDB aggregating its own warc_clean reconstruction per host."""
+    from markdown_articles_tool_spark.corpus import warc_files_df
+    from markdown_articles_tool_spark.sources.warc import warc_main_content
+    from markdown_articles_tool_spark.training.hygiene import scrub
+
+    files = warc_files_df(spark, _corpus_n(sf_dir))
+    mc = warc_main_content(files).select('url', F.col('main_text').alias('text'))
+    wc = scrub(mc, id_col='url')
+    host = F.regexp_extract('url', '^[a-zA-Z]+://([^/]+)', 1)
+    return (
+        wc.groupBy(host.alias('host'))
+        .agg(
+            F.count(F.lit(1)).alias('n_pages'),
+            F.sum(F.col('keep').cast('int')).alias('n_keep'),
+        )
+        .select(
+            'host', 'n_pages', 'n_keep',
+            (F.lit(2) * F.col('n_keep') < F.col('n_pages')).alias('low_quality'),
+        )
+        .orderBy('host')
+    )
+
+
 def q_cdx_closest(spark, sf_dir):
     """``closest`` matchType through the sharded index — the wayback
     query: nearest capture (response/revisit) of a URL to a requested
@@ -1408,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cdx_prefix': q_cdx_prefix,
         'cdx_closest': q_cdx_closest,
         'warc_clean': q_warc_clean,
+        'warc_host_quality': q_warc_host_quality,
         'neardup_apply': q_neardup_apply,
         'crawl_diff': q_crawl_diff,
         'warc_redirects': q_warc_redirects,
@@ -2367,5 +2398,15 @@ def oracle_sql() -> dict[str, str]:
         FROM ts JOIN rs ON ts.doc_id = rs.doc_id
         JOIN cleandocs cd ON ts.doc_id = cd.doc_id
         ORDER BY url
+    """
+    # per-host keep-rate dim over the archive release run: DuckDB
+    # aggregates its OWN warc_clean reconstruction per host
+    d['warc_host_quality'] = f"""
+        WITH wc AS ({d['warc_clean'].replace('ORDER BY url', '')})
+        SELECT regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS host,
+               COUNT(*) AS n_pages,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               2 * SUM(CASE WHEN keep THEN 1 ELSE 0 END) < COUNT(*) AS low_quality
+        FROM wc GROUP BY 1 ORDER BY host
     """
     return d

@@ -252,6 +252,8 @@ def run_bench(emit_json: bool = True) -> dict:
         'crawl_diff',
         # bloom-frontier: already-seen as a bounded-filter scan probe
         'frontier_bloom',
+        # crawl-side domain verdict over the release run
+        'warc_host_quality',
     ]
     # deliberate all-pairs correctness oracles (never the production
     # path at scale) — timed for the record but kept OUT of the
