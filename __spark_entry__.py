@@ -20,6 +20,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f'{sf_dir}/{name}.parquet')
 
 
+def _sorted1(df: DataFrame, *cols: str) -> DataFrame:
+    """Global sort for oracle determinism WITHOUT a range-partition
+    exchange.  ``orderBy`` samples its child to compute range bounds,
+    and on a shuffle-free plan that sampling pass re-executes the whole
+    extraction/UDF pipeline a SECOND time (the r2 extract_links
+    regression: 0.68 s -> 4.83 s; with AQE only a materialized shuffle
+    below the sort makes the sampling cheap).  Instead: keep the UDF
+    stages at cluster width, funnel only the narrow result rows into
+    one partition and sort there — same rows, same total order, one
+    execution of the upstream plan.  Oracle-path shape only; production
+    consumers never globally sort these outputs."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def _corpus_n(sf_dir: str) -> int:
     if 'sf0.1' in sf_dir:
         return 3000
@@ -89,10 +103,10 @@ def q_main_content(spark, sf_dir):
     from markdown_articles_tool_spark.operators.maincontent import extract_main_content
 
     pages = pages_df(spark, _corpus_n(sf_dir))
-    return extract_main_content(pages).select(
+    return _sorted1(extract_main_content(pages).select(
         'url', F.sha2(F.encode('main_text', 'utf-8'), 256).alias('main_sha'),
         'n_blocks', 'n_kept'
-    ).orderBy('url')
+    ), 'url')
 
 
 def q_content_spans(spark, sf_dir):
@@ -102,7 +116,7 @@ def q_content_spans(spark, sf_dir):
     from markdown_articles_tool_spark.operators.maincontent import extract_content_spans
 
     pages = pages_df(spark, _corpus_n(sf_dir))
-    return extract_content_spans(pages).orderBy('url', 'ord')
+    return _sorted1(extract_content_spans(pages), 'url', 'ord')
 
 
 def q_page_meta(spark, sf_dir):
@@ -113,7 +127,7 @@ def q_page_meta(spark, sf_dir):
     from markdown_articles_tool_spark.operators.htmlmeta import extract_page_meta
 
     pages = pages_df(spark, _corpus_n(sf_dir))
-    return extract_page_meta(pages).orderBy('url')
+    return _sorted1(extract_page_meta(pages), 'url')
 
 
 def q_page_outlinks(spark, sf_dir):
@@ -124,7 +138,7 @@ def q_page_outlinks(spark, sf_dir):
     from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
 
     pages = pages_df(spark, _corpus_n(sf_dir))
-    return extract_page_outlinks(pages).orderBy('url', 'ord')
+    return _sorted1(extract_page_outlinks(pages), 'url', 'ord')
 
 
 def q_host_pagerank(spark, sf_dir):
@@ -166,7 +180,7 @@ def q_html_tables(spark, sf_dir):
     from markdown_articles_tool_spark.operators.htmltables import extract_html_tables
 
     pages = pages_df(spark, _corpus_n(sf_dir))
-    return extract_html_tables(pages).orderBy('url', 'table_idx', 'row_idx', 'col_idx')
+    return _sorted1(extract_html_tables(pages), 'url', 'table_idx', 'row_idx', 'col_idx')
 
 
 def q_warc_responses(spark, sf_dir):
@@ -180,11 +194,11 @@ def q_warc_responses(spark, sf_dir):
     from markdown_articles_tool_spark.sources.warc import read_warc_responses
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
-    return read_warc_responses(files).select(
+    return _sorted1(read_warc_responses(files).select(
         'file_name', 'rec_ord', 'url', 'warc_date', 'http_status', 'mime',
         'charset', 'n_bytes',
         F.sha2(F.encode('text', 'utf-8'), 256).alias('text_sha'),
-    ).orderBy('file_name', 'rec_ord')
+    ), 'file_name', 'rec_ord')
 
 
 def q_warc_cdx(spark, sf_dir):
@@ -202,7 +216,7 @@ def q_warc_cdx(spark, sf_dir):
     from markdown_articles_tool_spark.sources.warc import read_warc_cdx
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
-    return read_warc_cdx(files).orderBy('file_name', 'ord')
+    return _sorted1(read_warc_cdx(files), 'file_name', 'ord')
 
 
 def q_warc_revisit(spark, sf_dir):
@@ -221,7 +235,9 @@ def q_warc_revisit(spark, sf_dir):
     from markdown_articles_tool_spark.sources.warc import (
         read_warc_responses, read_warc_revisits, resolve_revisits)
 
-    files = warc_files_df(spark, _corpus_n(sf_dir))
+    # the archive blobs feed TWO parsers (revisit walk + response
+    # walk): persist so the python archive generation runs once
+    files = warc_files_df(spark, _corpus_n(sf_dir)).persist()
     resolved = resolve_revisits(
         read_warc_revisits(files), read_warc_responses(files))
     return resolved.select(
@@ -250,7 +266,11 @@ def q_warc_dedup(spark, sf_dir):
         dedup_to_revisits, read_warc_responses)
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
-    resp = read_warc_responses(files)
+    # the response table is consumed four times downstream (the
+    # original + refetch union branches, each under dedup's winner
+    # aggregation AND join-back) — persist so generation + WARC parse
+    # run once, not once per consumer
+    resp = read_warc_responses(files).persist()
     refetch = resp.withColumn(
         'warc_date', F.concat(F.lit('2021'), F.substring('warc_date', 5, 1000)))
     out = dedup_to_revisits(resp.unionByName(refetch))
@@ -283,8 +303,9 @@ def q_crawl_allowed(spark, sf_dir):
 
     pages = pages_df(spark, _corpus_n(sf_dir))
     links = extract_page_outlinks(pages)
-    return crawl_allowed(links, robots_files_df(spark), agent='graftbot') \
-        .orderBy('url', 'ord')
+    return _sorted1(
+        crawl_allowed(links, robots_files_df(spark), agent='graftbot'),
+        'url', 'ord')
 
 
 def q_frontier_schedule(spark, sf_dir):
@@ -299,7 +320,9 @@ def q_frontier_schedule(spark, sf_dir):
     from markdown_articles_tool_spark.training.frontier import (
         crawl_frontier, frontier_schedule)
 
-    pages = pages_df(spark, _corpus_n(sf_dir))
+    # pages feeds the outlink extraction AND the already-crawled set:
+    # persist so the python corpus generation runs once per build
+    pages = pages_df(spark, _corpus_n(sf_dir)).persist()
     links = extract_page_outlinks(pages)
     frontier = crawl_frontier(links, robots_files_df(spark), pages.select('url'))
     return frontier_schedule(frontier, max_wave=5).orderBy('dst_host', 'wave')
@@ -321,7 +344,7 @@ def q_frontier_budget(spark, sf_dir):
     from markdown_articles_tool_spark.training.frontier import (
         crawl_frontier, frontier_budget)
 
-    pages = pages_df(spark, _corpus_n(sf_dir))
+    pages = pages_df(spark, _corpus_n(sf_dir)).persist()
     links = extract_page_outlinks(pages)
     frontier = crawl_frontier(links, robots_files_df(spark), pages.select('url'))
     return frontier_budget(frontier, robots_files_df(spark)).orderBy(
@@ -342,9 +365,9 @@ def q_wet_roundtrip(spark, sf_dir):
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
     wet = warc_to_wet(files)
-    return read_wet_records(wet).select(
+    return _sorted1(read_wet_records(wet).select(
         'url', F.sha2(F.encode('text', 'utf-8'), 256).alias('main_sha'),
-    ).orderBy('url')
+    ), 'url')
 
 
 def q_wat_roundtrip(spark, sf_dir):
@@ -360,7 +383,7 @@ def q_wat_roundtrip(spark, sf_dir):
         read_wat_records, warc_to_wat)
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
-    return read_wat_records(warc_to_wat(files)).orderBy('file_name', 'rec_ord')
+    return _sorted1(read_wat_records(warc_to_wat(files)), 'file_name', 'rec_ord')
 
 
 def q_sitemap_entries(spark, sf_dir):
@@ -371,7 +394,7 @@ def q_sitemap_entries(spark, sf_dir):
     from markdown_articles_tool_spark.corpus import sitemap_files_df
     from markdown_articles_tool_spark.operators.sitemap import extract_sitemap_entries
 
-    return extract_sitemap_entries(sitemap_files_df(spark)).orderBy('host', 'ord')
+    return _sorted1(extract_sitemap_entries(sitemap_files_df(spark)), 'host', 'ord')
 
 
 def q_crawl_frontier(spark, sf_dir):
@@ -385,7 +408,7 @@ def q_crawl_frontier(spark, sf_dir):
     from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
     from markdown_articles_tool_spark.training.frontier import crawl_frontier
 
-    pages = pages_df(spark, _corpus_n(sf_dir))
+    pages = pages_df(spark, _corpus_n(sf_dir)).persist()
     links = extract_page_outlinks(pages)
     return crawl_frontier(
         links, robots_files_df(spark), pages.select('url'), agent='graftbot'
@@ -407,7 +430,7 @@ def q_frontier_bloom(spark, sf_dir):
     from markdown_articles_tool_spark.operators.htmlmeta import extract_page_outlinks
     from markdown_articles_tool_spark.training.frontier import crawl_frontier_bloom
 
-    pages = pages_df(spark, _corpus_n(sf_dir))
+    pages = pages_df(spark, _corpus_n(sf_dir)).persist()
     links = extract_page_outlinks(pages)
     return crawl_frontier_bloom(
         links, robots_files_df(spark), pages.select('url'), agent='graftbot',
@@ -424,10 +447,10 @@ def q_warc_main_content(spark, sf_dir):
     from markdown_articles_tool_spark.sources.warc import warc_main_content
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
-    return warc_main_content(files).select(
+    return _sorted1(warc_main_content(files).select(
         'url', F.sha2(F.encode('main_text', 'utf-8'), 256).alias('main_sha'),
         'n_blocks', 'n_kept',
-    ).orderBy('url')
+    ), 'url')
 
 
 def q_pdf_text(spark, sf_dir):
@@ -438,10 +461,10 @@ def q_pdf_text(spark, sf_dir):
     from markdown_articles_tool_spark.operators.pdfextract import extract_pdf_text
 
     pdfs = pdfs_df(spark, _corpus_n(sf_dir))
-    return extract_pdf_text(pdfs).select(
+    return _sorted1(extract_pdf_text(pdfs).select(
         'url', F.sha2(F.encode('text', 'utf-8'), 256).alias('text_sha'),
         'n_streams', 'n_blocks'
-    ).orderBy('url')
+    ), 'url')
 
 
 def q_pdf_spans(spark, sf_dir):
@@ -450,7 +473,7 @@ def q_pdf_spans(spark, sf_dir):
     from markdown_articles_tool_spark.operators.pdfextract import extract_pdf_spans
 
     pdfs = pdfs_df(spark, _corpus_n(sf_dir))
-    return extract_pdf_spans(pdfs).orderBy('url', 'stream_idx', 'block_idx')
+    return _sorted1(extract_pdf_spans(pdfs), 'url', 'stream_idx', 'block_idx')
 
 
 def q_corpus_images(spark, sf_dir):
@@ -711,19 +734,19 @@ def q_bpe_tokens(spark, sf_dir):
     the regex proxy in token_stats stays as the cheap estimator."""
     from markdown_articles_tool_spark.training.bpe import bpe_token_stats
 
-    return bpe_token_stats(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+    return _sorted1(bpe_token_stats(_t(spark, sf_dir, 'documents')), 'doc_id')
 
 
 def q_token_stats(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import quality_features
 
-    return quality_features(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+    return _sorted1(quality_features(_t(spark, sf_dir, 'documents')), 'doc_id')
 
 
 def q_langid(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import langid
 
-    return langid(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+    return _sorted1(langid(_t(spark, sf_dir, 'documents')), 'doc_id')
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -731,7 +754,7 @@ def q_repetition_stats(spark, sf_dir):
     pass, per-doc Counters — no (doc, gram) shuffle)."""
     from markdown_articles_tool_spark.training.textstats import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+    return _sorted1(repetition_stats(_t(spark, sf_dir, 'documents')), 'doc_id')
 
 
 def q_quality_filter(spark, sf_dir):
@@ -741,7 +764,7 @@ def q_quality_filter(spark, sf_dir):
     projection — no self-join of the stats queries)."""
     from markdown_articles_tool_spark.training.textstats import gopher_filter
 
-    return gopher_filter(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+    return _sorted1(gopher_filter(_t(spark, sf_dir, 'documents')), 'doc_id')
 
 
 def q_contamination(spark, sf_dir):
@@ -776,7 +799,7 @@ def q_dataset_split(spark, sf_dir):
     re-runs/repartitions/backfills never migrate a doc across splits."""
     from markdown_articles_tool_spark.training.sampling import dataset_split
 
-    return dataset_split(_t(spark, sf_dir, 'documents').select('doc_id')).orderBy('doc_id')
+    return _sorted1(dataset_split(_t(spark, sf_dir, 'documents').select('doc_id')), 'doc_id')
 
 
 def q_corpus_quantiles(spark, sf_dir):
@@ -905,7 +928,7 @@ def q_tfidf_topk(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     from markdown_articles_tool_spark.training.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, 'documents')).orderBy('doc_id')
+    return _sorted1(fingerprint(_t(spark, sf_dir, 'documents')), 'doc_id')
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -936,9 +959,9 @@ def q_int8_quant(spark, sf_dir):
     from markdown_articles_tool_spark.training.similarity import int8_quantize
 
     emb = _t(spark, sf_dir, 'embeddings')
-    return int8_quantize(emb).select(
+    return _sorted1(int8_quantize(emb).select(
         'vec_id', 'scale', F.sha2('q_bytes', 256).alias('q_sha')
-    ).orderBy('vec_id')
+    ), 'vec_id')
 
 
 def q_ann_int8_topk(spark, sf_dir):
@@ -1031,9 +1054,9 @@ def q_pii_redact(spark, sf_dir):
     from markdown_articles_tool_spark.training.pii import pii_redact
 
     docs = _t(spark, sf_dir, 'documents')
-    return pii_redact(docs, plant=pii_plant).select(
+    return _sorted1(pii_redact(docs, plant=pii_plant).select(
         'doc_id', 'n_emails', 'n_ips', 'n_ccs', 'n_phones', 'redacted_sha'
-    ).orderBy('doc_id')
+    ), 'doc_id')
 
 
 def q_mojibake_fix(spark, sf_dir):
@@ -1051,9 +1074,9 @@ def q_mojibake_fix(spark, sf_dir):
     from markdown_articles_tool_spark.training.mojibake import fix_mojibake
 
     docs = _t(spark, sf_dir, 'documents')
-    return fix_mojibake(docs, plant=mojibake_plant).select(
+    return _sorted1(fix_mojibake(docs, plant=mojibake_plant).select(
         'doc_id', 'n_runs_fixed', 'n_rounds', 'fixed_sha'
-    ).orderBy('doc_id')
+    ), 'doc_id')
 
 
 def q_cdx_index(spark, sf_dir):
@@ -1101,7 +1124,10 @@ def q_cdx_lookup(spark, sf_dir):
 
     n = _corpus_n(sf_dir)
     files = warc_files_df(spark, n)
-    cdx = read_warc_cdx(files)
+    # the CDX rows are consumed three times (write's range-sampling
+    # pass + its shuffle pass + the key collection below): persist so
+    # generation + parse run once
+    cdx = read_warc_cdx(files).persist()
     path = f'/tmp/mats_cdx_index/{n}'
     write_cdx_index(cdx, path)
     keys = [r['surt'] for r in
@@ -1131,7 +1157,8 @@ def q_cdx_prefix(spark, sf_dir):
 
     n = _corpus_n(sf_dir)
     files = warc_files_df(spark, n)
-    cdx = read_warc_cdx(files)
+    # write's range-sampling + shuffle passes: persist (see cdx_lookup)
+    cdx = read_warc_cdx(files).persist()
     path = f'/tmp/mats_cdx_index/{n}'
     write_cdx_index(cdx, path)
     prefix = host_prefix('HTTPS://WWW.Site1.Example:443/ignored?x=1')
@@ -1153,7 +1180,7 @@ def q_warc_redirects(spark, sf_dir):
     from markdown_articles_tool_spark.sources.warc import read_warc_redirects
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
-    return read_warc_redirects(files).orderBy('file_name', 'rec_ord')
+    return _sorted1(read_warc_redirects(files), 'file_name', 'rec_ord')
 
 
 def q_redirect_chains(spark, sf_dir):
@@ -1174,7 +1201,8 @@ def q_redirect_chains(spark, sf_dir):
     from markdown_articles_tool_spark.training.redirects import (
         resolve_redirect_chains)
 
-    files = warc_files_df(spark, _corpus_n(sf_dir))
+    # two parsers over the same blobs: persist the generated archives
+    files = warc_files_df(spark, _corpus_n(sf_dir)).persist()
     red = read_warc_redirects(files)
     resp = read_warc_responses(files)
     return resolve_redirect_chains(red, resp, max_hops=4).orderBy('url')
@@ -1198,7 +1226,7 @@ def q_warc_clean(spark, sf_dir):
 
     files = warc_files_df(spark, _corpus_n(sf_dir))
     mc = warc_main_content(files).select('url', F.col('main_text').alias('text'))
-    return scrub(mc, id_col='url').orderBy('url')
+    return _sorted1(scrub(mc, id_col='url'), 'url')
 
 
 def q_warc_host_quality(spark, sf_dir):
@@ -1253,7 +1281,8 @@ def q_cdx_closest(spark, sf_dir):
 
     n = _corpus_n(sf_dir)
     files = warc_files_df(spark, n)
-    cdx = read_warc_cdx(files)
+    # write's range-sampling + shuffle passes: persist (see cdx_lookup)
+    cdx = read_warc_cdx(files).persist()
     path = f'/tmp/mats_cdx_index/{n}'
     write_cdx_index(cdx, path)
     messy28 = 'HTTPS://WWW.SITE3.EXAMPLE:443/articles/a00000028/doc28.md'
@@ -1282,9 +1311,9 @@ def q_clean_corpus(spark, sf_dir):
     from markdown_articles_tool_spark.training.hygiene import scrub
 
     docs = _t(spark, sf_dir, 'documents')
-    return scrub(
+    return _sorted1(scrub(
         docs, plant=lambda i, t: pii_plant(i, mojibake_plant(i, t))
-    ).orderBy('doc_id')
+    ), 'doc_id')
 
 
 def q_line_dedup(spark, sf_dir):
@@ -1322,11 +1351,11 @@ def q_url_canonical(spark, sf_dir):
         .when(d % 4 == 2, F.lit('?gclid=abc')).otherwise(F.lit('')),
         F.when(d % 2 == 0, F.lit('#Section-2')).otherwise(F.lit('')),
     )
-    return (
+    return _sorted1(
         _t(spark, sf_dir, 'documents')
         .select('doc_id', raw.alias('url_raw'))
-        .select('doc_id', 'url_raw', canonicalize_url(F.col('url_raw')).alias('url_canon'))
-        .orderBy('doc_id')
+        .select('doc_id', 'url_raw', canonicalize_url(F.col('url_raw')).alias('url_canon')),
+        'doc_id',
     )
 
 

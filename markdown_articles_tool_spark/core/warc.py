@@ -401,7 +401,9 @@ def _build_derived(entries: List[Tuple[str, str, bytes]], rec_type: str,
         if date:
             head += f'WARC-Date: {date}\r\n'
         head += f'Content-Type: {ct}\r\nContent-Length: {len(payload)}\r\n\r\n'
-        return gzip.compress(head.encode('latin-1') + payload + b'\r\n\r\n', mtime=0)
+        # WARC headers are UTF-8 per spec; latin-1 would raise on a
+        # non-latin-1 crawl URL (byte-identical for ASCII headers)
+        return gzip.compress(head.encode('utf-8') + payload + b'\r\n\r\n', mtime=0)
 
     info = (f'software: {software}\r\n'
             'format: WARC File Format 1.0\r\n'
@@ -471,7 +473,9 @@ def build_warc(entries, software: str = 'graft-synth/1.0') -> bytes:
             head += f'WARC-Date: {date}\r\n'
         head += head_extra
         head += f'Content-Type: {ct}\r\nContent-Length: {len(payload)}\r\n\r\n'
-        return gzip.compress(head.encode('latin-1') + payload + b'\r\n\r\n', mtime=0)
+        # WARC headers are UTF-8 per spec; latin-1 would raise on a
+        # non-latin-1 crawl URL (byte-identical for ASCII headers)
+        return gzip.compress(head.encode('utf-8') + payload + b'\r\n\r\n', mtime=0)
 
     info = (f'software: {software}\r\n'
             'format: WARC File Format 1.0\r\n'

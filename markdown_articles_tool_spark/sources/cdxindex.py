@@ -82,14 +82,21 @@ def _boundary_rows(spark: SparkSession, path: str) -> list:
     return [(r['shard'].rsplit('/', 1)[-1], r['lo'], r['hi']) for r in rows]
 
 
+def _covering(rows: list, path: str, key: str) -> list:
+    """``covering_shards`` over an already-read boundary row list —
+    the batch lookups read ``_boundaries`` ONCE and intersect every
+    key against it here, instead of one driver-side read-and-collect
+    job per key (r6 ADVICE: a million-key batch lookup must stay ONE
+    boundary read + one scan job)."""
+    return sorted(
+        f'{path}/shards/{shard}' for shard, lo, hi in rows if lo <= key <= hi
+    )
+
+
 def covering_shards(spark: SparkSession, path: str, key: str) -> list:
     """Full paths of the shard files whose (lo, hi) range covers
     ``key``, rejoined to the caller-supplied ``path``."""
-    return sorted(
-        f'{path}/shards/{shard}'
-        for shard, lo, hi in _boundary_rows(spark, path)
-        if lo <= key <= hi
-    )
+    return _covering(_boundary_rows(spark, path), path, key)
 
 
 def covering_shards_prefix(spark: SparkSession, path: str, prefix: str) -> list:
@@ -130,10 +137,11 @@ def lookup_surts(spark: SparkSession, path: str, keys) -> DataFrame:
     keys = sorted(set(keys))
     if not keys:
         return _empty_like_shards(spark, path)
+    rows = _boundary_rows(spark, path)  # ONE read for the whole batch
     files = sorted({
         f
         for k in keys
-        for f in covering_shards(spark, path, k)
+        for f in _covering(rows, path, k)
     })
     if not files:
         return _empty_like_shards(spark, path)
@@ -176,8 +184,13 @@ def _ts14(col):
     """The 14-digit numeric form of an ISO WARC-Date
     ('2020-09-13T12:26:40Z' → 20200913122640) — the key component real
     CDX lines carry; ``closest`` distance is defined on THIS number
-    (the wayback convention), not on epoch seconds."""
-    return F.translate(col, '-:TZ', '').cast('long')
+    (the wayback convention), not on epoch seconds.  WARC-1.1 dates may
+    carry fractional seconds ('…:40.123Z') — strip them first, or the
+    cast yields NULL and the capture would vanish from the distance
+    race (r6 ADVICE)."""
+    return F.translate(
+        F.regexp_replace(col, r'\.\d+', ''), '-:TZ', ''
+    ).cast('long')
 
 
 def lookup_closest(spark: SparkSession, path: str, queries) -> DataFrame:
@@ -207,8 +220,9 @@ def lookup_closest(spark: SparkSession, path: str, queries) -> DataFrame:
             'warc_date', F.lit(0).cast('long').alias('ts_diff'),
             'file_name', 'ord', 'url', 'offset', 'length', 'addressable',
         )
+    rows = _boundary_rows(spark, path)  # ONE read for the whole batch
     files = sorted({
-        f for k, _ in pairs for f in covering_shards(spark, path, k)
+        f for k, _ in pairs for f in _covering(rows, path, k)
     })
     qdf = spark.createDataFrame(pairs, 'surt string, q_ts long')
     src = (
@@ -217,6 +231,11 @@ def lookup_closest(spark: SparkSession, path: str, queries) -> DataFrame:
         .join(F.broadcast(qdf), 'surt')
     )
     cap_ts = _ts14(F.col('warc_date'))
+    # a capture with a missing/unparseable WARC-Date has NULL cap_ts,
+    # and Spark's NULLS-FIRST struct ordering would make min() pick it
+    # as the winner for every query on that URL (while the oracle's
+    # window sorts NULLs last) — drop it from the race (r6 ADVICE)
+    src = src.where(cap_ts.isNotNull())
     diff = F.abs(cap_ts - F.col('q_ts'))
     winner = F.min(F.struct(
         diff.alias('ts_diff'), cap_ts.alias('cap_ts'),
@@ -283,7 +302,16 @@ def cdx_query(spark: SparkSession, path: str, url: str,
     if match_type == 'host':
         return lookup_prefix(spark, path, host_prefix(url))
     if match_type == 'domain':
-        return lookup_prefix(spark, path, domain_prefix(url))
+        # the registered-host prefix alone would over-match sibling
+        # hosts sharing a string prefix (example,site1 also catches
+        # example,site10) — a domain key continues with either the
+        # authority terminator ')' or a subdomain label ',' (r6
+        # ADVICE); prune shards with the bare prefix, then keep only
+        # the two legal continuations
+        p = domain_prefix(url)
+        return lookup_prefix(spark, path, p).where(
+            F.col('surt').startswith(p + ')') | F.col('surt').startswith(p + ',')
+        )
     if match_type == 'closest':
         if ts is None:
             raise ValueError("matchType 'closest' requires ts (14-digit)")

@@ -52,8 +52,11 @@ def connected_components(
     ``max_iter`` rounds (with shortcutting that needs a component
     diameter around 2**max_iter — unreachable in practice).
     """
-    edges = pairs.select(F.col(a_col).alias('u'), F.col(b_col).alias('v'))
-    edges = edges.unionByName(edges.select(F.col('v').alias('u'), F.col('u').alias('v'))).persist()
+    # the symmetrization union consumes ``pairs`` twice; persist the
+    # narrow pair rows first so an expensive pair producer (LSH
+    # candidates + Jaccard verify) runs once, not once per direction
+    pairs = pairs.select(F.col(a_col).alias('u'), F.col(b_col).alias('v')).persist()
+    edges = pairs.unionByName(pairs.select(F.col('v').alias('u'), F.col('u').alias('v'))).persist()
     labels = nodes.select(F.col(id_col).alias('u'), F.col(id_col).alias('label'))
     labels = labels.localCheckpoint(eager=True)
 
@@ -99,6 +102,7 @@ def connected_components(
             break
 
     edges.unpersist()
+    pairs.unpersist()
     if not converged:
         raise RuntimeError(
             f'connected_components did not converge within max_iter={max_iter} rounds '

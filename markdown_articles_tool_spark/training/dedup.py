@@ -86,9 +86,17 @@ def dedup_lines(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
     """
     from .util import ensure_parallelism
 
+    # r7: the exploded line rows feed ONLY the winner aggregation now.
+    # The r6 shape ran a SECOND explode + groupBy branch just to count
+    # content lines per doc — re-running the corpus scan and the
+    # explode once per branch (the measured 1.8x local regression, r6
+    # verdict #3).  n_lines is a pure function of one document row, so
+    # it is computed below as Column algebra on the doc scan (size of
+    # the filtered split array): one explode pass total, one
+    # aggregation exchange fewer, no window anywhere.
+    src = ensure_parallelism(df)
     lines = (
-        ensure_parallelism(df)
-        .select(
+        src.select(
             F.col(id_col).alias('_id'),
             F.posexplode(F.split(F.col(text_col), '\n')).alias('idx', 'line'),
         )
@@ -111,7 +119,20 @@ def dedup_lines(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text') -
             '\n',
         ).alias('text_dedup'),
     )
-    stats = lines.groupBy('_id').agg(F.count(F.lit(1)).alias('n_lines'))
+    # per-doc content-line count WITHOUT a second explode pass: trim
+    # each split element and count the non-empty ones — exactly the
+    # rows the explode branch keeps (F.trim == ASCII-space trim)
+    stats = src.select(
+        F.col(id_col).alias('_id'),
+        F.size(
+            F.filter(
+                # NB: lambda, not bare F.trim — trim's optional second
+                # parameter would make transform pass (element, index)
+                F.transform(F.split(F.col(text_col), '\n'), lambda x: F.trim(x)),
+                lambda x: x != '',
+            )
+        ).cast('long').alias('n_lines'),
+    ).where(F.col('n_lines') > 0)
     return (
         stats.join(kept, '_id', 'left')
         .select(
@@ -195,6 +216,10 @@ def jaccard_pairs(
 
     df = ensure_parallelism(df)
     if prefilter:
+        # the pair list is consumed twice (id extraction + the final
+        # join): persist the narrow pairs so an expensive candidate
+        # producer (the LSH banding chain) runs once
+        pairs = pairs.persist()
         ids = pairs.select(
             F.explode(F.array(F.col('a_id'), F.col('b_id'))).alias(id_col)
         ).distinct()
@@ -202,6 +227,14 @@ def jaccard_pairs(
     else:
         sub = df
     g = sub.select(F.col(id_col).alias('doc_id'), word_ngrams(F.col(text_col), n).alias('grams'))
+    if prefilter:
+        # verify path: the candidate sliver's gram arrays join as BOTH
+        # the a-side and the b-side — persist so the split + n zip_with
+        # folds run once per doc, not once per side.  (The
+        # prefilter=False oracle path covers the WHOLE corpus: caching
+        # corpus-sized gram arrays measured slower than the fused
+        # second evaluation, so it stays uncached there.)
+        g = g.persist()
     a = g.selectExpr('doc_id as a_id', 'grams as a_grams')
     b = g.selectExpr('doc_id as b_id', 'grams as b_grams')
     return (
@@ -736,10 +769,15 @@ def dedup_spans(
     clean_sha) with ``clean_sha`` = sha256 of the cleaned normalized
     text.
     """
+    # the positional-hash rows feed BOTH the owner aggregation and the
+    # join-back probe side; without a persist the span-hash Arrow pass
+    # (the corpus-chars-volume stage) executes once per consumer.  The
+    # guide-§8 shape: materialize the lightweight proxy (id, pos, fp)
+    # once, decide on it, and only then touch the text again.
     occ = df.select(
         F.col(id_col).alias('_id'),
         F.posexplode(make_span_hash_udf(k)(F.col(text_col))).alias('pos', 'fp'),
-    )
+    ).persist()
     winners = occ.groupBy('fp').agg(
         F.min(F.struct(F.col('_id').alias('doc_id'), F.col('pos').alias('pos'))).alias('_w')
     )

@@ -44,6 +44,11 @@ def crawl_frontier(outlinks: DataFrame, robots: DataFrame, crawled: DataFrame,
     robots-allowed for ``agent``, not in ``crawled``, with the number
     of referencing link records and the destination host's integer
     PageRank (0 for hosts outside the rank table)."""
+    # the outlink records feed BOTH the robots gate and the PageRank
+    # edge build — persist the narrow projection so the extraction
+    # UDF upstream runs once per build, not once per consumer (the
+    # pipeline.extract_pass_links discipline; r6 verdict #2)
+    outlinks = outlinks.persist()
     gated = crawl_allowed(outlinks, robots, agent).where('allowed')
     fresh = gated.join(
         crawled.select(F.col(url_col).alias('_crawled_url')),
@@ -219,6 +224,9 @@ def crawl_frontier_bloom(outlinks: DataFrame, robots: DataFrame,
     """
     from .bloomdedup import bloom_probe, build_bloom
 
+    # same double-consumer shape as crawl_frontier: robots gate +
+    # PageRank edges — one persist, one extraction pass
+    outlinks = outlinks.persist()
     gated = crawl_allowed(outlinks, robots, agent).where('allowed')
     bloom = build_bloom(
         crawled.select(F.col(url_col).alias('_k')), '_k', m_bits, k_hashes)

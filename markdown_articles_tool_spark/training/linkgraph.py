@@ -91,7 +91,8 @@ def host_edges(outlinks: DataFrame, src_col: str = 'url', dst_col: str = 'abs_ur
     )
 
 
-def pagerank_hosts(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def pagerank_hosts(edges: DataFrame, iterations: int = 10,
+                   checkpoint_every: int = 1) -> DataFrame:
     """(host, rank_units) after ``iterations`` integer power steps.
 
     One small job per iteration (eager ``localCheckpoint``, the same
@@ -102,8 +103,25 @@ def pagerank_hosts(edges: DataFrame, iterations: int = 10) -> DataFrame:
     round i+1, i.e. 2^K plan blowup — and the checkpoint also truncates
     lineage so the plan stays flat at any K.  All the jobs run over the
     HOST-sized table, never the page table.
+
+    ``checkpoint_every`` > 1 batches rounds per checkpoint job; the r7
+    A/B at sf0.1 measured it a LOSS (every=1: 5.42 s, =2: 5.58 s,
+    =3: 6.42 s for the 10-iteration build): per-iteration cost is
+    STAGE execution, which batching does not reduce, while the lazy
+    window's 2^k subtree duplication adds planning work — so the
+    default stays 1.  What r7 did cut per iteration: the dangling-mass
+    semi-join (the dangling flag is precomputed ONCE onto the node
+    frame and rides every checkpoint, so the mass is a plain filtered
+    aggregation over the cached ranks — one join + one broadcast build
+    fewer per round), and the edge table is persisted (it feeds nodes,
+    out-degree weights AND the join side — unpersisted it re-ran the
+    page-table extraction ~3x per build; r6 verdict #2).  Ranks stay
+    bit-identical: deterministic integer arithmetic, same spec.
     """
-    edges = edges.select('src_host', 'dst_host', 'n_links')
+    # the edge table feeds nodes, out-degree weights AND the join side
+    # of edges_w — without a persist each consumer re-evaluates the
+    # upstream (host_edges over the outlink extraction)
+    edges = edges.select('src_host', 'dst_host', 'n_links').persist()
 
     nodes = (
         edges.select(F.col('src_host').alias('host'))
@@ -114,18 +132,23 @@ def pagerank_hosts(edges: DataFrame, iterations: int = 10) -> DataFrame:
     n_nodes = nodes.count()
     if n_nodes == 0:
         nodes.unpersist()
+        edges.unpersist()
         return edges.sparkSession.createDataFrame([], 'host string, rank_units long')
     base = SCALE // n_nodes
 
     # W_s rides every edge row once, computed with one reused shuffle
     out_w = edges.groupBy('src_host').agg(F.sum('n_links').alias('out_w'))
     edges_w = edges.join(out_w, 'src_host').persist()
-    # dangling hosts never change across iterations: resolve them once
-    dangling = nodes.join(
-        edges_w.select(F.col('src_host').alias('host')).distinct(), 'host', 'left_anti'
+    # dangling hosts never change across iterations: resolve them ONCE
+    # as a boolean flag on the node frame; the flag rides every rank
+    # checkpoint so the per-iteration dangling mass is a plain filtered
+    # aggregation — no join, no extra broadcast, per round
+    srcs = edges_w.select(F.col('src_host').alias('host')).distinct()         .withColumn('_has_out', F.lit(True))
+    nodes_f = nodes.join(srcs, 'host', 'left').select(
+        'host', F.coalesce('_has_out', F.lit(False)).alias('_has_out')
     ).persist()
 
-    ranks = nodes.withColumn('rank_units', F.lit(base).cast('long'))
+    ranks = nodes_f.withColumn('rank_units', F.lit(base).cast('long'))
     ranks = ranks.localCheckpoint(eager=True)
 
     for _it in range(iterations):
@@ -141,27 +164,32 @@ def pagerank_hosts(edges: DataFrame, iterations: int = 10) -> DataFrame:
             .agg(F.sum('contrib').alias('in_units'))
         )
         dang_row = (
-            ranks.join(dangling.select('host'), 'host', 'left_semi')
+            ranks.where(~F.col('_has_out'))
             .agg(F.coalesce(F.sum('rank_units'), F.lit(0)).alias('dang_mass'))
             .select(F.expr(f'dang_mass DIV {n_nodes}').alias('dang_share'))
         )
         new_ranks = (
-            nodes.join(contribs, 'host', 'left')
+            nodes_f.join(contribs, 'host', 'left')
             .withColumn('in_units', F.coalesce(F.col('in_units'), F.lit(0)))
             .crossJoin(F.broadcast(dang_row))
             .select(
                 'host',
+                '_has_out',
                 F.expr(
                     f'(15 * {base} + 85 * (in_units + dang_share)) DIV 100'
                 ).alias('rank_units'),
             )
         )
-        ranks = new_ranks.localCheckpoint(eager=True)
+        if (_it + 1) % max(1, int(checkpoint_every)) == 0 or _it == iterations - 1:
+            ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            ranks = new_ranks
 
     nodes.unpersist()
     edges_w.unpersist()
-    dangling.unpersist()
-    return ranks
+    nodes_f.unpersist()
+    edges.unpersist()
+    return ranks.select('host', 'rank_units')
 
 
 def anchor_profiles(

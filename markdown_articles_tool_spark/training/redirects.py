@@ -81,7 +81,11 @@ def resolve_redirect_chains(
     ``redirects``: read_warc_redirects rows (url, location, ...);
     ``responses``: read_warc_responses rows (url, http_status, ...).
     """
-    resolved = _resolved_targets(redirects)
+    # resolved targets feed the edge table, the dead-redirect branch
+    # AND the redirect-source dim below — persist the narrow distinct
+    # (url, loc_abs) rows so the WARC parse + resolver Arrow pass run
+    # once per chain build, not once per consumer
+    resolved = _resolved_targets(redirects).persist()
     edges = (
         resolved.where(F.col('loc_abs') != '')
         .select('url', 'loc_abs').distinct()
@@ -135,7 +139,10 @@ def resolve_redirect_chains(
     )
     srcs = edges.select(F.col('url').alias('_su')).distinct() \
         .withColumn('_is_src', F.lit(True))
-    rdirs = redirects.select(F.col('url').alias('_ru')).distinct() \
+    # the redirect-source url set == resolved's url set ((url, location)
+    # distinct projected to url): read it from the cached resolved rows
+    # instead of re-parsing the archives a third time
+    rdirs = resolved.select(F.col('url').alias('_ru')).distinct() \
         .withColumn('_is_rdr', F.lit(True))
     out = (
         final.join(terms, final.cur == terms._tu, 'left')

@@ -498,7 +498,9 @@ def lsh_int8_topk(
     buckets = capped_buckets(
         signed, ['band', 'band_key'], 'vec_id', max_bucket, 'int8_topk', observation
     ).withColumnRenamed('items', 'ids')
-    quant = int8_quantize(emb).select('vec_id', 'q')
+    # the quantized vectors join as BOTH the query side and the
+    # neighbor side — persist so the quantization Arrow pass runs once
+    quant = int8_quantize(emb).select('vec_id', 'q').persist()
     bucket_pairs = (
         buckets.select(F.explode('ids').alias('query_id'), 'ids')
         .join(F.broadcast(query_ids), 'query_id')
