@@ -188,9 +188,10 @@ def _ts14(col):
     carry fractional seconds ('…:40.123Z') — strip them first, or the
     cast yields NULL and the capture would vanish from the distance
     race (r6 ADVICE)."""
-    return F.translate(
-        F.regexp_replace(col, r'\.\d+', ''), '-:TZ', ''
-    ).cast('long')
+    digits = F.translate(F.regexp_replace(col, r'\.\d+', ''), '-:TZ', '')
+    # try_cast, not cast: under ANSI a malformed/empty date must LOSE
+    # the distance race (NULL, filtered below), not kill the job
+    return digits.try_cast('long')
 
 
 def lookup_closest(spark: SparkSession, path: str, queries) -> DataFrame:

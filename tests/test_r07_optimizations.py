@@ -1,0 +1,142 @@
+"""Focused pins for the r7 optimization round's internal changes:
+
+* the frontier build runs the outlink-extraction stage ONCE per build
+  (r6 verdict #2 — it previously ran once per consumer: robots gate,
+  PageRank nodes/out-degree/join side);
+* CDX ``matchType=domain`` no longer over-matches sibling hosts that
+  share a string prefix (r6 ADVICE #1 — the corpus hosts cannot expose
+  this, so the index here is synthesized);
+* ``lookup_closest`` survives WARC-1.1 fractional-second dates and
+  dateless captures (r6 ADVICE #2 — NULLS-FIRST struct ordering would
+  otherwise make a dateless capture win every race).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestFrontierSingleExtractionPass:
+    def test_extraction_stage_runs_once_per_build(self, spark):
+        """crawl_frontier consumes the outlink records in TWO branches
+        (robots gate + PageRank edges); the persist inside it must make
+        the upstream extraction stage execute exactly once.  Counted
+        with an accumulator inside a stand-in extraction mapInPandas
+        (local mode: no retries, so the count is exact)."""
+        from markdown_articles_tool_spark.training.frontier import crawl_frontier
+
+        n_pages = 40
+        acc = spark.sparkContext.accumulator(0)
+
+        pages = spark.createDataFrame(
+            [(f'https://s{i % 4}.example/p{i}',) for i in range(n_pages)],
+            'url string',
+        )
+
+        def extract(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                rows = []
+                for u in pdf['url']:
+                    i = int(u.rsplit('p', 1)[1])
+                    rows.append((u, 0, f'/x{i}',
+                                 f'https://s{(i + 1) % 4}.example/x{i}', 'a'))
+                yield pd.DataFrame(
+                    rows, columns=['url', 'ord', 'href', 'abs_url', 'anchor'])
+
+        outlinks = pages.mapInPandas(
+            extract,
+            schema='url string, ord int, href string, abs_url string, anchor string',
+        )
+        robots = spark.createDataFrame([], 'host string, robots_txt string')
+        crawled = spark.createDataFrame(
+            [(f'https://s1.example/x{i}',) for i in range(0, n_pages, 7)],
+            'url string',
+        )
+        out = crawl_frontier(outlinks, robots, crawled, iterations=2)
+        out.write.format('noop').mode('overwrite').save()
+        assert acc.value == n_pages, (
+            f'extraction stage saw {acc.value} rows for {n_pages} pages — '
+            'it ran more than once per frontier build'
+        )
+
+
+class TestCdxDomainBoundary:
+    def _index(self, spark, tmp_path_factory, rows):
+        from markdown_articles_tool_spark.sources.cdxindex import write_cdx_index
+
+        cdx = spark.createDataFrame(
+            [(f, 0, 'response', u, s, 0, 10, True, '2020-09-13T12:26:40Z')
+             for f, u, s in rows],
+            'file_name string, ord int, warc_type string, url string, '
+            'surt string, offset long, length long, addressable boolean, '
+            'warc_date string',
+        )
+        path = str(tmp_path_factory.mktemp('cdxdom') / 'index')
+        write_cdx_index(cdx, path, n_shards=2)
+        return path
+
+    def test_domain_does_not_match_prefix_sibling_hosts(self, spark, tmp_path_factory):
+        """query for site1.example must return site1 + its subdomains,
+        NOT site10.example (string-prefix sibling) — the ')' / ','
+        continuation rule of real CDX domain-range semantics."""
+        from markdown_articles_tool_spark.sources.cdxindex import cdx_query
+
+        path = self._index(spark, tmp_path_factory, [
+            ('a.warc.gz', 'https://site1.example/a', 'example,site1)/a'),
+            ('a.warc.gz', 'https://www.site1.example/b', 'example,site1,www)/b'),
+            ('a.warc.gz', 'https://site10.example/c', 'example,site10)/c'),
+            ('a.warc.gz', 'https://site1x.example/d', 'example,site1x)/d'),
+        ])
+        got = sorted(r['surt'] for r in
+                     cdx_query(spark, path, 'https://site1.example/', 'domain').collect())
+        assert got == ['example,site1)/a', 'example,site1,www)/b'], got
+        # host matchType stays exact-host (no subdomains)
+        got_host = sorted(r['surt'] for r in
+                          cdx_query(spark, path, 'https://site1.example/', 'host').collect())
+        assert got_host == ['example,site1)/a'], got_host
+
+
+class TestClosestDateEdgeCases:
+    def _index(self, spark, tmp_path_factory, dates):
+        from markdown_articles_tool_spark.sources.cdxindex import write_cdx_index
+
+        cdx = spark.createDataFrame(
+            [(f'f{i}.warc.gz', i, 'response', 'https://h.example/p',
+              'example,h)/p', 0, 10, True, d) for i, d in enumerate(dates)],
+            'file_name string, ord int, warc_type string, url string, '
+            'surt string, offset long, length long, addressable boolean, '
+            'warc_date string',
+        )
+        path = str(tmp_path_factory.mktemp('cdxnull') / 'index')
+        write_cdx_index(cdx, path, n_shards=1)
+        return path
+
+    def test_dateless_capture_never_wins(self, spark, tmp_path_factory):
+        """a capture with a missing/unparseable WARC-Date must lose
+        every distance race (NULLS-FIRST min-struct would have picked
+        it for every query on the URL)."""
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path = self._index(spark, tmp_path_factory, [
+            None, '', '2020-09-13T12:26:40Z', '2021-01-01T00:00:00Z',
+        ])
+        rows = lookup_closest(
+            spark, path, [('https://h.example/p', 20200913122641)]).collect()
+        assert len(rows) == 1
+        assert rows[0]['warc_date'] == '2020-09-13T12:26:40Z'
+        assert rows[0]['ts_diff'] == 1
+
+    def test_fractional_seconds_parse_instead_of_vanishing(self, spark, tmp_path_factory):
+        """WARC-1.1 fractional-second dates must stay in the race with
+        the fraction stripped (the bare cast yielded NULL)."""
+        from markdown_articles_tool_spark.sources.cdxindex import lookup_closest
+
+        path = self._index(spark, tmp_path_factory, [
+            '2020-09-13T12:26:40.123Z', '2021-01-01T00:00:00Z',
+        ])
+        rows = lookup_closest(
+            spark, path, [('https://h.example/p', 20200913122640)]).collect()
+        assert len(rows) == 1
+        assert rows[0]['warc_date'] == '2020-09-13T12:26:40.123Z'
+        assert rows[0]['ts_diff'] == 0
