@@ -71,9 +71,9 @@ def q_transform_corpus(spark, sf_dir):
     from markdown_articles_tool_spark.pipeline import transform_documents
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return res.docs_out.select(
+    return _sorted1(res.docs_out.select(
         'url', F.sha2(F.encode('text_out', 'utf-8'), 256).alias('text_sha')
-    ).orderBy('url')
+    ), 'url')
 
 
 def q_extract_links_corpus(spark, sf_dir):
@@ -240,11 +240,11 @@ def q_warc_revisit(spark, sf_dir):
     files = warc_files_df(spark, _corpus_n(sf_dir)).persist()
     resolved = resolve_revisits(
         read_warc_revisits(files), read_warc_responses(files))
-    return resolved.select(
+    return _sorted1(resolved.select(
         'url', 'warc_date', 'profile', 'refers_to_uri', 'refers_to_date',
         'http_status', 'orig_status', 'orig_n_bytes',
         F.sha2(F.encode('orig_text', 'utf-8'), 256).alias('orig_sha'),
-    ).orderBy('url', 'warc_date')
+    ), 'url', 'warc_date')
 
 
 def q_warc_dedup(spark, sf_dir):
@@ -274,10 +274,10 @@ def q_warc_dedup(spark, sf_dir):
     refetch = resp.withColumn(
         'warc_date', F.concat(F.lit('2021'), F.substring('warc_date', 5, 1000)))
     out = dedup_to_revisits(resp.unionByName(refetch))
-    return out.select(
+    return _sorted1(out.select(
         'url', 'warc_date', 'kind', 'refers_to_uri', 'refers_to_date',
         'payload_sha',
-    ).orderBy('url', 'warc_date', 'kind')
+    ), 'url', 'warc_date', 'kind')
 
 
 def q_robots_rules(spark, sf_dir):
@@ -490,7 +490,7 @@ def q_media_metadata(spark, sf_dir):
     from markdown_articles_tool_spark.training.multimodal import extract_media_metadata
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return extract_media_metadata(res.images_out).orderBy('path')
+    return _sorted1(extract_media_metadata(res.images_out), 'path')
 
 
 def q_media_decode(spark, sf_dir):
@@ -501,7 +501,7 @@ def q_media_decode(spark, sf_dir):
     from markdown_articles_tool_spark.training.multimodal import decode_images
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return decode_images(res.images_out).orderBy('path')
+    return _sorted1(decode_images(res.images_out), 'path')
 
 
 def q_media_features(spark, sf_dir):
@@ -512,7 +512,7 @@ def q_media_features(spark, sf_dir):
     from markdown_articles_tool_spark.training.multimodal import extract_features
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return extract_features(res.images_out).orderBy('path', 'bucket')
+    return _sorted1(extract_features(res.images_out), 'path', 'bucket')
 
 
 def q_media_frames(spark, sf_dir):
@@ -523,7 +523,7 @@ def q_media_frames(spark, sf_dir):
     from markdown_articles_tool_spark.training.multimodal import sample_frames
 
     res = transform_documents(_corpus_docs(spark, sf_dir), _transform_cfg())
-    return sample_frames(res.images_out).orderBy('path', 'frame_idx')
+    return _sorted1(sample_frames(res.images_out), 'path', 'frame_idx')
 
 
 def q_pricing_summary(spark, sf_dir):
@@ -860,7 +860,7 @@ def q_span_dedup(spark, sf_dir):
     BITMAP cut (vs the engine's interval merge)."""
     from markdown_articles_tool_spark.training.dedup import dedup_spans
 
-    return dedup_spans(_t(spark, sf_dir, 'documents'), k=25).orderBy('doc_id')
+    return _sorted1(dedup_spans(_t(spark, sf_dir, 'documents'), k=25), 'doc_id')
 
 
 def q_bloom_dedup(spark, sf_dir):
@@ -884,9 +884,9 @@ def q_bloom_dedup(spark, sf_dir):
     )
     old = docs.where(F.col('doc_id') % 3 != 0)
     new = docs.where(F.col('doc_id') % 3 == 0)
-    return bloom_dedup(old, new, m_bits=2048, k_hashes=3).select(
+    return _sorted1(bloom_dedup(old, new, m_bits=2048, k_hashes=3).select(
         'doc_id', 'novel'
-    ).orderBy('doc_id')
+    ), 'doc_id')
 
 
 def q_source_spam(spark, sf_dir):
@@ -1020,9 +1020,9 @@ def q_lm_perplexity(spark, sf_dir):
     from markdown_articles_tool_spark.training.lm import perplexity_pipeline
 
     docs = _t(spark, sf_dir, 'documents')
-    return perplexity_pipeline(
+    return _sorted1(perplexity_pipeline(
         docs, train_where=F.col('lang') == 'en'
-    ).orderBy('doc_id')
+    ), 'doc_id')
 
 
 def q_ppl_buckets(spark, sf_dir):
@@ -1324,10 +1324,10 @@ def q_line_dedup(spark, sf_dir):
     from markdown_articles_tool_spark.training.dedup import dedup_lines
 
     docs = _corpus_docs(spark, sf_dir)
-    return dedup_lines(docs, id_col='url', text_col='text').select(
+    return _sorted1(dedup_lines(docs, id_col='url', text_col='text').select(
         'url', 'n_lines', 'n_kept',
         F.sha2(F.encode('text_dedup', 'utf-8'), 256).alias('dedup_sha'),
-    ).orderBy('url')
+    ), 'url')
 
 
 def q_url_canonical(spark, sf_dir):

@@ -295,6 +295,12 @@ def _minhash_params(k: int) -> List[tuple]:
 
 
 _POLY_B = 0x100000001B3  # FNV-ish odd multiplier for the rolling poly hash
+# B is odd, hence invertible mod 2^64; Newton iteration doubles correct
+# bits per step, so 6 steps from x0=B (odd -> correct mod 2^3) reach 2^64
+_POLY_B_INV = _POLY_B
+for _ in range(6):
+    _POLY_B_INV = (_POLY_B_INV * (2 - _POLY_B * _POLY_B_INV)) % (1 << 64)
+assert (_POLY_B * _POLY_B_INV) % (1 << 64) == 1
 
 
 def _window_hashes(t: str, shingle: int):
@@ -303,10 +309,18 @@ def _window_hashes(t: str, shingle: int):
     (no per-shingle Python loop: the r01 per-shingle blake2b loop was
     the CPU hog of the whole minhash stage).
 
-    Scheme: codepoint array → sliding windows → polynomial hash with
-    wraparound uint64 arithmetic → splitmix64 finalizer for mixing.
+    Scheme: codepoint array → rolling polynomial hash with wraparound
+    uint64 arithmetic → splitmix64 finalizer for mixing.  The window
+    sum h[i] = Σ_j cp[i+j]·B^(k-1-j) (mod 2^64) is computed in O(n)
+    instead of the r1-r6 O(k·n) windowed mat-vec via prefix sums in
+    the inverse base: with A[m] = Σ_{j<m} cp[j]·B^(-j), every window is
+    h[i] = (A[i+k] - A[i])·B^(i+k-1) — B is odd so B^(-1) exists mod
+    2^64 and all uint64 ops wrap exactly, making the values
+    BIT-IDENTICAL to the windowed form (r7 A/B: 3.6× on the kernel;
+    pinned against the old form in tests/test_r07_optimizations.py).
     Private sketch, not a contract — any well-mixed 64-bit hash gives
-    the same MinHash/winnowing guarantees.
+    the same MinHash/winnowing guarantees — but the independent oracle
+    twin (tools/oracle_kernels.py) replays these exact values.
     """
     import numpy as np
 
@@ -314,19 +328,26 @@ def _window_hashes(t: str, shingle: int):
     if not t:
         return np.empty(0, dtype=np.uint64)
     cp = np.frombuffer(t.encode('utf-32-le'), dtype=np.uint32).astype(np.uint64)
-    n = min(len(cp), shingle)
-    if len(cp) <= shingle:
-        win = cp[None, :]
-    else:
-        from numpy.lib.stride_tricks import sliding_window_view
-
-        win = sliding_window_view(cp, shingle)
-    # B^(n-1) .. B^0 with uint64 wraparound (array cumprod wraps
-    # silently; numpy only warns on *scalar* overflow)
-    powers = np.full(n, _POLY_B, dtype=np.uint64)
-    powers[-1] = 1
-    powers = np.cumprod(powers[::-1], dtype=np.uint64)[::-1]
-    hs = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    n = len(cp)
+    k = min(n, shingle)
+    nw = n - k + 1
+    # Binv^j, j = 0..n-1 (array cumprod wraps silently; numpy only
+    # warns on *scalar* overflow)
+    invp = np.empty(n, dtype=np.uint64)
+    invp[0] = 1
+    if n > 1:
+        invp[1:] = np.uint64(_POLY_B_INV)
+        np.cumprod(invp, out=invp)
+    # A[m] = Σ_{j<m} cp[j]·Binv^j;  h[i] = (A[i+k]-A[i])·B^(i+k-1)
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(cp * invp, out=pref[1:])
+    diff = pref[k:] - pref[:nw]
+    mult = np.empty(nw, dtype=np.uint64)
+    mult[0] = np.uint64(pow(_POLY_B, k - 1, 1 << 64))
+    if nw > 1:
+        mult[1:] = np.uint64(_POLY_B)
+        np.cumprod(mult, out=mult)
+    hs = diff * mult
     # splitmix64 finalizer (public-domain mixing constants)
     z = hs + np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -459,19 +480,15 @@ def _array_pairs(docs):
 # ------------------------------------------------------------ winnowing
 
 
-def winnow_select(hs, w: int = 16):
-    """Robust winnowing (Schleimer/Wilkerson/Aiken 2003 §3) over a
-    positional hash sequence: for each window of ``w`` consecutive
-    k-gram hashes select the minimum (RIGHTMOST on ties); the
-    fingerprint set is the distinct selected hashes.  Guarantees any
-    shared substring of length >= k + w - 1 chars contributes at least
-    one shared fingerprint.  Fewer than ``w`` hashes → one window over
-    all of them.  numpy-vectorized; signed-int64 output."""
+def _winnow_select_arr(hs, w: int = 16):
+    """Array core of ``winnow_select`` — sorted distinct selected
+    hashes as a signed-int64 ndarray (the UDF path ships this straight
+    through Arrow; the list API below boxes it for the twin/tests)."""
     import numpy as np
 
     n = len(hs)
     if n == 0:
-        return []
+        return np.empty(0, dtype=np.int64)
     if n <= w:
         win = hs[None, :]
     else:
@@ -484,7 +501,18 @@ def winnow_select(hs, w: int = 16):
     j = rev.argmin(axis=1)
     pos = np.arange(len(win)) + (win.shape[1] - 1) - j
     sel = np.unique(hs[np.unique(pos)])
-    return [int(x) for x in sel.astype(np.int64)]
+    return sel.astype(np.int64)
+
+
+def winnow_select(hs, w: int = 16):
+    """Robust winnowing (Schleimer/Wilkerson/Aiken 2003 §3) over a
+    positional hash sequence: for each window of ``w`` consecutive
+    k-gram hashes select the minimum (RIGHTMOST on ties); the
+    fingerprint set is the distinct selected hashes.  Guarantees any
+    shared substring of length >= k + w - 1 chars contributes at least
+    one shared fingerprint.  Fewer than ``w`` hashes → one window over
+    all of them.  numpy-vectorized; signed-int64 output."""
+    return [int(x) for x in _winnow_select_arr(hs, w)]
 
 
 def winnow_fingerprints(t: str, k: int = 25, w: int = 16):
@@ -496,7 +524,9 @@ def winnow_fingerprints(t: str, k: int = 25, w: int = 16):
 def make_winnow_udf(k: int = 25, w: int = 16):
     @pandas_udf(ArrayType(LongType()))
     def winnow_udf(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: winnow_fingerprints(t, k, w))
+        # ndarray straight through Arrow — same values as
+        # winnow_fingerprints without the per-element int() boxing
+        return text.map(lambda t: _winnow_select_arr(_window_hashes(t, k), w))
 
     return winnow_udf
 
@@ -718,9 +748,10 @@ def make_span_hash_udf(k: int = 25):
     def span_hashes(text: pd.Series) -> pd.Series:
         import numpy as np
 
-        return text.map(
-            lambda t: [int(x) for x in _window_hashes(t, k).astype(np.int64)]
-        )
+        # int64 ndarrays cross the Arrow boundary directly — the r1-r6
+        # [int(x) for x in ...] boxing cost MORE than the hashing
+        # itself on corpus-length texts (r7 kernel A/B)
+        return text.map(lambda t: _window_hashes(t, k).astype(np.int64))
 
     return span_hashes
 
@@ -769,6 +800,15 @@ def dedup_spans(
     clean_sha) with ``clean_sha`` = sha256 of the cleaned normalized
     text.
     """
+    from .util import ensure_parallelism
+
+    # r7: every sibling sketch operator widens a narrow scan before its
+    # CPU-heavy Arrow pass (util.ensure_parallelism) — this one did
+    # not, so at bench scale BOTH corpus-chars passes (the positional
+    # hash emit and the final normalize+cut, which runs on the scan
+    # side of a broadcast join) serialized on ONE scan partition.
+    # No-op at production widths.
+    df = ensure_parallelism(df)
     # the positional-hash rows feed BOTH the owner aggregation and the
     # join-back probe side; without a persist the span-hash Arrow pass
     # (the corpus-chars-volume stage) executes once per consumer.  The

@@ -8,12 +8,62 @@
   this, so the index here is synthesized);
 * ``lookup_closest`` survives WARC-1.1 fractional-second dates and
   dateless captures (r6 ADVICE #2 — NULLS-FIRST struct ordering would
-  otherwise make a dateless capture win every race).
+  otherwise make a dateless capture win every race);
+* the O(n) rolling reformulation of the positional window-hash kernel
+  is BIT-IDENTICAL to the r1-r6 O(k·n) windowed form it replaced (the
+  values are replayed by the independent oracle twin, so any drift is
+  an oracle break, not just a perf delta).
 """
 
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
+
+
+class TestRollingWindowHashIdentity:
+    def test_rolling_kernel_matches_windowed_form(self):
+        """``_window_hashes`` r7 shape: prefix sums in the inverse base
+        (B odd → invertible mod 2^64) instead of the windowed mat-vec.
+        Fuzz both forms over edge cases (empty / shorter-than-k /
+        equal-k / long, multilingual codepoints) and every shingle
+        width the engine uses (5 = minhash, 16, 25 = span/winnow)."""
+        import random
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from markdown_articles_tool_spark.training.dedup import (
+            _POLY_B,
+            _window_hashes,
+        )
+
+        def windowed_form(t, shingle):
+            t = ' '.join((t or '').lower().split())
+            if not t:
+                return np.empty(0, dtype=np.uint64)
+            cp = np.frombuffer(t.encode('utf-32-le'), dtype=np.uint32).astype(np.uint64)
+            n = min(len(cp), shingle)
+            win = cp[None, :] if len(cp) <= shingle else sliding_window_view(cp, shingle)
+            powers = np.full(n, _POLY_B, dtype=np.uint64)
+            powers[-1] = 1
+            powers = np.cumprod(powers[::-1], dtype=np.uint64)[::-1]
+            hs = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            z = hs + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        random.seed(20260822)
+        cases = ['', ' ', 'a', 'x' * 24, 'y' * 25, 'z' * 26,
+                 'Hello  World\t\nFoo',
+                 ''.join(chr(random.randrange(32, 0x2500)) for _ in range(2000))]
+        cases += [' '.join('w%d' % random.randrange(99)
+                           for _ in range(random.randrange(1, 400)))
+                  for _ in range(100)]
+        for k in (5, 16, 25):
+            for t in cases:
+                a, b = windowed_form(t, k), _window_hashes(t, k)
+                assert a.shape == b.shape and (a == b).all(), (k, t[:40])
 
 
 class TestFrontierSingleExtractionPass:
