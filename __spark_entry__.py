@@ -577,9 +577,8 @@ def q_events_sessionize(spark, sf_dir):
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.withColumn('new_sess', new_sess)
     return (
-        sess.groupBy('user_id')
-        .agg(F.sum('new_sess').cast('bigint').alias('n_sessions'), F.count(F.lit(1)).alias('n_events'))
-        .orderBy('user_id')
+        _sorted1(sess.groupBy('user_id')
+        .agg(F.sum('new_sess').cast('bigint').alias('n_sessions'), F.count(F.lit(1)).alias('n_events')), 'user_id')
     )
 
 
@@ -1205,7 +1204,7 @@ def q_redirect_chains(spark, sf_dir):
     files = warc_files_df(spark, _corpus_n(sf_dir)).persist()
     red = read_warc_redirects(files)
     resp = read_warc_responses(files)
-    return resolve_redirect_chains(red, resp, max_hops=4).orderBy('url')
+    return _sorted1(resolve_redirect_chains(red, resp, max_hops=4), 'url')
 
 
 def q_warc_clean(spark, sf_dir):
