@@ -190,3 +190,59 @@ class TestClosestDateEdgeCases:
         assert len(rows) == 1
         assert rows[0]['warc_date'] == '2020-09-13T12:26:40.123Z'
         assert rows[0]['ts_diff'] == 0
+
+
+class TestPagerankSingleTaskFastPath:
+    """Session-3 change: below ``_LOCAL_MAX_EDGES`` the whole power
+    iteration runs inside ONE mapInPandas task (no per-iteration job
+    scheduling); the kernel replays the identical integer spec, so the
+    two paths must be bit-identical on any graph."""
+
+    def test_fast_path_matches_distributed_loop(self, spark):
+        import random
+
+        from markdown_articles_tool_spark.training.linkgraph import pagerank_hosts
+
+        rng = random.Random(1234)
+        for _ in range(3):
+            hosts = [f'h{i}.example' for i in range(rng.randint(2, 30))]
+            pairs = set()
+            for _e in range(rng.randint(1, 90)):
+                s, d = rng.sample(hosts, 2)
+                pairs.add((s, d))
+            rows = [(s, d, rng.randint(1, 9)) for (s, d) in pairs]
+            df = spark.createDataFrame(
+                rows, 'src_host string, dst_host string, n_links long')
+            fast = {r['host']: r['rank_units']
+                    for r in pagerank_hosts(df, iterations=6).collect()}
+            # local_max_edges=0 forces the distributed K-round loop
+            slow = {r['host']: r['rank_units']
+                    for r in pagerank_hosts(df, iterations=6,
+                                            local_max_edges=0).collect()}
+            assert fast == slow
+
+    def test_fast_path_runs_zero_iteration_jobs(self, spark):
+        """The fast path's plan is one exchange + one mapInPandas —
+        no per-iteration join/agg chain; pin it via the plan string of
+        the pre-checkpoint frame shape (the public result is already
+        materialized, so pin the job count instead: building ranks
+        costs exactly 2 jobs — edges.count + the checkpoint)."""
+        from markdown_articles_tool_spark.training.linkgraph import pagerank_hosts
+
+        df = spark.createDataFrame(
+            [('a.example', 'b.example', 3), ('b.example', 'c.example', 1)],
+            'src_host string, dst_host string, n_links long')
+        tracker = spark.sparkContext.statusTracker()
+        sc = spark.sparkContext
+        sc.setJobGroup('pr-fast', 'pagerank fast path build')
+        pagerank_hosts(df, iterations=10)
+        fast_jobs = len(tracker.getJobIdsForGroup('pr-fast') or [])
+        sc.setJobGroup('pr-slow', 'pagerank distributed build')
+        pagerank_hosts(df, iterations=10, local_max_edges=0)
+        slow_jobs = len(tracker.getJobIdsForGroup('pr-slow') or [])
+        sc.setJobGroup(None, None)
+        # the distributed loop schedules >= 1 job per iteration (plus
+        # setup); the single-task build is iteration-count-free
+        assert slow_jobs >= fast_jobs + 8, (
+            f'fast path {fast_jobs} jobs vs distributed {slow_jobs} — '
+            'the single-task fast path did not engage')
