@@ -28,7 +28,86 @@ a loud failure.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+# Below these sizes the whole label propagation runs inside ONE
+# executor task (see connected_components) instead of K distributed
+# rounds of join+agg+checkpoint jobs — at near-dup-pair sizes the
+# distributed loop's cost is stage scheduling, not data.  A crawl-scale
+# pair table exceeds the bounds and takes the distributed rounds.
+_CC_LOCAL_MAX_EDGES = int(os.environ.get('SPARK_GRAFT_CC_LOCAL_EDGES', '100000'))
+_CC_LOCAL_MAX_NODES = int(os.environ.get('SPARK_GRAFT_CC_LOCAL_NODES', '500000'))
+
+
+def _cc_partition(batches, max_iter: int, shortcut: bool):
+    """Single-task twin of the distributed round loop below — the SAME
+    update rule per round (neighbor-min fold, optional pointer jump
+    through the PRE-round labels, left-join drop semantics for edge
+    endpoints outside the node set) so the fixpoint AND the
+    round-count/convergence verdict are identical by construction
+    (fuzz-pinned in tests/test_r07_optimizations.py).  Emits result
+    rows with ``_nc = -1``; on non-convergence emits one sentinel row
+    with ``_nc`` = the last round's delta (the driver raises)."""
+    import pandas as pd
+
+    node_ids: list = []
+    eu: list = []
+    ev: list = []
+    for pdf in batches:
+        tags = pdf['_tag']
+        us = pdf['u'].tolist()
+        vs = pdf['v'].tolist()
+        for t, u, v in zip(tags, us, vs):
+            if t:
+                node_ids.append(u)
+            else:
+                eu.append(u)
+                ev.append(v)
+    labels = {u: u for u in node_ids}
+    # symmetrized edge list, endpoints outside the node set kept —
+    # the per-round folds drop them exactly as the left joins do
+    edges = list(zip(eu, ev)) + list(zip(ev, eu))
+
+    converged = False
+    delta = 0
+    for _ in range(max_iter):
+        nbr_min: dict = {}
+        for u, v in edges:
+            lu = labels.get(u)
+            if lu is None:
+                continue  # edge source outside the node set: no label row to join
+            prev = nbr_min.get(v)
+            if prev is None or lu < prev:
+                nbr_min[v] = lu
+        delta = 0
+        new_labels = {}
+        for u, lab in labels.items():
+            nl = nbr_min.get(u)
+            cand = lab if nl is None or lab < nl else nl
+            if shortcut:
+                ptr = labels.get(cand)
+                if ptr is not None and ptr < cand:
+                    cand = ptr
+            if cand != lab:
+                delta += 1
+            new_labels[u] = cand
+        labels = new_labels
+        if delta == 0:
+            converged = True
+            break
+
+    out_u = list(labels.keys())
+    out_l = [labels[u] for u in out_u]
+    nc = [-1] * len(out_u)
+    if not converged:
+        # sentinel: dummy id values (filtered out by _nc >= 0), delta payload
+        probe = out_u[0] if out_u else None
+        out_u.append(probe)
+        out_l.append(probe)
+        nc.append(delta)
+    yield pd.DataFrame({'u': out_u, 'label': out_l, '_nc': nc})
 
 
 def connected_components(
@@ -39,6 +118,7 @@ def connected_components(
     b_col: str = 'b_id',
     max_iter: int = 50,
     shortcut: bool = True,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """(id_col, cluster_rep) for every node; cluster_rep = min id in the
     node's connected component (singletons map to themselves).
@@ -56,6 +136,45 @@ def connected_components(
     # narrow pair rows first so an expensive pair producer (LSH
     # candidates + Jaccard verify) runs once, not once per direction
     pairs = pairs.select(F.col(a_col).alias('u'), F.col(b_col).alias('v')).persist()
+
+    # Size-adaptive fast path (same move as linkgraph.pagerank_hosts):
+    # when both the pair table and the node set fit one task, run the
+    # whole propagation inside a single mapInPandas task — the kernel
+    # is the exact sequential twin of the round loop below (same
+    # update rule, same convergence verdict), so output AND the
+    # non-convergence raise are identical.  NOT a driver loop: rows
+    # shuffle to one executor task; only the one-row sentinel check
+    # reads the materialized checkpoint.
+    limit_e = _CC_LOCAL_MAX_EDGES if local_max_edges is None else int(local_max_edges)
+    if pairs.count() <= limit_e:
+        nodes_u = nodes.select(F.col(id_col).alias('u'))
+        if nodes_u.count() <= _CC_LOCAL_MAX_NODES:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            dt = nodes_u.schema['u'].dataType
+            packed = nodes_u.select(
+                'u', F.col('u').alias('v'), F.lit(True).alias('_tag')
+            ).unionByName(pairs.select('u', 'v', F.lit(False).alias('_tag')))
+            out_schema = StructType([
+                StructField('u', dt), StructField('label', dt),
+                StructField('_nc', LongType()),
+            ])
+            res = (
+                packed.repartition(1)
+                .mapInPandas(lambda it: _cc_partition(it, max_iter, shortcut),
+                             out_schema)
+                .localCheckpoint(eager=True)
+            )
+            pairs.unpersist()
+            sentinel = res.where(F.col('_nc') >= 0).select('_nc').collect()
+            if sentinel:
+                raise RuntimeError(
+                    f'connected_components did not converge within max_iter={max_iter} rounds '
+                    f'(last round still changed {sentinel[0]["_nc"]} labels); raise max_iter'
+                )
+            return res.where(F.col('_nc') < 0).select(
+                F.col('u').alias(id_col), F.col('label').alias('cluster_rep'))
+
     edges = pairs.unionByName(pairs.select(F.col('v').alias('u'), F.col('u').alias('v'))).persist()
     labels = nodes.select(F.col(id_col).alias('u'), F.col(id_col).alias('label'))
     labels = labels.localCheckpoint(eager=True)

@@ -246,3 +246,56 @@ class TestPagerankSingleTaskFastPath:
         assert slow_jobs >= fast_jobs + 8, (
             f'fast path {fast_jobs} jobs vs distributed {slow_jobs} — '
             'the single-task fast path did not engage')
+
+
+class TestConnectedComponentsSingleTaskFastPath:
+    """Session-3 change: below the size bounds the whole label
+    propagation runs inside ONE mapInPandas task; the kernel is the
+    sequential twin of the distributed round loop — fixpoint AND
+    convergence verdict must agree on any graph."""
+
+    def _run(self, spark, pairs_rows, node_rows, **kw):
+        from markdown_articles_tool_spark.training.cluster import connected_components
+
+        pairs = (spark.createDataFrame(pairs_rows, 'a_id long, b_id long')
+                 if pairs_rows else
+                 spark.createDataFrame([], 'a_id long, b_id long'))
+        nodes = spark.createDataFrame([(n,) for n in node_rows], 'doc_id long')
+        try:
+            out = {(r['doc_id'], r['cluster_rep'])
+                   for r in connected_components(pairs, nodes, **kw).collect()}
+            return ('ok', out)
+        except RuntimeError as e:
+            assert 'did not converge' in str(e)
+            return ('raise', None)
+
+    def test_fast_path_matches_distributed_loop(self, spark):
+        import random
+
+        rng = random.Random(4321)
+        for _ in range(3):
+            node_rows = rng.sample(range(500), rng.randint(2, 40))
+            pairs_rows = [tuple(rng.sample(node_rows, 2))
+                          for _ in range(rng.randint(0, 60))]
+            # edges referencing ids OUTSIDE the node set must drop the
+            # same way the left joins drop them
+            pairs_rows.append((node_rows[0], 9001))
+            pairs_rows.append((9002, node_rows[0]))
+            for sc in (True, False):
+                fast = self._run(spark, pairs_rows, node_rows, shortcut=sc)
+                slow = self._run(spark, pairs_rows, node_rows, shortcut=sc,
+                                 local_max_edges=0)
+                assert fast == slow
+
+    def test_convergence_verdict_parity_on_chain(self, spark):
+        chain = [(i, i + 1) for i in range(40)]
+        nodes = list(range(41))
+        # round-count-sensitive regime: at max_iter=14 the shortcut
+        # loop converges, the plain loop must still raise — in BOTH
+        # execution paths
+        for sc, verdict in ((True, 'ok'), (False, 'raise')):
+            fast = self._run(spark, chain, nodes, max_iter=14, shortcut=sc)
+            slow = self._run(spark, chain, nodes, max_iter=14, shortcut=sc,
+                             local_max_edges=0)
+            assert fast[0] == verdict and slow[0] == verdict
+            assert fast == slow
