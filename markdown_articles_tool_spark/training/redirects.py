@@ -41,10 +41,52 @@ strictly less work.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 MAX_HOPS = 4
+
+# Below this edge count the whole hop walk runs inside ONE executor
+# task (see resolve_redirect_chains) instead of max_hops rounds of
+# join+checkpoint jobs — the linkgraph/cluster size-adaptive
+# discipline.  A crawl-scale redirect table exceeds the bound and
+# takes the distributed hop loop.
+_WALK_LOCAL_MAX_EDGES = int(os.environ.get('SPARK_GRAFT_REDIRECT_LOCAL_EDGES', '100000'))
+
+
+def _walk_partition(batches, max_hops: int):
+    """Single-task twin of the distributed hop loop below — the SAME
+    relational steps per hop (left-join fan-out over multi-target
+    edges, dead-end settle, loop flag comparing the new target to the
+    PRE-hop node), expressed as pandas merges, so the output multiset
+    is identical by construction (fuzz-pinned in
+    tests/test_r07_optimizations.py)."""
+    dfs = list(batches)
+    e = (pd.concat(dfs, ignore_index=True) if dfs
+         else pd.DataFrame({'url': pd.Series([], dtype=object),
+                            'loc_abs': pd.Series([], dtype=object)}))
+    e2 = e.rename(columns={'url': '_eu', 'loc_abs': '_et'})
+    frontier = pd.DataFrame({
+        'start': e['url'], 'cur': e['loc_abs'],
+        'hops': 1, 'looped': (e['loc_abs'] == e['url']),
+    })
+    settled = []
+    for h in range(2, int(max_hops) + 1):
+        settled.append(frontier[frontier['looped']])
+        open_ = frontier[~frontier['looped']]
+        j = open_.merge(e2, left_on='cur', right_on='_eu', how='left')
+        settled.append(j[j['_et'].isna()][['start', 'cur', 'hops', 'looped']])
+        cont = j[j['_et'].notna()]
+        frontier = pd.DataFrame({
+            'start': cont['start'], 'cur': cont['_et'],
+            'hops': h, 'looped': (cont['_et'] == cont['cur']),
+        })
+    out = pd.concat([frontier] + settled, ignore_index=True)
+    out['hops'] = out['hops'].astype('int32')
+    out['looped'] = out['looped'].astype(bool)
+    yield out[['start', 'cur', 'hops', 'looped']]
 
 
 def _resolved_targets(redirects: DataFrame) -> DataFrame:
@@ -74,6 +116,7 @@ def resolve_redirect_chains(
     redirects: DataFrame,
     responses: DataFrame,
     max_hops: int = MAX_HOPS,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """(url, final_url, hops, state, final_status) per redirect
     capture — see module docstring for the frozen semantics.
@@ -105,31 +148,42 @@ def resolve_redirect_chains(
         )
     )
 
-    e2 = edges.select(F.col('url').alias('_eu'), F.col('loc_abs').alias('_et'))
-    frontier = edges.select(
-        F.col('url').alias('start'),
-        F.col('loc_abs').alias('cur'),
-        F.lit(1).alias('hops'),
-        (F.col('loc_abs') == F.col('url')).alias('looped'),
-    )
-    settled = []
-    for h in range(2, int(max_hops) + 1):
-        frontier = frontier.localCheckpoint(eager=True)
-        settled.append(frontier.where('looped'))
-        open_ = frontier.where('NOT looped')
-        j = open_.join(e2, open_.cur == e2._eu, 'left')
-        settled.append(
-            j.where(F.col('_et').isNull()).select('start', 'cur', 'hops', 'looped')
+    limit = _WALK_LOCAL_MAX_EDGES if local_max_edges is None else int(local_max_edges)
+    if edges.count() <= limit:
+        # size-adaptive fast path (the linkgraph/cluster discipline):
+        # the whole hop walk in ONE task over the checkpointed edge
+        # table — max_hops join+checkpoint rounds collapse to one job;
+        # the pandas kernel replays the identical relational steps.
+        final = edges.repartition(1).mapInPandas(
+            lambda it: _walk_partition(it, max_hops),
+            'start string, cur string, hops int, looped boolean',
         )
-        frontier = j.where(F.col('_et').isNotNull()).select(
-            'start',
-            F.col('_et').alias('cur'),
-            F.lit(h).alias('hops'),
-            (F.col('_et') == F.col('cur')).alias('looped'),
+    else:
+        e2 = edges.select(F.col('url').alias('_eu'), F.col('loc_abs').alias('_et'))
+        frontier = edges.select(
+            F.col('url').alias('start'),
+            F.col('loc_abs').alias('cur'),
+            F.lit(1).alias('hops'),
+            (F.col('loc_abs') == F.col('url')).alias('looped'),
         )
-    final = frontier
-    for s in settled:
-        final = final.unionByName(s)
+        settled = []
+        for h in range(2, int(max_hops) + 1):
+            frontier = frontier.localCheckpoint(eager=True)
+            settled.append(frontier.where('looped'))
+            open_ = frontier.where('NOT looped')
+            j = open_.join(e2, open_.cur == e2._eu, 'left')
+            settled.append(
+                j.where(F.col('_et').isNull()).select('start', 'cur', 'hops', 'looped')
+            )
+            frontier = j.where(F.col('_et').isNotNull()).select(
+                'start',
+                F.col('_et').alias('cur'),
+                F.lit(h).alias('hops'),
+                (F.col('_et') == F.col('cur')).alias('looped'),
+            )
+        final = frontier
+        for s in settled:
+            final = final.unionByName(s)
 
     terms = (
         responses.where((F.col('http_status') < 300) | (F.col('http_status') >= 400))

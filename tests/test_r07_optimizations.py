@@ -299,3 +299,47 @@ class TestConnectedComponentsSingleTaskFastPath:
                              local_max_edges=0)
             assert fast[0] == verdict and slow[0] == verdict
             assert fast == slow
+
+
+class TestRedirectWalkSingleTaskFastPath:
+    """Session-3 change: below the edge bound the whole hop walk runs
+    inside ONE mapInPandas task; the pandas kernel replays the exact
+    relational steps of the distributed loop (fan-out left joins,
+    dead-end settling, pre-hop loop flag), so the output MULTISET must
+    be identical — including duplicate rows from multi-target edges."""
+
+    def test_fast_path_matches_distributed_walk(self, spark):
+        import collections
+        import random
+
+        from markdown_articles_tool_spark.training.redirects import (
+            resolve_redirect_chains,
+        )
+
+        rng = random.Random(2468)
+
+        def run(red, resp, mh, **kw):
+            out = resolve_redirect_chains(red, resp, max_hops=mh, **kw).collect()
+            return collections.Counter(
+                (r['url'], r['final_url'], r['hops'], r['state'],
+                 r['final_status']) for r in out)
+
+        for _ in range(3):
+            urls = [f'https://s.example/u{i}'
+                    for i in range(rng.randint(3, 20))]
+            rows_red = []
+            for u in urls:
+                if rng.random() < 0.8:
+                    for _ in range(rng.randint(1, 2)):  # multi-target fan-out
+                        rows_red.append((u, rng.choice(
+                            [rng.choice(urls), u, '',
+                             'https://off.example/x'])))
+            rows_resp = [(u, rng.choice([200, 301, 404]))
+                         for u in urls if rng.random() < 0.7]
+            red = spark.createDataFrame(rows_red, 'url string, location string')
+            resp = spark.createDataFrame(rows_resp, 'url string, http_status int')
+            for mh in (2, 4):
+                fast = run(red, resp, mh)
+                # local_max_edges=-1 forces the distributed hop loop
+                slow = run(red, resp, mh, local_max_edges=-1)
+                assert fast == slow
